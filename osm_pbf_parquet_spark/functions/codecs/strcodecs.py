@@ -1,0 +1,139 @@
+"""String/binary codec kernels over the (lengths, flat-data) representation.
+
+A string column arrives as an int64 lengths array (nulls → 0) plus the
+concatenated value bytes; all kernels are exact inverses. Lengths are
+always frame-of-reference bit-packed (cheap, vectorized); the data
+section varies per codec:
+
+  str_plain  raw bytes
+  str_zstd   pyarrow zstd block compression (C-speed; the analogue of
+             the reference's zstd Parquet pages, src/sink.rs:130-135)
+  str_dict   first-occurrence dictionary + bit-packed codes
+  str_fsst   FSST symbol table + encoded stream (fsst.py)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from . import fsst as _fsst
+from .intcodecs import bitpack_decode, bitpack_encode
+from .primitives import (
+    bits_needed,
+    pack_sections,
+    pack_uints,
+    unpack_sections,
+    unpack_uints,
+)
+
+_ZSTD_LEVEL = 3  # reference default: zstd:3 (src/util.rs:35-37)
+
+
+def zstd_compress(data: bytes, level: int = _ZSTD_LEVEL) -> bytes:
+    return pa.Codec("zstd", compression_level=level).compress(data, asbytes=True)
+
+
+def zstd_decompress(data: bytes, decompressed_size: int) -> bytes:
+    return pa.Codec("zstd").decompress(
+        data, decompressed_size=decompressed_size, asbytes=True
+    )
+
+
+def _pack_lens(lens: np.ndarray) -> tuple[dict, bytes]:
+    return bitpack_encode(lens.astype(np.int64, copy=False))
+
+
+def _unpack_lens(params: dict, blob: bytes) -> np.ndarray:
+    return bitpack_decode(params, blob)
+
+
+def str_plain_encode(lens: np.ndarray, data: bytes) -> tuple[dict, bytes]:
+    lp, lb = _pack_lens(lens)
+    return {"n": len(lens), "l": lp}, pack_sections([lb, data])
+
+
+def str_plain_decode(params: dict, payload: bytes) -> tuple[np.ndarray, bytes]:
+    lb, data = unpack_sections(payload)
+    return _unpack_lens(params["l"], lb), data
+
+
+def str_zstd_encode(lens: np.ndarray, data: bytes) -> tuple[dict, bytes]:
+    lp, lb = _pack_lens(lens)
+    return {"n": len(lens), "l": lp, "raw": len(data)}, pack_sections(
+        [lb, zstd_compress(data)]
+    )
+
+
+def str_zstd_decode(params: dict, payload: bytes) -> tuple[np.ndarray, bytes]:
+    lb, comp = unpack_sections(payload)
+    return _unpack_lens(params["l"], lb), zstd_decompress(comp, params["raw"])
+
+
+def str_fsst_encode(lens: np.ndarray, data: bytes) -> tuple[dict, bytes]:
+    lp, lb = _pack_lens(lens)
+    table = _fsst.build_symbol_table(data)
+    enc = _fsst.fsst_compress(data, table)
+    sym_lens = np.array([len(s) for s in table], dtype=np.int64)
+    sym_blob = b"".join(table)
+    params = {"n": len(lens), "l": lp, "nsym": len(table)}
+    return params, pack_sections([lb, sym_lens.astype(np.uint8).tobytes(), sym_blob, enc])
+
+
+def str_fsst_decode(params: dict, payload: bytes) -> tuple[np.ndarray, bytes]:
+    lb, sym_len_blob, sym_blob, enc = unpack_sections(payload)
+    sym_lens = np.frombuffer(sym_len_blob, dtype=np.uint8)
+    table, off = [], 0
+    for ln in sym_lens:
+        table.append(sym_blob[off : off + int(ln)])
+        off += int(ln)
+    return _unpack_lens(params["l"], lb), _fsst.fsst_decompress(enc, table)
+
+
+def str_dict_encode(lens: np.ndarray, data: bytes) -> tuple[dict, bytes]:
+    """First-occurrence dictionary; codes bit-packed; dict values zstd'd."""
+    n = len(lens)
+    if n == 0:
+        return {"n": 0, "card": 0, "cw": 0, "dl": {"n": 0, "min": 0, "w": 0}, "raw": 0}, pack_sections([b"", b"", b""])
+    offs = np.concatenate(([0], np.cumsum(lens, dtype=np.int64)))
+    arr = pa.Array.from_buffers(
+        pa.large_binary(), n, [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(data)]
+    )
+    dct = arr.dictionary_encode()
+    codes = dct.indices.to_numpy(zero_copy_only=False).astype(np.uint64)
+    dvals = dct.dictionary
+    doffs = np.frombuffer(dvals.buffers()[1], dtype=np.int64)[
+        dvals.offset : dvals.offset + len(dvals) + 1
+    ]
+    dlens = np.diff(doffs)
+    ddata = np.frombuffer(dvals.buffers()[2] or b"", dtype=np.uint8)[
+        doffs[0] : doffs[-1]
+    ].tobytes()
+    card = len(dvals)
+    cw = bits_needed(card - 1)
+    dl_params, dl_blob = bitpack_encode(dlens.astype(np.int64))
+    params = {"n": n, "card": card, "cw": cw, "dl": dl_params, "raw": len(ddata)}
+    return params, pack_sections(
+        [pack_uints(codes, cw), dl_blob, zstd_compress(ddata)]
+    )
+
+
+def str_dict_decode(params: dict, payload: bytes) -> tuple[np.ndarray, bytes]:
+    n = params["n"]
+    if n == 0:
+        return np.empty(0, dtype=np.int64), b""
+    code_blob, dl_blob, ddata_c = unpack_sections(payload)
+    codes = unpack_uints(code_blob, params["cw"], n).astype(np.int64)
+    dlens = bitpack_decode(params["dl"], dl_blob)
+    ddata = np.frombuffer(zstd_decompress(ddata_c, params["raw"]), dtype=np.uint8)
+    doffs = np.concatenate(([0], np.cumsum(dlens, dtype=np.int64)))
+    lens = dlens[codes]
+    total = int(lens.sum())
+    if total == 0:
+        return lens, b""
+    # ragged gather: out[i] bytes = ddata[doffs[code]:doffs[code]+len]
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(lens) - lens, lens
+    )
+    src = np.repeat(doffs[codes], lens) + within
+    return lens, ddata[src].tobytes()
