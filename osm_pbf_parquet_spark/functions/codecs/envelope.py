@@ -215,7 +215,12 @@ _STR_KERNELS = {
 def encode_array(arr: pa.Array, codec: str | None = None) -> tuple[str, bytes, bytes]:
     """Encode one column chunk. codec=None → auto-select (selector.py)."""
     if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
+        if arr.num_chunks == 0:
+            arr = pa.array([], type=arr.type)
+        elif arr.num_chunks == 1:
+            arr = arr.chunk(0)
+        else:
+            arr = pa.concat_arrays(arr.chunks)
     kind = classify(arr.type)
     if codec is None:
         from .selector import choose_codec

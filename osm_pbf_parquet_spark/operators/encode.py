@@ -1,0 +1,217 @@
+"""Distributed encode: DataFrame → encoded column-chunk rows.
+
+Spark-first re-expression of the reference's scan→demux→batch→sink
+pipeline (reference src/pbf.rs:45-91 task-per-blob fan-out,
+src/sink.rs:100-106 size-driven batch cut, src/sink.rs:145-169
+partitioned layout):
+
+  df.withColumn(pid, pmod(xxhash64(key), N))      # deterministic demux
+    .repartition(N, pid)                          # one shuffle, AQE-safe
+    .mapInArrow(encode_fn, CHUNKS_ARROW_SCHEMA)   # vectorized, JVM↔Arrow
+
+The unit of parallelism is the partition (the reference's blob); the
+unit of output is the (partition_id, chunk_seq) chunk group, cut when
+accumulated Arrow bytes reach `target_chunk_bytes` — the reference's
+`finish_batch` / 500 MB file-rotation twins (src/sink.rs:75-94).
+
+Scale notes (1000-executor / 100 TB): one shuffle total, no driver
+collect, per-task memory bounded by target_chunk_bytes × columns, all
+value work inside numpy/pyarrow kernels. Skewed keys are pre-salted by
+operators/partitioning.py before the repartition.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import pyarrow as pa
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.codecs import decode_array, encode_array
+
+PID_COL = "__pid__"
+DEFAULT_TARGET_CHUNK_BYTES = 32 << 20
+
+CHUNKS_ARROW_SCHEMA = pa.schema(
+    [
+        ("partition_id", pa.int64()),
+        ("chunk_seq", pa.int64()),
+        ("col_idx", pa.int32()),
+        ("column", pa.string()),
+        ("codec", pa.string()),
+        ("params", pa.binary()),
+        ("payload", pa.binary()),
+        ("n_rows", pa.int64()),
+        ("bytes_in", pa.int64()),
+        ("bytes_out", pa.int64()),
+        ("checksum", pa.string()),
+    ]
+)
+
+CHUNKS_SPARK_SCHEMA = T.StructType(
+    [
+        T.StructField("partition_id", T.LongType()),
+        T.StructField("chunk_seq", T.LongType()),
+        T.StructField("col_idx", T.IntegerType()),
+        T.StructField("column", T.StringType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("params", T.BinaryType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("bytes_in", T.LongType()),
+        T.StructField("bytes_out", T.LongType()),
+        T.StructField("checksum", T.StringType()),
+    ]
+)
+
+
+def with_partition_id(
+    df: DataFrame, key_col: str, num_partitions: int, pid_expr=None
+) -> DataFrame:
+    """Deterministic partition id — the engine's demux key (reference
+    src/pbf.rs:175-191 routes per element type; we route per url-hash).
+
+    `pid_expr` overrides with a salted expression from partitioning.py.
+    """
+    if pid_expr is None:
+        pid_expr = F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_partitions))
+    return df.withColumn(PID_COL, pid_expr.cast("long"))
+
+
+def _single_array(col) -> pa.Array:
+    """Collapse a (possibly chunked) column to one contiguous pa.Array."""
+    if isinstance(col, pa.ChunkedArray):
+        if col.num_chunks == 0:
+            return pa.array([], type=col.type)
+        if col.num_chunks == 1:
+            return col.chunk(0)
+        return pa.concat_arrays(col.chunks)
+    return col
+
+
+def _encode_group(
+    pid: int, seq: int, tables: list[pa.Table], codecs: dict[str, str] | None
+) -> pa.RecordBatch:
+    tbl = pa.concat_tables(tables).combine_chunks()
+    n = tbl.num_rows
+    rows = {k: [] for k in CHUNKS_ARROW_SCHEMA.names}
+    for idx, name in enumerate(tbl.column_names):
+        col = _single_array(tbl.column(name))
+        codec_name, params, payload = encode_array(col, (codecs or {}).get(name))
+        rows["partition_id"].append(pid)
+        rows["chunk_seq"].append(seq)
+        rows["col_idx"].append(idx)
+        rows["column"].append(name)
+        rows["codec"].append(codec_name)
+        rows["params"].append(params)
+        rows["payload"].append(payload)
+        rows["n_rows"].append(n)
+        rows["bytes_in"].append(col.nbytes)
+        rows["bytes_out"].append(len(payload) + len(params))
+        rows["checksum"].append(f"{zlib.crc32(payload):08x}")
+    return pa.record_batch(
+        [pa.array(rows[f.name], type=f.type) for f in CHUNKS_ARROW_SCHEMA],
+        schema=CHUNKS_ARROW_SCHEMA,
+    )
+
+
+def make_encode_fn(codecs: dict[str, str] | None, target_chunk_bytes: int):
+    """Arrow-batch iterator transform for mapInArrow.
+
+    A task may receive several partition_ids (hash collisions after
+    repartition); groups are accumulated separately and cut
+    independently at the byte target.
+    """
+
+    def encode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        acc: dict[int, dict] = {}
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            pid_arr = tbl.column(PID_COL)
+            data = tbl.drop_columns([PID_COL])
+            import pyarrow.compute as pc
+
+            for pid_scalar in pc.unique(pid_arr):
+                pid = pid_scalar.as_py()
+                sub = data.filter(pc.equal(pid_arr, pid_scalar))
+                st = acc.setdefault(pid, {"tables": [], "bytes": 0, "seq": 0})
+                st["tables"].append(sub)
+                st["bytes"] += sub.nbytes
+                if st["bytes"] >= target_chunk_bytes:
+                    yield _encode_group(pid, st["seq"], st["tables"], codecs)
+                    st["tables"], st["bytes"] = [], 0
+                    st["seq"] += 1
+        for pid, st in acc.items():
+            if st["tables"]:
+                yield _encode_group(pid, st["seq"], st["tables"], codecs)
+
+    return encode_fn
+
+
+def encode_dataframe(
+    df: DataFrame,
+    key_col: str = "url",
+    num_partitions: int = 32,
+    codecs: dict[str, str] | None = None,
+    target_chunk_bytes: int = DEFAULT_TARGET_CHUNK_BYTES,
+    pid_expr=None,
+) -> DataFrame:
+    """Encode every column of df into chunk rows. One shuffle.
+
+    If df already carries PID_COL (e.g. from partitioning.salted_pids)
+    it is used as-is; otherwise pid = pmod(xxhash64(key_col), N).
+    """
+    if PID_COL in df.columns:
+        with_pid = df
+    else:
+        with_pid = with_partition_id(df, key_col, num_partitions, pid_expr)
+    return with_pid.repartition(num_partitions, PID_COL).mapInArrow(
+        make_encode_fn(codecs, target_chunk_bytes), CHUNKS_SPARK_SCHEMA
+    )
+
+
+def make_decode_fn(field_names: list[str]):
+    """Inverse transform: chunk rows → original-schema record batches."""
+
+    def decode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        groups: dict[tuple[int, int], dict[int, tuple]] = {}
+        for batch in batches:
+            cols = {n: batch.column(n) for n in batch.schema.names}
+            for i in range(batch.num_rows):
+                key = (
+                    cols["partition_id"][i].as_py(),
+                    cols["chunk_seq"][i].as_py(),
+                )
+                groups.setdefault(key, {})[cols["col_idx"][i].as_py()] = (
+                    cols["codec"][i].as_py(),
+                    cols["params"][i].as_py(),
+                    cols["payload"][i].as_py(),
+                )
+        for key in sorted(groups):
+            by_idx = groups[key]
+            arrays = []
+            for idx in sorted(by_idx):
+                codec, params, payload = by_idx[idx]
+                arrays.append(decode_array(codec, params, payload))
+            yield pa.record_batch(arrays, names=field_names)
+
+    return decode_fn
+
+
+def decode_dataframe(
+    chunks_df: DataFrame, schema: T.StructType, num_partitions: int | None = None
+) -> DataFrame:
+    """Decode chunk rows back to the source schema, bit-identically.
+
+    Chunks of one partition_id are co-located by a repartition on
+    partition_id so each task can reassemble complete row groups.
+    """
+    n = num_partitions or chunks_df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"
+    )
+    co_located = chunks_df.repartition(int(n), "partition_id")
+    return co_located.mapInArrow(make_decode_fn([f.name for f in schema]), schema)

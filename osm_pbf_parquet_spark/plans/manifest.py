@@ -1,0 +1,206 @@
+"""Per-partition lineage manifest + idempotent resume.
+
+The reference tracks progress with in-memory per-type file counters
+(reference src/pbf.rs:54-58) and an atomic element counter
+(src/util.rs:17-18) — neither survives a crash. This module is the
+mandated upgrade (BASELINE.json north_rule): an append-only parquet
+manifest, one row per (snapshot_id, partition_id), committed atomically
+via write-to-temp + os.rename after the partition's chunks are durable.
+
+Resume = left-anti join of the deterministic partition ids against the
+committed manifest; chunk rows carry run_id so orphan chunks from a
+crashed run (written but never committed) are filtered out at read
+time by the manifest semi-join — the same visibility rule an Iceberg
+snapshot commit provides.
+
+Manifest writes are tiny (one row per partition) so they happen on the
+driver; at 100 TB with ~10⁵ partitions this is still < 10 MB.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.encode import (
+    PID_COL,
+    decode_dataframe,
+    encode_dataframe,
+    with_partition_id,
+)
+
+MANIFEST_ARROW_SCHEMA = pa.schema(
+    [
+        ("snapshot_id", pa.string()),
+        ("partition_id", pa.int64()),
+        ("run_id", pa.string()),
+        ("n_rows", pa.int64()),
+        ("n_chunks", pa.int64()),
+        ("bytes_in", pa.int64()),
+        ("bytes_out", pa.int64()),
+        ("codecs", pa.string()),  # json: column → codec of last chunk
+        ("checksum", pa.string()),
+        ("committed_at", pa.float64()),
+        ("status", pa.string()),
+    ]
+)
+
+
+def _manifest_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "manifest")
+
+
+def chunks_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "chunks")
+
+
+def commit_manifest(rows: list[dict], out_dir: str, run_id: str) -> str:
+    """Atomic append: one parquet part per run, temp + rename."""
+    mdir = _manifest_dir(out_dir)
+    os.makedirs(mdir, exist_ok=True)
+    final = os.path.join(mdir, f"part-{run_id}.parquet")
+    tmp = os.path.join(mdir, f".tmp-{run_id}-{os.getpid()}")
+    tbl = pa.Table.from_pylist(rows, schema=MANIFEST_ARROW_SCHEMA)
+    pq.write_table(tbl, tmp)
+    os.rename(tmp, final)
+    return final
+
+
+def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """Committed manifest, deduped to the first commit per partition."""
+    mdir = _manifest_dir(out_dir)
+    if not os.path.isdir(mdir) or not any(
+        f.endswith(".parquet") for f in os.listdir(mdir)
+    ):
+        return None
+    raw = spark.read.parquet(mdir)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("snapshot_id", "partition_id").orderBy("committed_at")
+    return (
+        raw.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+
+
+def encode_job(
+    spark: SparkSession,
+    df: DataFrame,
+    out_dir: str,
+    key_col: str = "url",
+    num_partitions: int = 32,
+    snapshot_id: str = "snap-0",
+    codecs: dict[str, str] | None = None,
+    target_chunk_bytes: int = 32 << 20,
+    pid_expr=None,
+    fail_after_partitions: int | None = None,
+) -> dict:
+    """Resumable encode: pending partitions only, idempotent commit.
+
+    fail_after_partitions is a test hook simulating a mid-job crash:
+    only that many pending partitions are encoded and committed.
+    """
+    run_id = uuid.uuid4().hex[:12]
+    with_pid = with_partition_id(df, key_col, num_partitions, pid_expr)
+
+    manifest = read_manifest(spark, out_dir)
+    if manifest is not None:
+        done = manifest.filter(
+            (F.col("snapshot_id") == snapshot_id) & (F.col("status") == "done")
+        ).select(F.col("partition_id").alias(PID_COL))
+        with_pid = with_pid.join(F.broadcast(done), PID_COL, "left_anti")
+
+    if fail_after_partitions is not None:
+        pending = [
+            r[0]
+            for r in with_pid.select(PID_COL).distinct().collect()
+        ]
+        keep = sorted(pending)[:fail_after_partitions]
+        with_pid = with_pid.filter(F.col(PID_COL).isin(keep))
+
+    chunks = encode_dataframe(
+        with_pid.drop(PID_COL),
+        key_col=key_col,
+        num_partitions=num_partitions,
+        codecs=codecs,
+        target_chunk_bytes=target_chunk_bytes,
+        pid_expr=pid_expr,
+    ).withColumn("run_id", F.lit(run_id))
+
+    cdir = chunks_dir(out_dir)
+    chunks.write.mode("append").parquet(cdir)
+
+    # manifest rows derived from the durable chunks of THIS run
+    written = spark.read.parquet(cdir).filter(F.col("run_id") == run_id)
+    agg = (
+        written.groupBy("partition_id")
+        .agg(
+            F.sum(F.when(F.col("col_idx") == 0, F.col("n_rows")).otherwise(0)).alias("n_rows"),
+            F.countDistinct("chunk_seq").alias("n_chunks"),
+            F.sum("bytes_in").alias("bytes_in"),
+            F.sum("bytes_out").alias("bytes_out"),
+            F.map_from_entries(
+                F.array_distinct(F.collect_list(F.struct("column", "codec")))
+            ).alias("codec_map"),
+            F.sha2(
+                F.concat_ws(
+                    "|", F.sort_array(F.collect_list(F.col("checksum")))
+                ),
+                256,
+            ).alias("checksum"),
+        )
+        .collect()
+    )
+    now = time.time()
+    rows = [
+        {
+            "snapshot_id": snapshot_id,
+            "partition_id": r["partition_id"],
+            "run_id": run_id,
+            "n_rows": r["n_rows"],
+            "n_chunks": r["n_chunks"],
+            "bytes_in": r["bytes_in"],
+            "bytes_out": r["bytes_out"],
+            "codecs": json.dumps(dict(r["codec_map"]), sort_keys=True),
+            "checksum": r["checksum"],
+            "committed_at": now,
+            "status": "done",
+        }
+        for r in agg
+    ]
+    if rows:
+        commit_manifest(rows, out_dir, run_id)
+    return {
+        "run_id": run_id,
+        "partitions": len(rows),
+        "rows": int(sum(r["n_rows"] for r in rows)),
+        "bytes_in": int(sum(r["bytes_in"] for r in rows)),
+        "bytes_out": int(sum(r["bytes_out"] for r in rows)),
+    }
+
+
+def read_encoded(spark: SparkSession, out_dir: str, schema) -> DataFrame:
+    """Decode the committed view: chunks ⋉ manifest on (pid, run_id).
+
+    Orphan chunks from crashed runs are invisible — only manifest-
+    committed (partition_id, run_id) pairs participate.
+    """
+    manifest = read_manifest(spark, out_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no manifest under {out_dir}")
+    committed = manifest.filter(F.col("status") == "done").select(
+        "partition_id", "run_id"
+    )
+    chunks = spark.read.parquet(chunks_dir(out_dir)).join(
+        F.broadcast(committed), ["partition_id", "run_id"], "left_semi"
+    )
+    return decode_dataframe(chunks, schema)

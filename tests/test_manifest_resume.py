@@ -1,0 +1,77 @@
+"""Lineage manifest + idempotent resume (north_rule checkpoint/restart).
+
+Simulates the crash the reference cannot survive (its progress lives in
+in-memory counters, reference src/pbf.rs:54-58): encode k of N
+partitions, "crash", re-run, and require (a) no duplicate work, (b) a
+final decoded table bit-identical to the source, (c) orphan chunks from
+uncommitted runs invisible to readers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from osm_pbf_parquet_spark.plans.manifest import (
+    encode_job,
+    read_encoded,
+    read_manifest,
+)
+
+N_PARTS = 8
+
+
+def test_resume_after_partial_run(spark, pages_path, tmp_path):
+    out = str(tmp_path / "enc")
+    src = spark.read.parquet(pages_path)
+
+    r1 = encode_job(
+        spark, src, out, key_col="url", num_partitions=N_PARTS,
+        fail_after_partitions=3,
+    )
+    assert r1["partitions"] == 3
+    m1 = read_manifest(spark, out)
+    assert m1.count() == 3
+
+    r2 = encode_job(spark, src, out, key_col="url", num_partitions=N_PARTS)
+    assert r2["partitions"] == N_PARTS - 3, "resume must not redo done partitions"
+
+    m2 = read_manifest(spark, out)
+    assert m2.count() == N_PARTS
+    assert (
+        m2.groupBy("partition_id").count().filter("count > 1").count() == 0
+    ), "duplicate manifest entries"
+
+    dec = read_encoded(spark, out, src.schema)
+    assert dec.count() == src.count()
+    joined = src.alias("a").join(dec.alias("b"), "url")
+    cols = [c for c in src.columns if c != "url"]
+    ok = joined.filter(
+        F.expr(" AND ".join(f"a.{c} <=> b.{c}" for c in cols))
+    ).count()
+    assert ok == src.count()
+
+
+def test_rerun_is_noop(spark, pages_path, tmp_path):
+    out = str(tmp_path / "enc2")
+    src = spark.read.parquet(pages_path)
+    r1 = encode_job(spark, src, out, key_col="url", num_partitions=4)
+    assert r1["partitions"] == 4
+    r2 = encode_job(spark, src, out, key_col="url", num_partitions=4)
+    assert r2["partitions"] == 0, "full re-run must be a no-op"
+    assert read_manifest(spark, out).count() == 4
+
+
+def test_manifest_records_codecs_and_sizes(spark, pages_path, tmp_path):
+    import json
+
+    out = str(tmp_path / "enc3")
+    src = spark.read.parquet(pages_path)
+    encode_job(spark, src, out, key_col="url", num_partitions=4)
+    m = read_manifest(spark, out).collect()
+    for row in m:
+        codecs = json.loads(row["codecs"])
+        assert set(codecs) == set(src.columns)
+        assert row["bytes_in"] > 0 and row["bytes_out"] > 0
+        assert row["n_rows"] > 0 and row["status"] == "done"
+    total = sum(r["n_rows"] for r in m)
+    assert total == src.count()

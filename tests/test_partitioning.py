@@ -1,0 +1,68 @@
+"""Skew handling: the pathological host (~20% of rows in the fixture)
+must be split across partitions; salted pids must stay deterministic
+(resume depends on it) and balanced."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from osm_pbf_parquet_spark.operators.encode import (
+    PID_COL,
+    decode_dataframe,
+    encode_dataframe,
+)
+from osm_pbf_parquet_spark.operators.partitioning import (
+    host_col,
+    partition_balance,
+    salted_pids,
+)
+from osm_pbf_parquet_spark.sources.pages import HEAVY_HOST
+
+N = 16
+
+
+def test_unsalted_host_partitioning_is_skewed(spark, pages_path):
+    df = spark.read.parquet(pages_path)
+    naive = df.withColumn(
+        PID_COL, F.pmod(F.xxhash64(host_col()), F.lit(N)).cast("long")
+    )
+    assert partition_balance(naive)["skew"] > 2.0, "fixture should be skewed"
+
+
+def test_salted_pids_balance(spark, pages_path):
+    df = spark.read.parquet(pages_path)
+    salted = salted_pids(df, num_partitions=N)
+    bal = partition_balance(salted)
+    assert bal["n_partitions"] == N
+    assert bal["skew"] < 1.8, bal
+
+
+def test_heavy_host_is_split(spark, pages_path):
+    df = spark.read.parquet(pages_path)
+    salted = salted_pids(df, num_partitions=N)
+    heavy_parts = (
+        salted.filter(host_col() == HEAVY_HOST).select(PID_COL).distinct().count()
+    )
+    assert heavy_parts >= 3, f"heavy host landed in only {heavy_parts} partitions"
+
+
+def test_salted_pids_deterministic(spark, pages_path):
+    df = spark.read.parquet(pages_path)
+    a = salted_pids(df, num_partitions=N).select("url", PID_COL)
+    b = salted_pids(df, num_partitions=N).select("url", PID_COL)
+    diff = a.alias("a").join(b.alias("b"), "url").filter(
+        f"a.{PID_COL} != b.{PID_COL}"
+    ).count()
+    assert diff == 0
+
+
+def test_encode_with_salted_pids_roundtrip(spark, pages_path):
+    df = spark.read.parquet(pages_path)
+    salted = salted_pids(df, num_partitions=N)
+    chunks = encode_dataframe(salted, num_partitions=N)
+    dec = decode_dataframe(chunks, df.schema)
+    assert dec.count() == df.count()
+    joined = df.alias("a").join(dec.alias("b"), "url")
+    cols = [c for c in df.columns if c != "url"]
+    ok = joined.filter(F.expr(" AND ".join(f"a.{c} <=> b.{c}" for c in cols))).count()
+    assert ok == df.count()

@@ -1,0 +1,63 @@
+"""spark-submit entry script (north_rule launch mode).
+
+Usage:
+    spark-submit --master local[N] --py-files engine.zip \
+        tools/submit_encode_job.py <input_parquet> <out_dir> [key_col] [num_partitions]
+
+Encodes the input table into chunk+manifest output, decodes it back,
+verifies bit-identity, and prints one JSON line of metrics.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def main() -> int:
+    inp, out = sys.argv[1], sys.argv[2]
+    key_col = sys.argv[3] if len(sys.argv) > 3 else "url"
+    nparts = int(sys.argv[4]) if len(sys.argv) > 4 else 16
+
+    spark = SparkSession.builder.appName("encode-job").getOrCreate()
+    from osm_pbf_parquet_spark.plans.manifest import encode_job, read_encoded
+
+    src = spark.read.parquet(inp)
+    t0 = time.time()
+    stats = encode_job(
+        spark, src, out, key_col=key_col, num_partitions=nparts
+    )
+    encode_s = time.time() - t0
+
+    dec = read_encoded(spark, out, src.schema)
+    cols = [c for c in src.columns if c != key_col]
+    pred = " AND ".join(f"a.{c} <=> b.{c}" for c in cols)
+    n_src = src.count()
+    ok = (
+        src.alias("a").join(dec.alias("b"), key_col).filter(F.expr(pred)).count()
+    )
+    print(
+        json.dumps(
+            {
+                "rows": stats["rows"],
+                "partitions": stats["partitions"],
+                "bytes_in": stats["bytes_in"],
+                "bytes_out": stats["bytes_out"],
+                "ratio": round(stats["bytes_out"] / max(1, stats["bytes_in"]), 4),
+                "encode_sec": round(encode_s, 2),
+                "rows_per_sec": round(stats["rows"] / encode_s, 1),
+                "verified_identical": ok == n_src,
+                "verified_rows": ok,
+            }
+        )
+    )
+    spark.stop()
+    return 0 if ok == n_src else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
