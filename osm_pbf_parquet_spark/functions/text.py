@@ -1,0 +1,96 @@
+"""Text-analysis column functions for training-data pipelines.
+
+All hot-path logic is built-in pyspark.sql.functions (JVM-side,
+whole-stage-codegen) — no Python UDFs. Every function here has an
+exact ANSI-SQL twin (used as the DuckDB oracle in __spark_entry__),
+and integer outputs are preferred over floats so value-hash
+comparisons are bitwise-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# shared with the SQL oracles — keep both sides in lockstep
+TOKEN_RE = r"\S+"
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count; empty/null-safe (empty → 0)."""
+    return F.size(F.regexp_extract_all(F.coalesce(col, F.lit("")), F.lit(TOKEN_RE), F.lit(0)))
+
+
+def _word_hits(col: Column, words: list[str]) -> Column:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(F.coalesce(col, F.lit(""))), F.lit(pat), F.lit(0)))
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Stopword-hit counts per candidate language (n-gram-free heuristic)."""
+    return {lang: _word_hits(col, ws) for lang, ws in STOPWORDS.items()}
+
+
+def lang_predict(col: Column) -> Column:
+    s = lang_scores(col)
+    return (
+        F.when((s["en"] >= s["de"]) & (s["en"] >= s["fr"]), F.lit("en"))
+        .when(s["de"] >= s["fr"], F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+
+
+def char_class_counts(col: Column) -> dict[str, Column]:
+    """Integer quality signals: chars, punct, digits, uppercase."""
+    c = F.coalesce(col, F.lit(""))
+    return {
+        "n_chars": F.length(c),
+        "n_punct": F.size(F.regexp_extract_all(c, F.lit(r"[.,;:!?]"), F.lit(0))),
+        "n_digit": F.size(F.regexp_extract_all(c, F.lit(r"[0-9]"), F.lit(0))),
+        "n_upper": F.size(F.regexp_extract_all(c, F.lit(r"[A-Z]"), F.lit(0))),
+        "n_stopword": _word_hits(c, STOPWORDS["en"]),
+    }
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint (md5 hex of the raw bytes)."""
+    return F.md5(F.encode(F.coalesce(col, F.lit("")), "UTF-8"))
+
+
+# ---- SQL twins (DuckDB oracle fragments) ----------------------------------
+
+def sql_token_count(col: str) -> str:
+    return f"len(regexp_extract_all(coalesce({col}, ''), '{TOKEN_RE}'))"
+
+
+def sql_word_hits(col: str, words: list[str]) -> str:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return f"len(regexp_extract_all(lower(coalesce({col}, '')), '{pat}'))"
+
+
+def sql_lang_predict(col: str) -> str:
+    en, de, fr = (sql_word_hits(col, STOPWORDS[g]) for g in ("en", "de", "fr"))
+    return (
+        f"CASE WHEN {en} >= {de} AND {en} >= {fr} THEN 'en' "
+        f"WHEN {de} >= {fr} THEN 'de' ELSE 'fr' END"
+    )
+
+
+def sql_char_class_counts(col: str) -> dict[str, str]:
+    c = f"coalesce({col}, '')"
+    return {
+        "n_chars": f"length({c})",
+        "n_punct": f"len(regexp_extract_all({c}, '[.,;:!?]'))",
+        "n_digit": f"len(regexp_extract_all({c}, '[0-9]'))",
+        "n_upper": f"len(regexp_extract_all({c}, '[A-Z]'))",
+        "n_stopword": sql_word_hits(col, STOPWORDS["en"]),
+    }
+
+
+def sql_fingerprint(col: str) -> str:
+    return f"md5(coalesce({col}, ''))"

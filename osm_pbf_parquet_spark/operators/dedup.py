@@ -1,0 +1,288 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, all pure DataFrame plans (one explode + one or two
+shuffles each — no Python in the hot path, no driver-side loops):
+
+  exact           hash-groupBy on the full text
+  minhash_lsh     char-shingles → k minhashes → banded bucket join
+  simhash         token-hash bit-majority → 64-bit signature, banded
+  ngram_jaccard   exact Jaccard on distinct char n-grams (verifiable
+                  in plain SQL — used as a DuckDB-oracle query)
+  embedding       cosine near-dup: brute-force pairs (baseline) and a
+                  hyperplane-LSH bucketed variant (the scale path)
+
+Scale notes: minhash/simhash/LSH costs are linear in corpus size with
+bounded per-band bucket joins — the self-join never materializes the
+n² pair space; brute-force variants exist as small-scale oracles only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MERSENNE31 = (1 << 31) - 1
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One representative (min id) per distinct text."""
+    return df.groupBy(text_col).agg(F.min(id_col).alias(id_col)).select(id_col)
+
+
+def _char_shingles(text_col: str, k: int) -> F.Column:
+    """Distinct character k-grams, SQL-twin-compatible."""
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 0)),"
+            f" i -> substring({text_col}, i, {k}))"
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_k: int = 4,
+) -> DataFrame:
+    """doc → array of minhashes. h_j(x) = (a_j·x + b_j) mod 2³¹-1 over
+    xxhash64 shingle hashes folded into the Mersenne-31 domain (keeps
+    a_j·x inside int64)."""
+    exploded = (
+        df.select(id_col, F.explode(_char_shingles(text_col, shingle_k)).alias("sh"))
+        .withColumn("h", F.pmod(F.xxhash64("sh"), F.lit(MERSENNE31)))
+    )
+    aggs = [
+        F.min(
+            F.pmod(F.col("h") * F.lit(2 * j + 1) + F.lit((j * 40503) % MERSENNE31),
+                   F.lit(MERSENNE31))
+        ).alias(f"mh{j}")
+        for j in range(num_hashes)
+    ]
+    sig = exploded.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        id_col, F.array(*[f"mh{j}" for j in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 4,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded LSH (doc_a < doc_b)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig")[i].cast("string")
+                                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                            ],
+                        )
+                    ).alias("bh"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.bh")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash: per-token xxhash64, bit-majority vote."""
+    toks = df.select(
+        id_col,
+        F.explode(
+            F.regexp_extract_all(
+                F.coalesce(F.col(text_col), F.lit("")), F.lit(r"\S+"), F.lit(0)
+            )
+        ).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    sig = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return agg.select(id_col, sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming, banded on
+    16-bit slices (a pair within distance d < bands must agree on ≥1
+    band — pigeonhole)."""
+    sig = simhash_signatures(df, text_col, id_col)
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = sig.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftrightunsigned(F.col("simhash"), b * width)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("bh"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select(id_col, "simhash", "bk.band", "bk.bh")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return cand.filter(hamming <= max_hamming).select("doc_a", "doc_b")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 4,
+    min_common: int = 2,
+) -> DataFrame:
+    """EXACT Jaccard stats on distinct char n-grams (integer outputs:
+    common, n_a, n_b — float-free so the DuckDB oracle hashes equal).
+
+    Pairs sharing < min_common shingles are pruned inside the join —
+    at scale add a frequency cut on ubiquitous shingles first.
+    """
+    sh = df.select(
+        id_col, F.explode(_char_shingles(text_col, shingle_k)).alias("sh")
+    ).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("nsh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count("*").alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    return (
+        common.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("nsh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("nsh", "n_b"), "doc_b")
+        .select("doc_a", "doc_b", "common", "n_a", "n_b")
+    )
+
+
+def _hyperplanes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).round(6).tolist()
+
+
+def embedding_lsh_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    min_cos: float = 0.8,
+    dim: int | None = None,
+) -> DataFrame:
+    """Cosine near-dup candidates via random-hyperplane LSH buckets,
+    then exact cosine inside each bucket (the 100 TB-scale path: the
+    cross join is confined to same-signature buckets)."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    planes = _hyperplanes(n_planes, dim)
+    sig = None
+    for i, p in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in p])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), arr, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(dot >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    bucketed = df.select(id_col, vec_col).withColumn("bucket", sig)
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"),
+                   lambda x, y: x.cast("double") * y),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.col(f"{side}.{vec_col}"),
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v,
+        )
+    )
+    cos = dot / (norm("a") * norm("b"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= min_cos)
+        .select("vec_a", "vec_b")
+    )

@@ -1,0 +1,176 @@
+"""Dedup / similarity / text / multimodal operators: planted-duplicate
+recall and determinism checks (the training-data operator family)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog and runs away fast",
+        "a completely different document about spark columnar encoding engines",
+        "numerical weather prediction models consume petabytes of sensor data",
+        "web crawl corpora contain many near duplicate pages from mirrors",
+    ]
+    rows = []
+    doc_id = 0
+    for i, t in enumerate(base):
+        for j in range(5):
+            if j == 0:
+                txt = t
+            elif j == 1:
+                txt = t  # exact duplicate
+            else:
+                txt = t.replace("the", "teh", 1) + f" variant {j}"
+            rows.append((doc_id, txt))
+            doc_id += 1
+    for k in range(30):  # unrelated filler
+        rows.append((doc_id, f"unique filler document number {k} with payload {k*7919}"))
+        doc_id += 1
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_dedup_exact_collapses_exact_dups(spark, docs_with_dups):
+    from osm_pbf_parquet_spark.operators.dedup import dedup_exact
+
+    n_docs = docs_with_dups.count()
+    n_distinct = docs_with_dups.select("text").distinct().count()
+    kept = dedup_exact(docs_with_dups).count()
+    assert kept == n_distinct < n_docs
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark, docs_with_dups):
+    from osm_pbf_parquet_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(docs_with_dups).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    # exact duplicates (doc 0/1 within each group of 5) must be caught
+    for g in range(4):
+        a, b = g * 5, g * 5 + 1
+        assert (a, b) in found, f"exact dup pair ({a},{b}) missed"
+    assert all(a < b for a, b in found)
+
+
+def test_simhash_finds_exact_dups(spark, docs_with_dups):
+    from osm_pbf_parquet_spark.operators.dedup import simhash_pairs
+
+    found = {(r["doc_a"], r["doc_b"]) for r in simhash_pairs(docs_with_dups).collect()}
+    for g in range(4):
+        assert (g * 5, g * 5 + 1) in found
+
+
+def test_ngram_jaccard_exact_on_planted(spark, docs_with_dups):
+    from osm_pbf_parquet_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = ngram_jaccard_pairs(docs_with_dups, min_common=2).collect()
+    by_pair = {(r["doc_a"], r["doc_b"]): r for r in rows}
+    r = by_pair[(0, 1)]  # exact dup: jaccard 1 → common == n_a == n_b
+    assert r["common"] == r["n_a"] == r["n_b"]
+
+
+def test_embedding_lsh_finds_planted_neighbors(spark):
+    from osm_pbf_parquet_spark.operators.dedup import embedding_lsh_pairs
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((20, 16)).astype(np.float32)
+    rows = []
+    vid = 0
+    for v in base:
+        rows.append((vid, [float(x) for x in v])); vid += 1
+        near = v + rng.standard_normal(16).astype(np.float32) * 0.01
+        rows.append((vid, [float(x) for x in near])); vid += 1
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    found = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_lsh_pairs(df, min_cos=0.99, n_planes=4, dim=16).collect()
+    }
+    hits = sum((2 * i, 2 * i + 1) in found for i in range(20))
+    assert hits >= 12, f"LSH recall too low: {hits}/20"
+
+
+def test_cosine_topk_matches_numpy(spark):
+    from osm_pbf_parquet_spark.functions.similarity import cosine_topk
+
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((100, 8)).astype(np.float32)
+    q = rng.standard_normal(8)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        ["vec_id", "embedding"],
+    )
+    got = [r["vec_id"] for r in cosine_topk(df, list(q), k=5).collect()]
+    cos = (vecs @ q) / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    expected = list(np.argsort(-np.round(cos, 4))[:5])
+    assert got == [int(x) for x in expected]
+
+
+def test_text_functions_basics(spark):
+    from osm_pbf_parquet_spark.functions.text import (
+        char_class_counts,
+        fingerprint,
+        lang_predict,
+        token_count,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog sat of to in"),
+            (1, "der hund und die katze ist das"),
+            (2, "le chat et la vache les des"),
+            (3, ""),
+            (4, None),
+        ],
+        ["doc_id", "text"],
+    )
+    out = df.select(
+        "doc_id",
+        token_count(F.col("text")).alias("nt"),
+        lang_predict(F.col("text")).alias("lang"),
+        fingerprint(F.col("text")).alias("fp"),
+        char_class_counts(F.col("text"))["n_chars"].alias("nc"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[0]["lang"] == "en" and by_id[1]["lang"] == "de" and by_id[2]["lang"] == "fr"
+    assert by_id[3]["nt"] == 0 and by_id[4]["nt"] == 0
+    assert by_id[0]["nt"] == 9
+    import hashlib
+
+    assert by_id[3]["fp"] == hashlib.md5(b"").hexdigest()
+    assert by_id[4]["fp"] == hashlib.md5(b"").hexdigest()
+
+
+def test_multimodal_plumbing(spark):
+    from osm_pbf_parquet_spark.operators.multimodal import (
+        attach_binary,
+        extract_media_meta,
+        fake_decode_meta,
+        media_meta_sql_view,
+    )
+
+    df = spark.createDataFrame([(0, "hello"), (1, ""), (2, None)], ["doc_id", "text"])
+    binary = attach_binary(df)
+    meta = extract_media_meta(binary).collect()
+    assert len(meta) == 3
+    by_id = {r["doc_id"]: r for r in meta}
+    import hashlib
+
+    assert by_id[0]["sha256"] == hashlib.sha256(b"hello").hexdigest()
+    assert by_id[0]["n_bytes"] == 5 and by_id[1]["n_bytes"] == 0
+    w, h, c = fake_decode_meta(b"hello")
+    assert (by_id[0]["width"], by_id[0]["height"], by_id[0]["channels"]) == (w, h, c)
+    sql_view = {r["doc_id"]: r for r in media_meta_sql_view(binary).collect()}
+    assert sql_view[0]["sha256"] == by_id[0]["sha256"]
+
+
+def test_decode_image_is_stubbed():
+    from osm_pbf_parquet_spark.operators.multimodal import decode_image
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
