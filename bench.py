@@ -1,0 +1,178 @@
+"""Headline benchmark (driver-run per round → BENCH_r{N}.json).
+
+Runs the engine's flagship operations at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value" (total sec), "unit", "queries" (per-query
+sec), "sf", ...throughput extras}.
+
+Encode throughput is measured on the three biggest tables; lineitem is
+union-amplified ×4 (same data, deterministic) so the encode stage
+dominates fixed Spark overhead and the number reflects kernel + shuffle
+cost rather than JVM startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("osm-pbf-parquet-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(2 * cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    amplify = int(os.environ.get("SPARK_GRAFT_AMPLIFY", "4"))
+    spark = build_spark(cpus)
+
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry_mod
+    from osm_pbf_parquet_spark.operators.dedup import minhash_lsh_pairs
+    from osm_pbf_parquet_spark.operators.encode import (
+        decode_dataframe,
+        encode_dataframe,
+    )
+    from osm_pbf_parquet_spark.functions.similarity import cosine_topk
+    from osm_pbf_parquet_spark.functions.text import (
+        char_class_counts,
+        fingerprint,
+        lang_predict,
+        token_count,
+    )
+
+    entry_mod._ensure_workers_see_package(spark)
+
+    def load(name):
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+    li = load("lineitem")
+    for _ in range(max(0, amplify - 1)):
+        li = li.union(load("lineitem"))
+    li = li.cache()
+    li_rows = li.count()  # warm cache outside timed section
+
+    events = load("events").cache()
+    ev_rows = events.count()
+    docs = load("documents").cache()
+    doc_rows = docs.count()
+
+    # warm-up: spawn all python workers + import kernels once so timings
+    # measure steady-state throughput, not one-time process startup
+    warm = encode_dataframe(docs, key_col="doc_id", num_partitions=2 * cpus)
+    decode_dataframe(warm, docs.schema).agg(F.count("*")).collect()
+    docs.select(
+        token_count(F.col("text")), lang_predict(F.col("text"))
+    ).agg(F.count("*")).collect()
+
+    timings: dict[str, float] = {}
+    extras: dict = {}
+
+    def timed(name, fn):
+        # steady-state timing (plan compile + JIT warmed), matching the
+        # reference's criterion methodology (benches/benchmark.rs:26-30)
+        fn()
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # --- encode throughput (the headline metric) ---
+    def enc(df, key, parts):
+        chunks = encode_dataframe(df, key_col=key, num_partitions=parts)
+        row = chunks.agg(
+            F.sum("bytes_in").alias("bi"), F.sum("bytes_out").alias("bo")
+        ).collect()[0]
+        return row["bi"], row["bo"]
+
+    bi, bo = timed("encode_lineitem", lambda: enc(li, "l_orderkey", 2 * cpus))
+    extras["encode_rows_per_sec"] = round((li_rows) / timings["encode_lineitem"], 1)
+    extras["encode_mb_in_per_sec"] = round(bi / timings["encode_lineitem"] / 1e6, 2)
+    extras["encode_ratio_lineitem"] = round(bo / bi, 4)
+
+    bi2, bo2 = timed("encode_events", lambda: enc(events, "event_id", 2 * cpus))
+    extras["encode_ratio_events"] = round(bo2 / bi2, 4)
+
+    # --- round-trip (encode + decode + checksum agg) ---
+    def rt():
+        chunks = encode_dataframe(docs, key_col="doc_id", num_partitions=cpus)
+        dec = decode_dataframe(chunks, docs.schema)
+        return dec.agg(F.count("*"), F.sum(F.length("text"))).collect()
+
+    timed("roundtrip_documents", rt)
+
+    # --- training-data ops ---
+    timed("dedup_minhash", lambda: minhash_lsh_pairs(docs).count())
+    timed(
+        "similarity_topk",
+        lambda: cosine_topk(load("embeddings"), entry_mod.QUERY_VEC, 10).collect(),
+    )
+
+    def text_pipeline():
+        cc = char_class_counts(F.col("text"))
+        return (
+            docs.repartition(cpus)
+            .select(
+                token_count(F.col("text")).alias("nt"),
+                lang_predict(F.col("text")).alias("lang"),
+                fingerprint(F.col("text")).alias("fp"),
+                *[cc[k].alias(k) for k in cc],
+            )
+            # approx distincts: single-pass partial agg, no Expand blow-up
+            .agg(F.sum("nt"), F.approx_count_distinct("lang"),
+                 F.approx_count_distinct("fp"), F.sum("n_chars"))
+            .collect()
+        )
+
+    timed("text_pipeline", text_pipeline)
+
+    def q1():
+        return (
+            li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity"), F.sum("l_extendedprice"), F.count("*"))
+            .collect()
+        )
+
+    timed("tpch_q1", q1)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir,
+                "cpus": cpus,
+                "rows": {"lineitem_amplified": li_rows, "events": ev_rows,
+                         "documents": doc_rows},
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

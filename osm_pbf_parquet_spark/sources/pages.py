@@ -108,26 +108,46 @@ def generate_pages(n_rows: int, seed: int = SEED) -> pa.Table:
     tdata2 = b"".join(p.tobytes() for p in pieces)
     text = _string_array(tlens2, tdata2, nulls=null_t)
 
-    # html: tag-soup bytes embedding text + non-UTF8 noise; some empty
-    hlens_extra = rng.integers(16, 256, n_rows)
+    # html: tag-soup bytes embedding text + non-UTF8 noise; some empty.
+    # assembled fully vectorized (ragged scatter/gather, no per-row loop)
+    hlens_extra = rng.integers(16, 256, n_rows).astype(np.int64)
     noise = rng.integers(0, 256, int(hlens_extra.sum()), dtype=np.uint8)
-    noffs = np.concatenate(([0], np.cumsum(hlens_extra)))
-    toffs = np.concatenate(([0], np.cumsum(tlens2)))
-    tdat = np.frombuffer(tdata2, dtype=np.uint8)
-    html_pieces = []
     empty_h = rng.random(n_rows) < 0.01
-    for i in range(n_rows):
-        if empty_h[i]:
-            html_pieces.append(b"")
-            continue
-        html_pieces.append(
-            b"<html><body>" + tdat[toffs[i]:toffs[i + 1]].tobytes()
-            + b"\xff\xfe" + noise[noffs[i]:noffs[i + 1]].tobytes() + b"</body></html>"
+    pre, mid, suf = b"<html><body>", b"\xff\xfe", b"</body></html>"
+    tl = tlens2.astype(np.int64)
+    nl = hlens_extra
+    hlens = np.where(empty_h, 0, len(pre) + tl + len(mid) + nl + len(suf))
+    tl = np.where(empty_h, 0, tl)
+    nl = np.where(empty_h, 0, nl)
+    row_off = np.concatenate(([0], np.cumsum(hlens)))[:-1]
+    out = np.empty(int(hlens.sum()), dtype=np.uint8)
+    keep = ~empty_h
+
+    def _scatter_const(dst_off: np.ndarray, blob: bytes) -> None:
+        for k, ch in enumerate(blob):
+            out[dst_off + k] = ch
+
+    def _scatter_ragged(dst_off, seg_lens, src, src_off):
+        total = int(seg_lens.sum())
+        if total == 0:
+            return
+        within = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(seg_lens) - seg_lens, seg_lens
         )
-    hlens = np.array([len(p) for p in html_pieces], dtype=np.int64)
-    html = _string_array(hlens, b"".join(html_pieces), typ=pa.large_binary()).cast(
-        pa.binary()
-    )
+        out[np.repeat(dst_off, seg_lens) + within] = src[
+            np.repeat(src_off, seg_lens) + within
+        ]
+
+    o = row_off[keep]
+    _scatter_const(o, pre)
+    tdat_np = np.frombuffer(tdata2, dtype=np.uint8)
+    toffs = np.concatenate(([0], np.cumsum(tlens2, dtype=np.int64)))
+    _scatter_ragged(o + len(pre), tl[keep], tdat_np, toffs[:-1][keep])
+    _scatter_const(o + len(pre) + tl[keep], mid)
+    noffs = np.concatenate(([0], np.cumsum(hlens_extra)))
+    _scatter_ragged(o + len(pre) + tl[keep] + len(mid), nl[keep], noise, noffs[:-1][keep])
+    _scatter_const(o + len(pre) + tl[keep] + len(mid) + nl[keep], suf)
+    html = _string_array(hlens, out.tobytes(), typ=pa.large_binary()).cast(pa.binary())
 
     # lang: Zipf over 30 codes, some nulls
     lang_weights = np.arange(1, N_LANGS + 1, dtype=np.float64) ** -1.5

@@ -1,0 +1,34 @@
+"""Structured Streaming encode: micro-batches land in the same
+manifest-governed chunk store as the batch path, idempotently."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_stream_encode_available_now(spark, pages_path, tmp_path):
+    from osm_pbf_parquet_spark.plans.manifest import read_encoded, read_manifest
+    from osm_pbf_parquet_spark.streaming import encode_stream
+
+    src_static = spark.read.parquet(pages_path)
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = (
+        spark.readStream.schema(src_static.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(pages_path).rsplit("/", 1)[0])
+    )
+    q = encode_stream(stream, out, ckpt, key_col="url", num_partitions=4)
+    q.awaitTermination(120)
+
+    m = read_manifest(spark, out)
+    assert m is not None and m.count() > 0
+    assert m.filter(~F.col("snapshot_id").startswith("epoch-")).count() == 0
+
+    dec = read_encoded(spark, out, src_static.schema)
+    assert dec.count() == src_static.count()
+    joined = src_static.alias("a").join(dec.alias("b"), "url")
+    cols = [c for c in src_static.columns if c != "url"]
+    ok = joined.filter(F.expr(" AND ".join(f"a.{c} <=> b.{c}" for c in cols))).count()
+    assert ok == src_static.count()
