@@ -212,8 +212,14 @@ _STR_KERNELS = {
 }
 
 
-def encode_array(arr: pa.Array, codec: str | None = None) -> tuple[str, bytes, bytes]:
-    """Encode one column chunk. codec=None → auto-select (selector.py)."""
+def encode_array(
+    arr: pa.Array, codec: str | None = None, zstd_level: int = 3
+) -> tuple[str, bytes, bytes]:
+    """Encode one column chunk. codec=None → auto-select (selector.py).
+
+    zstd_level mirrors the reference's --compression knob
+    (src/util.rs:35-37); it reaches every zstd-backed payload.
+    """
     if isinstance(arr, pa.ChunkedArray):
         if arr.num_chunks == 0:
             arr = pa.array([], type=arr.type)
@@ -233,7 +239,7 @@ def encode_array(arr: pa.Array, codec: str | None = None) -> tuple[str, bytes, b
         return codec, params_to_bytes({"n": n}), payload
     if codec == "zstd":
         raw = _ipc_bytes(arr)
-        payload = pack_sections([b"", b"", sc.zstd_compress(raw)])
+        payload = pack_sections([b"", b"", sc.zstd_compress(raw, zstd_level)])
         return codec, params_to_bytes({"n": n, "raw": len(raw)}), payload
 
     vbytes, nulls = _validity(arr)
@@ -243,7 +249,10 @@ def encode_array(arr: pa.Array, codec: str | None = None) -> tuple[str, bytes, b
     elif kind == "str":
         enc, _ = _STR_KERNELS[codec]
         lens, data = _str_views(arr)
-        p, blob = enc(lens, data)
+        if codec in ("str_zstd", "str_dict"):
+            p, blob = enc(lens, data, zstd_level)
+        else:
+            p, blob = enc(lens, data)
     else:
         raise ValueError(f"codec {codec} unsupported for kind {kind}")
     params = {"n": n, "nulls": nulls, "p": p}

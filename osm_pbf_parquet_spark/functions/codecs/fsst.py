@@ -55,6 +55,14 @@ def build_symbol_table(sample: bytes, max_symbols: int = MAX_SYMBOLS) -> list[by
     # gain of a multi-byte symbol ≈ (len-1) bytes saved per occurrence
     scored = [(cnt * (len(s) - 1), s) for s, cnt in counts.items() if cnt > 1]
     scored.sort(key=lambda t: (-t[0], t[1]))
+    # cap distinct multi-byte lengths to the 3 most productive: encode
+    # matching costs one vector pass per distinct length, and the tail
+    # lengths contribute little coverage
+    by_len_gain: dict[int, int] = {}
+    for gain, s in scored[:512]:
+        by_len_gain[len(s)] = by_len_gain.get(len(s), 0) + gain
+    kept_lengths = set(sorted(by_len_gain, key=by_len_gain.get, reverse=True)[:3])
+    scored = [(g, s) for g, s in scored if len(s) in kept_lengths]
     table = [s for _, s in scored[: max_symbols - 64]]
     # single-byte symbols for the most frequent bytes: turns would-be
     # 2-byte escapes into 1-byte codes

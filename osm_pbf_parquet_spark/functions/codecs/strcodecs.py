@@ -58,10 +58,10 @@ def str_plain_decode(params: dict, payload: bytes) -> tuple[np.ndarray, bytes]:
     return _unpack_lens(params["l"], lb), data
 
 
-def str_zstd_encode(lens: np.ndarray, data: bytes) -> tuple[dict, bytes]:
+def str_zstd_encode(lens: np.ndarray, data: bytes, level: int = _ZSTD_LEVEL) -> tuple[dict, bytes]:
     lp, lb = _pack_lens(lens)
     return {"n": len(lens), "l": lp, "raw": len(data)}, pack_sections(
-        [lb, zstd_compress(data)]
+        [lb, zstd_compress(data, level)]
     )
 
 
@@ -90,7 +90,7 @@ def str_fsst_decode(params: dict, payload: bytes) -> tuple[np.ndarray, bytes]:
     return _unpack_lens(params["l"], lb), _fsst.fsst_decompress(enc, table)
 
 
-def str_dict_encode(lens: np.ndarray, data: bytes) -> tuple[dict, bytes]:
+def str_dict_encode(lens: np.ndarray, data: bytes, level: int = _ZSTD_LEVEL) -> tuple[dict, bytes]:
     """First-occurrence dictionary; codes bit-packed; dict values zstd'd."""
     n = len(lens)
     if n == 0:
@@ -114,7 +114,7 @@ def str_dict_encode(lens: np.ndarray, data: bytes) -> tuple[dict, bytes]:
     dl_params, dl_blob = bitpack_encode(dlens.astype(np.int64))
     params = {"n": n, "card": card, "cw": cw, "dl": dl_params, "raw": len(ddata)}
     return params, pack_sections(
-        [pack_uints(codes, cw), dl_blob, zstd_compress(ddata)]
+        [pack_uints(codes, cw), dl_blob, zstd_compress(ddata, level)]
     )
 
 

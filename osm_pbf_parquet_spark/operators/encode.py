@@ -94,14 +94,20 @@ def _single_array(col) -> pa.Array:
 
 
 def _encode_group(
-    pid: int, seq: int, tables: list[pa.Table], codecs: dict[str, str] | None
+    pid: int,
+    seq: int,
+    tables: list[pa.Table],
+    codecs: dict[str, str] | None,
+    zstd_level: int = 3,
 ) -> pa.RecordBatch:
     tbl = pa.concat_tables(tables).combine_chunks()
     n = tbl.num_rows
     rows = {k: [] for k in CHUNKS_ARROW_SCHEMA.names}
     for idx, name in enumerate(tbl.column_names):
         col = _single_array(tbl.column(name))
-        codec_name, params, payload = encode_array(col, (codecs or {}).get(name))
+        codec_name, params, payload = encode_array(
+            col, (codecs or {}).get(name), zstd_level
+        )
         rows["partition_id"].append(pid)
         rows["chunk_seq"].append(seq)
         rows["col_idx"].append(idx)
@@ -119,7 +125,9 @@ def _encode_group(
     )
 
 
-def make_encode_fn(codecs: dict[str, str] | None, target_chunk_bytes: int):
+def make_encode_fn(
+    codecs: dict[str, str] | None, target_chunk_bytes: int, zstd_level: int = 3
+):
     """Arrow-batch iterator transform for mapInArrow.
 
     A task may receive several partition_ids (hash collisions after
@@ -142,12 +150,12 @@ def make_encode_fn(codecs: dict[str, str] | None, target_chunk_bytes: int):
                 st["tables"].append(sub)
                 st["bytes"] += sub.nbytes
                 if st["bytes"] >= target_chunk_bytes:
-                    yield _encode_group(pid, st["seq"], st["tables"], codecs)
+                    yield _encode_group(pid, st["seq"], st["tables"], codecs, zstd_level)
                     st["tables"], st["bytes"] = [], 0
                     st["seq"] += 1
         for pid, st in acc.items():
             if st["tables"]:
-                yield _encode_group(pid, st["seq"], st["tables"], codecs)
+                yield _encode_group(pid, st["seq"], st["tables"], codecs, zstd_level)
 
     return encode_fn
 
@@ -157,20 +165,25 @@ def encode_dataframe(
     key_col: str = "url",
     num_partitions: int = 32,
     codecs: dict[str, str] | None = None,
-    target_chunk_bytes: int = DEFAULT_TARGET_CHUNK_BYTES,
+    target_chunk_bytes: int | None = None,
     pid_expr=None,
+    zstd_level: int = 3,
 ) -> DataFrame:
     """Encode every column of df into chunk rows. One shuffle.
 
     If df already carries PID_COL (e.g. from partitioning.salted_pids)
     it is used as-is; otherwise pid = pmod(xxhash64(key_col), N).
     """
+    if target_chunk_bytes is None:
+        from ..config import derive_chunk_target
+
+        target_chunk_bytes = derive_chunk_target(df.sparkSession)
     if PID_COL in df.columns:
         with_pid = df
     else:
         with_pid = with_partition_id(df, key_col, num_partitions, pid_expr)
     return with_pid.repartition(num_partitions, PID_COL).mapInArrow(
-        make_encode_fn(codecs, target_chunk_bytes), CHUNKS_SPARK_SCHEMA
+        make_encode_fn(codecs, target_chunk_bytes, zstd_level), CHUNKS_SPARK_SCHEMA
     )
 
 

@@ -100,8 +100,9 @@ def encode_job(
     num_partitions: int = 32,
     snapshot_id: str = "snap-0",
     codecs: dict[str, str] | None = None,
-    target_chunk_bytes: int = 32 << 20,
+    target_chunk_bytes: int | None = None,
     pid_expr=None,
+    zstd_level: int = 3,
     fail_after_partitions: int | None = None,
 ) -> dict:
     """Resumable encode: pending partitions only, idempotent commit.
@@ -134,6 +135,7 @@ def encode_job(
         codecs=codecs,
         target_chunk_bytes=target_chunk_bytes,
         pid_expr=pid_expr,
+        zstd_level=zstd_level,
     ).withColumn("run_id", F.lit(run_id))
 
     cdir = chunks_dir(out_dir)

@@ -2,10 +2,15 @@
 
 Usage:
     spark-submit --master local[N] --py-files engine.zip \
-        tools/submit_encode_job.py <input_parquet> <out_dir> [key_col] [num_partitions]
+        tools/submit_encode_job.py <input_parquet> <out_dir> \
+        [key_col] [num_partitions] [zstd_level] [target_chunk_mb]
 
-Encodes the input table into chunk+manifest output, decodes it back,
-verifies bit-identity, and prints one JSON line of metrics.
+Config knobs mirror the reference CLI (src/util.rs:24-61):
+zstd_level = --compression (default 3); target_chunk_mb = the
+batch/file size target (default: derived from memory/cores/8,
+src/util.rs:97-101). Encodes the input table into chunk+manifest
+output, decodes it back, verifies bit-identity, and prints one JSON
+line of metrics.
 """
 
 from __future__ import annotations
@@ -22,6 +27,8 @@ def main() -> int:
     inp, out = sys.argv[1], sys.argv[2]
     key_col = sys.argv[3] if len(sys.argv) > 3 else "url"
     nparts = int(sys.argv[4]) if len(sys.argv) > 4 else 16
+    zstd_level = int(sys.argv[5]) if len(sys.argv) > 5 else 3
+    chunk_mb = int(sys.argv[6]) if len(sys.argv) > 6 else 0
 
     spark = SparkSession.builder.appName("encode-job").getOrCreate()
     from osm_pbf_parquet_spark.plans.manifest import encode_job, read_encoded
@@ -29,7 +36,9 @@ def main() -> int:
     src = spark.read.parquet(inp)
     t0 = time.time()
     stats = encode_job(
-        spark, src, out, key_col=key_col, num_partitions=nparts
+        spark, src, out, key_col=key_col, num_partitions=nparts,
+        zstd_level=zstd_level,
+        target_chunk_bytes=(chunk_mb << 20) if chunk_mb else None,
     )
     encode_s = time.time() - t0
 
