@@ -126,13 +126,20 @@ def _encode_group(
 
 
 def make_encode_fn(
-    codecs: dict[str, str] | None, target_chunk_bytes: int, zstd_level: int = 3
+    codecs: dict[str, str] | None,
+    target_chunk_bytes: int,
+    zstd_level: int = 3,
+    progress=None,
 ):
     """Arrow-batch iterator transform for mapInArrow.
 
     A task may receive several partition_ids (hash collisions after
     repartition); groups are accumulated separately and cut
     independently at the byte target.
+
+    `progress` is an optional pyspark Accumulator of rows encoded —
+    the reference's global element counter (src/util.rs:17-18,
+    bumped at src/pbf.rs:192), surfaced the idiomatic Spark way.
     """
 
     def encode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -143,6 +150,8 @@ def make_encode_fn(
             data = tbl.drop_columns([PID_COL])
             import pyarrow.compute as pc
 
+            if progress is not None:
+                progress.add(batch.num_rows)
             for pid_scalar in pc.unique(pid_arr):
                 pid = pid_scalar.as_py()
                 sub = data.filter(pc.equal(pid_arr, pid_scalar))
@@ -168,6 +177,7 @@ def encode_dataframe(
     target_chunk_bytes: int | None = None,
     pid_expr=None,
     zstd_level: int = 3,
+    progress=None,
 ) -> DataFrame:
     """Encode every column of df into chunk rows. One shuffle.
 
@@ -183,7 +193,8 @@ def encode_dataframe(
     else:
         with_pid = with_partition_id(df, key_col, num_partitions, pid_expr)
     return with_pid.repartition(num_partitions, PID_COL).mapInArrow(
-        make_encode_fn(codecs, target_chunk_bytes, zstd_level), CHUNKS_SPARK_SCHEMA
+        make_encode_fn(codecs, target_chunk_bytes, zstd_level, progress),
+        CHUNKS_SPARK_SCHEMA,
     )
 
 

@@ -111,6 +111,8 @@ def encode_job(
     only that many pending partitions are encoded and committed.
     """
     run_id = uuid.uuid4().hex[:12]
+    # X5 parity: global progress counter (reference src/util.rs:17-18)
+    progress = spark.sparkContext.accumulator(0)
     with_pid = with_partition_id(df, key_col, num_partitions, pid_expr)
 
     manifest = read_manifest(spark, out_dir)
@@ -136,6 +138,7 @@ def encode_job(
         target_chunk_bytes=target_chunk_bytes,
         pid_expr=pid_expr,
         zstd_level=zstd_level,
+        progress=progress,
     ).withColumn("run_id", F.lit(run_id))
 
     cdir = chunks_dir(out_dir)
@@ -183,6 +186,7 @@ def encode_job(
         commit_manifest(rows, out_dir, run_id)
     return {
         "run_id": run_id,
+        "rows_seen": progress.value,
         "partitions": len(rows),
         "rows": int(sum(r["n_rows"] for r in rows)),
         "bytes_in": int(sum(r["bytes_in"] for r in rows)),
