@@ -31,6 +31,7 @@ def build_spark(cpus: int):
         .config("spark.sql.shuffle.partitions", str(2 * cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "16g")
         .config("spark.sql.session.timeZone", "UTC")
@@ -111,6 +112,23 @@ def main() -> int:
 
     bi2, bo2 = timed("encode_events", lambda: enc(events, "event_id", 2 * cpus))
     extras["encode_ratio_events"] = round(bo2 / bi2, 4)
+
+    # shuffle-free mode (reference task-per-blob twin): encode straight
+    # off a well-laid-out input (2×cpus cached partitions — the shape a
+    # real Iceberg table's file splits arrive in)
+    from osm_pbf_parquet_spark.operators.encode import encode_input_partitions
+
+    li_wide = li.repartition(2 * cpus).cache()
+    li_wide.count()
+
+    def enc_ns():
+        ch = encode_input_partitions(li_wide)
+        return ch.agg(F.sum("bytes_in"), F.sum("bytes_out")).collect()[0]
+
+    timed("encode_lineitem_noshuffle", enc_ns)
+    extras["encode_noshuffle_rows_per_sec"] = round(
+        li_rows / timings["encode_lineitem_noshuffle"], 1
+    )
 
     # --- round-trip (encode + decode + checksum agg) ---
     def rt():

@@ -143,18 +143,23 @@ def make_encode_fn(
     """
 
     def encode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.compute as pc
+
         acc: dict[int, dict] = {}
         for batch in batches:
             tbl = pa.Table.from_batches([batch])
             pid_arr = tbl.column(PID_COL)
             data = tbl.drop_columns([PID_COL])
-            import pyarrow.compute as pc
-
             if progress is not None:
                 progress.add(batch.num_rows)
-            for pid_scalar in pc.unique(pid_arr):
+            uniq = pc.unique(pid_arr)
+            for pid_scalar in uniq:
                 pid = pid_scalar.as_py()
-                sub = data.filter(pc.equal(pid_arr, pid_scalar))
+                # fast path: single-pid batch (the common case after
+                # repartition by pid) — no filter scan needed
+                sub = data if len(uniq) == 1 else data.filter(
+                    pc.equal(pid_arr, pid_scalar)
+                )
                 st = acc.setdefault(pid, {"tables": [], "bytes": 0, "seq": 0})
                 st["tables"].append(sub)
                 st["bytes"] += sub.nbytes
@@ -193,6 +198,38 @@ def encode_dataframe(
     else:
         with_pid = with_partition_id(df, key_col, num_partitions, pid_expr)
     return with_pid.repartition(num_partitions, PID_COL).mapInArrow(
+        make_encode_fn(codecs, target_chunk_bytes, zstd_level, progress),
+        CHUNKS_SPARK_SCHEMA,
+    )
+
+
+def encode_input_partitions(
+    df: DataFrame,
+    codecs: dict[str, str] | None = None,
+    target_chunk_bytes: int | None = None,
+    zstd_level: int = 3,
+    progress=None,
+) -> DataFrame:
+    """Shuffle-free encode: each INPUT partition is the engine
+    partition (pid = spark_partition_id) — the exact twin of the
+    reference's task-per-blob pipeline (src/pbf.rs:64-89: the blob is
+    both the scan split and the unit of work; no global exchange).
+
+    Use when the source layout is already well-sized (an Iceberg/
+    parquet table's file splits at 100 TB): zero shuffle, zero extra
+    memory, perfect linear scaling. The pid is deterministic for a
+    fixed snapshot + fixed read configuration (Spark derives file
+    splits deterministically), so manifest/resume semantics still
+    hold; prefer url-hash mode when the input layout is unknown or
+    skewed, or when stable pids across *different* read configs are
+    required.
+    """
+    if target_chunk_bytes is None:
+        from ..config import derive_chunk_target
+
+        target_chunk_bytes = derive_chunk_target(df.sparkSession)
+    with_pid = df.withColumn(PID_COL, F.spark_partition_id().cast("long"))
+    return with_pid.mapInArrow(
         make_encode_fn(codecs, target_chunk_bytes, zstd_level, progress),
         CHUNKS_SPARK_SCHEMA,
     )

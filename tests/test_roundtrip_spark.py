@@ -136,3 +136,21 @@ def test_testdata_embeddings_roundtrip(spark, sf_dir):
     joined = src.alias("a").join(dec.alias("b"), "vec_id")
     same = joined.filter(F.expr("a.embedding <=> b.embedding and a.label <=> b.label")).count()
     assert same == n
+
+
+def test_input_partition_mode_roundtrip_no_shuffle(spark, pages_path, tmp_path):
+    """Shuffle-free encode (reference task-per-blob twin): bit-identity
+    plus a zero-Exchange physical plan straight off the file splits."""
+    from osm_pbf_parquet_spark.operators.encode import (
+        decode_dataframe,
+        encode_input_partitions,
+    )
+
+    multi = str(tmp_path / "multi")
+    spark.read.parquet(pages_path).repartition(6).write.parquet(multi)
+    src = spark.read.parquet(multi)
+    chunks = encode_input_partitions(src, target_chunk_bytes=1 << 20)
+    plan = chunks._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    dec = decode_dataframe(chunks, src.schema)
+    _assert_bit_identical(spark, src, dec, "url")
