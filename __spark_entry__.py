@@ -223,6 +223,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["window_first_event"] = window_first_event
 
+    def tpch_q6(s, d):
+        li = _load(s, d, "lineitem")
+        return li.filter(
+            (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count("*").alias("n"),
+        )
+
+    q["tpch_q6"] = tpch_q6
+
+    def semi_join_exists(s, d):
+        c = _load(s, d, "customer")
+        o = _load(s, d, "orders").filter(F.col("o_totalprice") > 100000)
+        return (
+            c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .select("c_custkey", "c_mktsegment")
+        )
+
+    q["semi_join_exists"] = semi_join_exists
+
+    def rollup_orders(s, d):
+        o = _load(s, d, "orders")
+        return (
+            o.rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("cnt"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total"))
+        )
+
+    q["rollup_orders"] = rollup_orders
+
     # ---- dedup family ----
     def dedup_exact_q(s, d):
         from osm_pbf_parquet_spark.operators.dedup import dedup_exact
@@ -470,6 +503,23 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY l_orderkey
         ORDER BY revenue DESC, l_orderkey
         LIMIT 10
+    """
+    o["tpch_q6"] = """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               count(*) AS n
+        FROM lineitem
+        WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+    """
+    o["semi_join_exists"] = """
+        SELECT c_custkey, c_mktsegment FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+    """
+    o["rollup_orders"] = """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+               round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """
     o["window_first_event"] = """
         SELECT user_id, event_id FROM (
