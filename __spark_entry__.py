@@ -30,19 +30,37 @@ QUERY_VEC = [round(math.sin(d + 1), 6) for d in range(64)]
 
 def _ensure_workers_see_package(spark: SparkSession) -> None:
     """Ship the engine package to python workers once per session
-    (harness sessions may not inherit the repo on PYTHONPATH)."""
+    (harness sessions may not inherit the repo on PYTHONPATH).
+
+    The zip name carries a content digest so edited sources never reuse
+    a stale archive, and it is written temp+rename so a concurrent
+    driver can never addPyFile a half-written file.
+    """
     sc = spark.sparkContext
     if getattr(sc, "_osm_pbf_parquet_spark_shipped", False):
         return
-    zpath = os.path.join("/tmp", "osm_pbf_parquet_spark_pkg.zip")
+    import hashlib
+
+    pkg = os.path.join(_REPO, "osm_pbf_parquet_spark")
+    sources = []
+    for root, _dirs, files in os.walk(pkg):
+        for f in sorted(files):
+            if f.endswith(".py"):
+                sources.append(os.path.join(root, f))
+    digest = hashlib.sha256()
+    for full in sorted(sources):
+        digest.update(full.encode())
+        with open(full, "rb") as fh:
+            digest.update(fh.read())
+    zpath = os.path.join(
+        "/tmp", f"osm_pbf_parquet_spark_pkg-{digest.hexdigest()[:16]}.zip"
+    )
     if not os.path.exists(zpath):
-        with zipfile.ZipFile(zpath, "w") as z:
-            pkg = os.path.join(_REPO, "osm_pbf_parquet_spark")
-            for root, _dirs, files in os.walk(pkg):
-                for f in files:
-                    if f.endswith(".py"):
-                        full = os.path.join(root, f)
-                        z.write(full, os.path.relpath(full, _REPO))
+        tmp = f"{zpath}.tmp-{os.getpid()}"
+        with zipfile.ZipFile(tmp, "w") as z:
+            for full in sources:
+                z.write(full, os.path.relpath(full, _REPO))
+        os.rename(tmp, zpath)
     sc.addPyFile(zpath)
     sc._osm_pbf_parquet_spark_shipped = True
 
@@ -267,19 +285,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def dedup_ngram_jaccard_q(s, d):
         from osm_pbf_parquet_spark.operators.dedup import ngram_jaccard_pairs
 
-        docs = _load(s, d, "documents").withColumn(
-            "rare_sh", F.lit(None)
-        ).drop("rare_sh")
+        docs = _load(s, d, "documents")
         # doc-frequency cut (≤ 20 docs) keeps the shingle join bounded;
-        # the oracle applies the identical cut
+        # the oracle applies the identical cut. Short/null texts yield
+        # an empty shingle set (Spark's sequence(1,0) counts DOWN,
+        # unlike DuckDB's generate_series — must be guarded).
         sh = docs.select(
             "doc_id",
             F.explode(
-                F.array_distinct(
-                    F.expr(
-                        "transform(sequence(1, greatest(length(text) - 5, 0)),"
-                        " i -> substring(text, i, 6))"
-                    )
+                F.expr(
+                    "CASE WHEN length(text) >= 6 THEN array_distinct("
+                    "transform(sequence(1, length(text) - 5),"
+                    " i -> substring(text, i, 6))) ELSE array() END"
                 )
             ).alias("sh"),
         )

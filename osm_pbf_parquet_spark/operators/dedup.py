@@ -32,12 +32,19 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def _char_shingles(text_col: str, k: int) -> F.Column:
-    """Distinct character k-grams, SQL-twin-compatible."""
-    return F.array_distinct(
-        F.expr(
-            f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 0)),"
-            f" i -> substring({text_col}, i, {k}))"
-        )
+    """Distinct character k-grams, SQL-twin-compatible.
+
+    Texts shorter than k (incl. empty/null) yield an EMPTY array:
+    Spark's sequence(1, 0) counts *down* ([1, 0]) rather than being
+    empty like DuckDB's generate_series, so the short case must be
+    guarded explicitly or every short doc shares a constant spurious
+    shingle and LSH degenerates to an n² pair blowup.
+    """
+    return F.expr(
+        f"CASE WHEN length({text_col}) >= {k} THEN array_distinct("
+        f"transform(sequence(1, length({text_col}) - {k - 1}),"
+        f" i -> substring({text_col}, i, {k})))"
+        f" ELSE array() END"
     )
 
 

@@ -82,17 +82,6 @@ def with_partition_id(
     return df.withColumn(PID_COL, pid_expr.cast("long"))
 
 
-def _single_array(col) -> pa.Array:
-    """Collapse a (possibly chunked) column to one contiguous pa.Array."""
-    if isinstance(col, pa.ChunkedArray):
-        if col.num_chunks == 0:
-            return pa.array([], type=col.type)
-        if col.num_chunks == 1:
-            return col.chunk(0)
-        return pa.concat_arrays(col.chunks)
-    return col
-
-
 def _encode_group(
     pid: int,
     seq: int,
@@ -104,7 +93,7 @@ def _encode_group(
     n = tbl.num_rows
     rows = {k: [] for k in CHUNKS_ARROW_SCHEMA.names}
     for idx, name in enumerate(tbl.column_names):
-        col = _single_array(tbl.column(name))
+        col = tbl.column(name)  # encode_array collapses chunked columns
         codec_name, params, payload = encode_array(
             col, (codecs or {}).get(name), zstd_level
         )
@@ -236,27 +225,49 @@ def encode_input_partitions(
 
 
 def make_decode_fn(field_names: list[str]):
-    """Inverse transform: chunk rows → original-schema record batches."""
+    """Inverse transform: chunk rows → original-schema record batches.
+
+    The chunk-group key includes run_id (when present) so chunks from
+    different committed runs/snapshots sharing a partition_id — the
+    normal multi-epoch streaming store — never collide.
+    """
 
     def decode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        groups: dict[tuple[int, int], dict[int, tuple]] = {}
+        groups: dict[tuple, dict[int, tuple]] = {}
         for batch in batches:
             cols = {n: batch.column(n) for n in batch.schema.names}
+            run_ids = cols.get("run_id")
             for i in range(batch.num_rows):
                 key = (
+                    run_ids[i].as_py() if run_ids is not None else "",
                     cols["partition_id"][i].as_py(),
                     cols["chunk_seq"][i].as_py(),
                 )
-                groups.setdefault(key, {})[cols["col_idx"][i].as_py()] = (
+                entry = (
                     cols["codec"][i].as_py(),
                     cols["params"][i].as_py(),
                     cols["payload"][i].as_py(),
+                    cols["n_rows"][i].as_py(),
                 )
+                prev = groups.setdefault(key, {}).setdefault(
+                    cols["col_idx"][i].as_py(), entry
+                )
+                if prev is not entry:
+                    raise ValueError(
+                        f"duplicate chunk cell for group {key} col_idx "
+                        f"{cols['col_idx'][i].as_py()} — chunk store has "
+                        "colliding runs; decode via plans.manifest.read_encoded"
+                    )
         for key in sorted(groups):
             by_idx = groups[key]
             arrays = []
+            n_rows = {e[3] for e in by_idx.values()}
+            if len(n_rows) != 1:
+                raise ValueError(
+                    f"inconsistent n_rows {n_rows} in chunk group {key}"
+                )
             for idx in sorted(by_idx):
-                codec, params, payload = by_idx[idx]
+                codec, params, payload, _ = by_idx[idx]
                 arrays.append(decode_array(codec, params, payload))
             yield pa.record_batch(arrays, names=field_names)
 

@@ -92,6 +92,40 @@ def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame | None:
     )
 
 
+def summarize_chunks(written: DataFrame) -> DataFrame:
+    """Per-partition manifest aggregates from durable chunk rows.
+
+    Codec map is last-chunk-wins per column (max_by chunk_seq) — the
+    auto-selector may legitimately choose different codecs for
+    different chunks of one partition, so keys must be deduped BEFORE
+    map_from_entries (Spark's default mapKeyDedupPolicy=EXCEPTION
+    would otherwise kill the job at commit time).
+    """
+    per_col = (
+        written.groupBy("partition_id", "column")
+        .agg(
+            F.max_by("codec", "chunk_seq").alias("codec"),
+            F.sum(F.when(F.col("col_idx") == 0, F.col("n_rows")).otherwise(0)).alias("nr"),
+            F.countDistinct("chunk_seq").alias("nc"),
+            F.sum("bytes_in").alias("bi"),
+            F.sum("bytes_out").alias("bo"),
+            F.collect_list("checksum").alias("cks"),
+        )
+    )
+    return per_col.groupBy("partition_id").agg(
+        F.sum("nr").alias("n_rows"),
+        F.max("nc").alias("n_chunks"),
+        F.sum("bi").alias("bytes_in"),
+        F.sum("bo").alias("bytes_out"),
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("column", "codec")))
+        ).alias("codec_map"),
+        F.sha2(
+            F.concat_ws("|", F.sort_array(F.flatten(F.collect_list("cks")))), 256
+        ).alias("checksum"),
+    )
+
+
 def encode_job(
     spark: SparkSession,
     df: DataFrame,
@@ -113,7 +147,14 @@ def encode_job(
     run_id = uuid.uuid4().hex[:12]
     # X5 parity: global progress counter (reference src/util.rs:17-18)
     progress = spark.sparkContext.accumulator(0)
-    with_pid = with_partition_id(df, key_col, num_partitions, pid_expr)
+    # a pre-attached PID_COL (e.g. partitioning.salted_pids) is
+    # authoritative — recomputing here would silently discard the skew
+    # handling; resume requires the caller to attach the same pids on
+    # every run (salted_pids is deterministic for a fixed input)
+    if PID_COL in df.columns:
+        with_pid = df
+    else:
+        with_pid = with_partition_id(df, key_col, num_partitions, pid_expr)
 
     manifest = read_manifest(spark, out_dir)
     if manifest is not None:
@@ -131,7 +172,7 @@ def encode_job(
         with_pid = with_pid.filter(F.col(PID_COL).isin(keep))
 
     chunks = encode_dataframe(
-        with_pid.drop(PID_COL),
+        with_pid,
         key_col=key_col,
         num_partitions=num_partitions,
         codecs=codecs,
@@ -146,25 +187,7 @@ def encode_job(
 
     # manifest rows derived from the durable chunks of THIS run
     written = spark.read.parquet(cdir).filter(F.col("run_id") == run_id)
-    agg = (
-        written.groupBy("partition_id")
-        .agg(
-            F.sum(F.when(F.col("col_idx") == 0, F.col("n_rows")).otherwise(0)).alias("n_rows"),
-            F.countDistinct("chunk_seq").alias("n_chunks"),
-            F.sum("bytes_in").alias("bytes_in"),
-            F.sum("bytes_out").alias("bytes_out"),
-            F.map_from_entries(
-                F.array_distinct(F.collect_list(F.struct("column", "codec")))
-            ).alias("codec_map"),
-            F.sha2(
-                F.concat_ws(
-                    "|", F.sort_array(F.collect_list(F.col("checksum")))
-                ),
-                256,
-            ).alias("checksum"),
-        )
-        .collect()
-    )
+    agg = summarize_chunks(written).collect()
     now = time.time()
     rows = [
         {

@@ -32,7 +32,16 @@ def read_source(
             if snapshot_id is not None:
                 reader = reader.option("snapshot-id", str(snapshot_id))
             return reader.load(location)
-        except Exception:  # noqa: BLE001 - no iceberg runtime in sandbox
-            if fmt == "iceberg":
+        except Exception as e:  # noqa: BLE001
+            # fall back ONLY when the Iceberg runtime itself is absent
+            # (this sandbox); real catalog errors (auth, missing table)
+            # must surface, not turn into a misleading parquet-path error
+            msg = str(e)
+            missing_runtime = (
+                "DATA_SOURCE_NOT_FOUND" in msg
+                or "Failed to find data source" in msg
+                or "ClassNotFoundException" in msg
+            )
+            if fmt == "iceberg" or not missing_runtime:
                 raise
     return spark.read.parquet(location)

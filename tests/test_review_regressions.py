@@ -1,0 +1,94 @@
+"""Regressions from the round-1 code review: multi-run chunk-group
+collisions, duplicate-codec manifest keys, short-text shingles, and
+salted-pid passthrough on the resumable path."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_multi_snapshot_store_decodes_all_rows(spark, pages_path, tmp_path):
+    """Two committed snapshots share partition_ids in one store; decode
+    must keep their chunk groups apart (was: silent row loss)."""
+    from osm_pbf_parquet_spark.plans.manifest import encode_job, read_encoded
+
+    out = str(tmp_path / "multi_snap")
+    src = spark.read.parquet(pages_path)
+    half1 = src.filter(F.xxhash64("url") % 2 == 0)
+    half2 = src.filter(F.xxhash64("url") % 2 != 0)
+    encode_job(spark, half1, out, key_col="url", num_partitions=4,
+               snapshot_id="snap-a")
+    encode_job(spark, half2, out, key_col="url", num_partitions=4,
+               snapshot_id="snap-b")
+    dec = read_encoded(spark, out, src.schema)
+    assert dec.count() == src.count()
+    joined = src.alias("a").join(dec.alias("b"), "url")
+    cols = [c for c in src.columns if c != "url"]
+    ok = joined.filter(F.expr(" AND ".join(f"a.{c} <=> b.{c}" for c in cols))).count()
+    assert ok == src.count()
+
+
+def test_summarize_chunks_mixed_codecs_last_wins(spark):
+    """A partition whose chunks picked different codecs for one column
+    must not kill the commit with DUPLICATED_MAP_KEY."""
+    from osm_pbf_parquet_spark.plans.manifest import summarize_chunks
+
+    rows = [
+        # (pid, seq, col_idx, column, codec, n_rows, bytes_in, bytes_out, checksum)
+        (0, 0, 0, "text", "str_fsst", 10, 100, 40, "aa"),
+        (0, 1, 0, "text", "str_zstd", 12, 120, 30, "bb"),
+        (0, 0, 1, "id", "bitpack", 10, 80, 10, "cc"),
+        (0, 1, 1, "id", "bitpack", 12, 96, 12, "dd"),
+    ]
+    written = spark.createDataFrame(
+        rows,
+        "partition_id long, chunk_seq long, col_idx int, column string,"
+        " codec string, n_rows long, bytes_in long, bytes_out long,"
+        " checksum string",
+    )
+    out = summarize_chunks(written).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert dict(r["codec_map"]) == {"text": "str_zstd", "id": "bitpack"}
+    assert r["n_rows"] == 22 and r["n_chunks"] == 2
+    assert r["bytes_in"] == 396 and r["bytes_out"] == 92
+
+
+def test_short_text_shingles_empty(spark):
+    """Texts shorter than k (incl. empty/null) produce NO shingles —
+    Spark's sequence(1, 0) counts down, so the guard matters; without
+    it every short doc shares one spurious shingle and LSH blows up n²."""
+    from osm_pbf_parquet_spark.operators.dedup import (
+        _char_shingles,
+        minhash_lsh_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, None), (2, "abc"), (3, "abcd"), (4, "")],
+        ["doc_id", "text"],
+    )
+    sh = df.select("doc_id", _char_shingles("text", 4).alias("sh")).collect()
+    by_id = {r["doc_id"]: r["sh"] for r in sh}
+    assert by_id[0] == [] and by_id[1] == [] and by_id[2] == []
+    assert by_id[3] == ["abcd"]
+    # empty/null docs must NOT pair with each other
+    pairs = minhash_lsh_pairs(df).collect()
+    flat = {x for r in pairs for x in (r["doc_a"], r["doc_b"])}
+    assert 0 not in flat and 1 not in flat and 4 not in flat
+
+
+def test_encode_job_respects_salted_pids(spark, pages_path, tmp_path):
+    """salted_pids must survive through the resumable path (was:
+    silently recomputed as plain url-hash)."""
+    from osm_pbf_parquet_spark.operators.encode import PID_COL
+    from osm_pbf_parquet_spark.operators.partitioning import salted_pids
+    from osm_pbf_parquet_spark.plans.manifest import encode_job, read_manifest
+
+    src = spark.read.parquet(pages_path)
+    salted = salted_pids(src, num_partitions=8)
+    expected_pids = {r[0] for r in salted.select(PID_COL).distinct().collect()}
+    out = str(tmp_path / "salted")
+    stats = encode_job(spark, salted, out, key_col="url", num_partitions=8)
+    got_pids = {r[0] for r in read_manifest(spark, out).select("partition_id").collect()}
+    assert got_pids == expected_pids
+    assert stats["rows"] == src.count()
