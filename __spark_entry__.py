@@ -147,6 +147,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, d, "events", "event_id", ["event_id", "value"], {"value": "zstd"}
     )
 
+    def decode_columns_pruned(s, d):
+        _utc(s)
+        _ensure_workers_see_package(s)
+        from osm_pbf_parquet_spark.operators.encode import encode_dataframe
+        from osm_pbf_parquet_spark.operators.pruning import decode_columns
+
+        src = _load(s, d, "documents")
+        chunks = encode_dataframe(src, key_col="doc_id", num_partitions=8)
+        return decode_columns(chunks, src.schema, ["doc_id", "lang"])
+
+    q["decode_columns_pruned"] = decode_columns_pruned
+
     # ---- §2.9 relational validation semantics (V1–V4) ----
     def v1_dup_check(s, d):
         li = _load(s, d, "lineitem")
@@ -478,6 +490,7 @@ def oracle_sql() -> dict[str, str]:
     o["codec_rle_linenumber"] = "SELECT l_orderkey, l_linenumber FROM lineitem"
     o["codec_dictint_suppkey"] = "SELECT l_orderkey, l_suppkey FROM lineitem"
     o["codec_float_value"] = "SELECT event_id, value FROM events"
+    o["decode_columns_pruned"] = "SELECT doc_id, lang FROM documents"
 
     o["v1_dup_check"] = (
         "SELECT count(*) AS dup_groups FROM (SELECT l_orderkey, l_linenumber"

@@ -49,6 +49,8 @@ CHUNKS_ARROW_SCHEMA = pa.schema(
         ("bytes_in", pa.int64()),
         ("bytes_out", pa.int64()),
         ("checksum", pa.string()),
+        ("stat_min", pa.string()),
+        ("stat_max", pa.string()),
     ]
 )
 
@@ -65,6 +67,8 @@ CHUNKS_SPARK_SCHEMA = T.StructType(
         T.StructField("bytes_in", T.LongType()),
         T.StructField("bytes_out", T.LongType()),
         T.StructField("checksum", T.StringType()),
+        T.StructField("stat_min", T.StringType()),
+        T.StructField("stat_max", T.StringType()),
     ]
 )
 
@@ -80,6 +84,30 @@ def with_partition_id(
     if pid_expr is None:
         pid_expr = F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_partitions))
     return df.withColumn(PID_COL, pid_expr.cast("long"))
+
+
+def _chunk_stats(col) -> tuple[str | None, str | None]:
+    """Zone-map min/max for prunable types, JSON-encoded as strings
+    (numeric/timestamp → repr of int/float µs view; string → raw).
+    Nested/binary columns and all-null chunks carry no stats."""
+    import pyarrow.compute as pc
+
+    t = col.type
+    prunable = (
+        pa.types.is_integer(t)
+        or pa.types.is_floating(t)
+        or pa.types.is_timestamp(t)
+        or pa.types.is_date(t)
+        or pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+    )
+    if not prunable or col.null_count == len(col) or len(col) == 0:
+        return None, None
+    mm = pc.min_max(col)
+    lo, hi = mm["min"].as_py(), mm["max"].as_py()
+    if pa.types.is_timestamp(t) or pa.types.is_date(t):
+        lo, hi = mm["min"].cast(pa.int64()).as_py(), mm["max"].cast(pa.int64()).as_py()
+    return str(lo), str(hi)
 
 
 def _encode_group(
@@ -108,6 +136,9 @@ def _encode_group(
         rows["bytes_in"].append(col.nbytes)
         rows["bytes_out"].append(len(payload) + len(params))
         rows["checksum"].append(f"{zlib.crc32(payload):08x}")
+        lo, hi = _chunk_stats(col)  # pc.min_max accepts chunked columns
+        rows["stat_min"].append(lo)
+        rows["stat_max"].append(hi)
     return pa.record_batch(
         [pa.array(rows[f.name], type=f.type) for f in CHUNKS_ARROW_SCHEMA],
         schema=CHUNKS_ARROW_SCHEMA,

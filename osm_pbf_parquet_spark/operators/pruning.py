@@ -1,0 +1,82 @@
+"""Chunk pruning: zone-map scan skipping + selective-column decode.
+
+The encoded chunk store is itself a columnar table, so it supports the
+two classic columnar read optimizations:
+
+* **column pruning** — decode only the requested columns' chunk rows
+  (the payload bytes of every other column are never read: the filter
+  `column IN (...)` pushes down to the chunks-parquet scan, and parquet
+  row groups lazily skip the big `payload` values that don't match);
+* **zone-map predicate pruning** — each chunk row carries min/max
+  statistics (encode.py `_chunk_stats`); a range predicate keeps only
+  chunk GROUPS whose range intersects, then the caller re-applies the
+  exact predicate on the decoded rows.
+
+Zone maps only bite when the data is clustered on the filter column
+(e.g. input-partition mode over a time-sorted source). With url-hash
+partitioning every chunk spans the full value range — that trade-off
+is inherent to any columnar store, not this engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+GROUP_KEYS = ["partition_id", "chunk_seq"]
+
+
+def _group_keys(chunks_df: DataFrame) -> list[str]:
+    return (["run_id"] if "run_id" in chunks_df.columns else []) + GROUP_KEYS
+
+
+def select_columns(chunks_df: DataFrame, columns: list[str]) -> DataFrame:
+    """Column pruning: keep only the chunk rows of `columns`."""
+    return chunks_df.filter(F.col("column").isin(columns))
+
+
+def prune_by_range(
+    chunks_df: DataFrame,
+    column: str,
+    lower=None,
+    upper=None,
+    numeric: bool = True,
+) -> DataFrame:
+    """Zone-map pruning: keep only chunk groups whose [min, max] for
+    `column` intersects [lower, upper].
+
+    numeric=True compares stats as doubles (ints/floats; timestamps
+    compare in their native int64 unit — µs for Spark-written data);
+    numeric=False compares lexicographically (strings).
+
+    Chunks with no stats (nested/binary/all-null) are conservatively
+    KEPT. Decoded output still contains whole chunk groups — re-apply
+    the exact predicate after decode.
+    """
+    lo_c = F.col("stat_min").cast("double") if numeric else F.col("stat_min")
+    hi_c = F.col("stat_max").cast("double") if numeric else F.col("stat_max")
+    cond = F.col("column") == column
+    keep = F.lit(True)
+    if lower is not None:
+        keep = keep & (hi_c >= F.lit(lower))
+    if upper is not None:
+        keep = keep & (lo_c <= F.lit(upper))
+    qualifying = (
+        chunks_df.filter(cond & (F.col("stat_min").isNull() | keep))
+        .select(*_group_keys(chunks_df))
+        .distinct()
+    )
+    return chunks_df.join(F.broadcast(qualifying), _group_keys(chunks_df), "left_semi")
+
+
+def decode_columns(
+    chunks_df: DataFrame, schema: T.StructType, columns: list[str]
+) -> DataFrame:
+    """Selective decode: only the requested columns' payloads are read
+    and decoded; the result schema is the projection of `schema`."""
+    from .encode import decode_dataframe
+
+    sub_schema = T.StructType([f for f in schema.fields if f.name in columns])
+    pruned = select_columns(chunks_df, [f.name for f in sub_schema.fields])
+    return decode_dataframe(pruned, sub_schema)

@@ -1,0 +1,79 @@
+"""Zone-map chunk pruning + selective-column decode over the chunk store."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from osm_pbf_parquet_spark.operators.encode import (
+    decode_dataframe,
+    encode_dataframe,
+    encode_input_partitions,
+)
+from osm_pbf_parquet_spark.operators.pruning import (
+    decode_columns,
+    prune_by_range,
+    select_columns,
+)
+
+
+def test_selective_column_decode(spark, sf_dir):
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    chunks = encode_dataframe(src, key_col="doc_id", num_partitions=4)
+    out = decode_columns(chunks, src.schema, ["doc_id", "lang"])
+    assert out.columns == ["doc_id", "lang"]
+    a = {(r[0], r[1]) for r in src.select("doc_id", "lang").collect()}
+    b = {(r[0], r[1]) for r in out.collect()}
+    assert a == b
+
+
+def test_zone_map_prunes_sorted_timestamps(spark, sf_dir, tmp_path):
+    """Time-clustered layout (input-partition mode over a sorted
+    source) → a narrow ts-range predicate skips most chunk groups."""
+    src = spark.read.parquet(f"{sf_dir}/events.parquet").orderBy("ts")
+    sorted_dir = str(tmp_path / "sorted")
+    src.coalesce(1).write.parquet(sorted_dir)
+    # 8 splits in time order
+    resorted = spark.read.parquet(sorted_dir).repartitionByRange(8, "ts").sortWithinPartitions("ts")
+    chunks = encode_input_partitions(resorted, target_chunk_bytes=1 << 20).cache()
+    total_groups = chunks.select("partition_id", "chunk_seq").distinct().count()
+
+    # ntz-robust µs view (session tz is UTC in conftest)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    bounds = src.agg(F.min(us), F.max(us)).first()
+    lo_us, hi_us = bounds[0], bounds[1]
+    cut = lo_us + (hi_us - lo_us) // 8  # bottom eighth of the range
+
+    pruned = prune_by_range(chunks, "ts", upper=cut)
+    kept_groups = pruned.select("partition_id", "chunk_seq").distinct().count()
+    assert kept_groups < total_groups / 2, (kept_groups, total_groups)
+
+    # correctness: exact predicate after decode loses no qualifying rows
+    dec = decode_dataframe(pruned, spark.read.parquet(sorted_dir).schema)
+    got = dec.filter(us <= cut).count()
+    expected = src.filter(us <= cut).count()
+    assert got == expected
+    chunks.unpersist()
+
+
+def test_prune_keeps_statless_chunks(spark, sf_dir):
+    """Chunks without stats (e.g. nested embedding column) must be
+    conservatively kept for unrelated predicates."""
+    src = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    chunks = encode_dataframe(src, key_col="vec_id", num_partitions=2)
+    pruned = prune_by_range(chunks, "vec_id", lower=0)
+    assert pruned.count() == chunks.count()
+    dec = decode_dataframe(pruned, src.schema)
+    assert dec.count() == src.count()
+
+
+def test_column_filter_pushes_down(spark, sf_dir, tmp_path):
+    """The `column IN (...)` filter must reach the chunks-parquet scan."""
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "chunks")
+    encode_dataframe(src, key_col="doc_id", num_partitions=2).write.parquet(out)
+    stored = spark.read.parquet(out)
+    plan = (
+        select_columns(stored, ["lang"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [" in plan and ("In(column" in plan or "EqualTo(column" in plan), plan
