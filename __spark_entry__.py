@@ -286,6 +286,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rollup_orders"] = rollup_orders
 
+    def topk_orders(s, d):
+        o = _load(s, d, "orders")
+        return (
+            o.select("o_orderkey", "o_totalprice")
+            .orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+            .limit(100)
+        )
+
+    q["topk_orders"] = topk_orders
+
+    def median_nchars(s, d):
+        docs = _load(s, d, "documents")
+        return docs.groupBy("lang").agg(
+            F.expr("percentile(n_chars, 0.5)").alias("median_chars"),
+            F.count("*").alias("n"),
+        )
+
+    q["median_nchars"] = median_nchars
+
     # ---- dedup family ----
     def dedup_exact_q(s, d):
         from osm_pbf_parquet_spark.operators.dedup import dedup_exact
@@ -544,6 +563,15 @@ def oracle_sql() -> dict[str, str]:
         SELECT c_custkey, c_mktsegment FROM customer c
         WHERE EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+    """
+    o["topk_orders"] = """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """
+    o["median_nchars"] = """
+        SELECT lang, quantile_cont(n_chars, 0.5) AS median_chars,
+               count(*) AS n
+        FROM documents GROUP BY lang
     """
     o["rollup_orders"] = """
         SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,

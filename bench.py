@@ -139,7 +139,7 @@ def main() -> int:
     timed("roundtrip_documents", rt)
 
     # --- training-data ops ---
-    timed("dedup_minhash", lambda: minhash_lsh_pairs(docs).count())
+    timed("dedup_minhash", lambda: minhash_lsh_pairs(docs, num_hashes=16, bands=8).count())
     timed(
         "similarity_topk",
         lambda: cosine_topk(load("embeddings"), entry_mod.QUERY_VEC, 10).collect(),
