@@ -130,6 +130,20 @@ def main() -> int:
         li_rows / timings["encode_lineitem_noshuffle"], 1
     )
 
+    # --- decode throughput (chunk store → rows, bit-identical) ---
+    chunks_cached = encode_input_partitions(li_wide).cache()
+    chunks_cached.count()
+
+    def dec():
+        return (
+            decode_dataframe(chunks_cached, li.schema)
+            .agg(F.count("*")).collect()
+        )
+
+    timed("decode_lineitem", dec)
+    extras["decode_rows_per_sec"] = round(li_rows / timings["decode_lineitem"], 1)
+    chunks_cached.unpersist()
+
     # --- round-trip (encode + decode + checksum agg) ---
     def rt():
         chunks = encode_dataframe(docs, key_col="doc_id", num_partitions=cpus)
