@@ -55,7 +55,7 @@ def run():
     return ch.agg(F.sum("bytes_in"), F.sum("bytes_out")).collect()[0]
 run()  # warm: workers, JIT, plan
 best = None
-for _ in range(3):
+for _ in range(2):
     t0 = time.time(); r = run(); dt = time.time() - t0
     best = dt if best is None or dt < best else best
 print(json.dumps({"cpus": cpus, "rows": rows, "sec": round(best, 3),
@@ -120,8 +120,15 @@ def main() -> int:
     pairs = [(2, 8)] if "--quick" in sys.argv else [(2, 8), (8, 32)]
     results = {}
     needed = sorted({c for p in pairs for c in p})
-    for c in needed:
-        results[c] = measure(c)
+    # alternate levels across rounds and keep the best leg per level:
+    # host noise (hypervisor steal) then hits all levels alike instead
+    # of whichever level ran during a bad window
+    rounds = 1 if "--one-round" in sys.argv else 2
+    for _ in range(rounds):
+        for c in needed:
+            r = measure(c)
+            if c not in results or r["sec"] < results[c]["sec"]:
+                results[c] = r
     ceiling = machine_ceiling(needed)
     report = {"metric": "scaling_efficiency", "unit": "ratio",
               "fixture_rows": FIXTURE_ROWS, "levels": results,
