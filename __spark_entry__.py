@@ -380,6 +380,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["similarity_topk"] = similarity_topk_q
 
+    def ivf_topk_q(s, d):
+        _ensure_workers_see_package(s)
+        from osm_pbf_parquet_spark.functions.similarity import ivf_topk
+
+        # full probe == exact: the IVF machinery (k-means quantizer,
+        # vectorized assignment, cell filter) is validated against the
+        # plain-SQL cosine oracle
+        return ivf_topk(_load(s, d, "embeddings"), QUERY_VEC, k=10,
+                        n_centroids=8, n_probe=8)
+
+    q["ivf_topk_fullprobe"] = ivf_topk_q
+
     def embedding_norms_q(s, d):
         from osm_pbf_parquet_spark.functions.similarity import l2norm
 
@@ -612,6 +624,7 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["similarity_topk"] = sql_cosine_topk("embeddings", QUERY_VEC, 10)
+    o["ivf_topk_fullprobe"] = sql_cosine_topk("embeddings", QUERY_VEC, 10)
     o["embedding_norms"] = """
         SELECT vec_id,
                round(sqrt(list_sum(list_transform(embedding,

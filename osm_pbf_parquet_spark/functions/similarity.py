@@ -52,6 +52,102 @@ def cosine_topk(
     return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    sample_size: int = 1024,
+    iters: int = 5,
+    seed: int = 7,
+):
+    """Deterministic driver-side k-means over a bounded sample — the
+    IVF coarse quantizer. The sample is tiny (≤ sample_size vectors)
+    regardless of table size; the heavy work (assignment) stays
+    distributed in ivf_assign.
+    """
+    import numpy as np
+
+    sample = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
+    )
+    X = np.array([r[1] for r in sample], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cents = X[rng.choice(len(X), min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        sims = X @ cents.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(len(cents)):
+            members = X[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cents
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (cosine) with an
+    Arrow-batched vectorized matmul — one numpy GEMM per batch, no
+    per-row Python. Output: (id, cell, vec)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    cents = [[float(x) for x in c] for c in centroids]
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("cell", T.IntegerType()),
+            df.schema[vec_col],
+        ]
+    )
+
+    def fn(batches):
+        C = np.array(cents, dtype=np.float64).T  # (dim, n_cents)
+        for pdf in batches:
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            cell = np.argmax(X @ C, axis=1).astype("int32")
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "cell": cell, vec_col: pdf[vec_col]}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(fn, out_schema)
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: probe only the n_probe cells nearest the
+    query — the IVF scale path (brute force scans 1/(n_centroids/
+    n_probe) of the table; with n_probe == n_centroids this is EXACTLY
+    cosine_topk, which is how the correctness oracle validates it)."""
+    import numpy as np
+
+    cents = kmeans_centroids(df, vec_col, id_col, n_centroids)
+    q = np.array(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    order = np.argsort(-(cents @ qn))
+    probe = [int(c) for c in order[: min(n_probe, len(cents))]]
+
+    assigned = ivf_assign(df, cents, vec_col, id_col)
+    candidates = assigned.filter(F.col("cell").isin(probe))
+    return cosine_topk(candidates, query_vec, k, vec_col, id_col)
+
+
 def sql_cosine_topk(table: str, query_vec: list[float], k: int,
                     vec_col: str = "embedding", id_col: str = "vec_id") -> str:
     """DuckDB twin of cosine_topk (same fold order, same rounding)."""
