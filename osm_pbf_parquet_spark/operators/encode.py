@@ -166,6 +166,32 @@ def make_encode_fn(
         import pyarrow.compute as pc
 
         acc: dict[int, dict] = {}
+
+        def feed(pid: int, sub: pa.Table):
+            """Accumulate toward the byte target, slicing incoming
+            tables so a group never overshoots by more than one row —
+            the reference's batch cut (src/sink.rs:100-106) at exact
+            granularity rather than arrival-batch granularity."""
+            st = acc.setdefault(pid, {"tables": [], "bytes": 0, "seq": 0})
+            while sub.num_rows:
+                room = target_chunk_bytes - st["bytes"]
+                if sub.nbytes <= room:
+                    st["tables"].append(sub)
+                    st["bytes"] += sub.nbytes
+                    break
+                take = max(1, int(sub.num_rows * room / sub.nbytes))
+                st["tables"].append(sub.slice(0, take))
+                st["bytes"] += target_chunk_bytes  # force the cut below
+                sub = sub.slice(take)
+                if st["bytes"] >= target_chunk_bytes:
+                    yield _encode_group(pid, st["seq"], st["tables"], codecs, zstd_level)
+                    st["tables"], st["bytes"] = [], 0
+                    st["seq"] += 1
+            if st["bytes"] >= target_chunk_bytes and st["tables"]:
+                yield _encode_group(pid, st["seq"], st["tables"], codecs, zstd_level)
+                st["tables"], st["bytes"] = [], 0
+                st["seq"] += 1
+
         for batch in batches:
             tbl = pa.Table.from_batches([batch])
             pid_arr = tbl.column(PID_COL)
@@ -180,13 +206,7 @@ def make_encode_fn(
                 sub = data if len(uniq) == 1 else data.filter(
                     pc.equal(pid_arr, pid_scalar)
                 )
-                st = acc.setdefault(pid, {"tables": [], "bytes": 0, "seq": 0})
-                st["tables"].append(sub)
-                st["bytes"] += sub.nbytes
-                if st["bytes"] >= target_chunk_bytes:
-                    yield _encode_group(pid, st["seq"], st["tables"], codecs, zstd_level)
-                    st["tables"], st["bytes"] = [], 0
-                    st["seq"] += 1
+                yield from feed(pid, sub)
         for pid, st in acc.items():
             if st["tables"]:
                 yield _encode_group(pid, st["seq"], st["tables"], codecs, zstd_level)

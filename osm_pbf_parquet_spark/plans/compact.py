@@ -1,0 +1,139 @@
+"""Chunk compaction: merge a partition's many small chunk groups into
+one — the engine's answer to the reference's sink pooling (reference
+src/pbf.rs:145-163), whose entire purpose is avoiding tiny output
+files. Here the fix is a maintenance operator instead of runtime
+pooling: decode + re-encode happen FUSED inside one mapInArrow pass
+(chunk rows in → chunk rows out, no intermediate row shuffle), and the
+new manifest commit supersedes the old one (read_manifest is
+last-wins), making the old chunks invisible without deleting anything
+— the same append-only supersede an Iceberg rewrite-data-files action
+performs.
+
+Compacting also improves compression: one dictionary/symbol-table per
+partition instead of one per small chunk.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import uuid
+from collections.abc import Iterator
+
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.codecs import decode_array
+from ..operators.encode import CHUNKS_SPARK_SCHEMA, _encode_group
+from .manifest import (
+    chunks_dir,
+    commit_manifest,
+    read_manifest,
+    summarize_chunks,
+)
+
+
+def make_compact_fn(codecs: dict[str, str] | None, zstd_level: int):
+    def compact_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # pid → seq → col_idx → (column, codec, params, payload)
+        per_pid: dict[int, dict[int, dict[int, tuple]]] = {}
+        for batch in batches:
+            cols = {n: batch.column(n) for n in batch.schema.names}
+            for i in range(batch.num_rows):
+                pid = cols["partition_id"][i].as_py()
+                seq = cols["chunk_seq"][i].as_py()
+                per_pid.setdefault(pid, {}).setdefault(seq, {})[
+                    cols["col_idx"][i].as_py()
+                ] = (
+                    cols["column"][i].as_py(),
+                    cols["codec"][i].as_py(),
+                    cols["params"][i].as_py(),
+                    cols["payload"][i].as_py(),
+                )
+            del cols
+        for pid in sorted(per_pid):
+            seqs = per_pid[pid]
+            col_order = sorted(next(iter(seqs.values())))
+            arrays, names = [], []
+            for idx in col_order:
+                pieces = []
+                for seq in sorted(seqs):
+                    column, codec, params, payload = seqs[seq][idx]
+                    pieces.append(decode_array(codec, params, payload))
+                arrays.append(
+                    pieces[0] if len(pieces) == 1 else pa.concat_arrays(pieces)
+                )
+                names.append(seqs[sorted(seqs)[0]][idx][0])
+            tbl = pa.table(dict(zip(names, arrays)))
+            yield _encode_group(pid, 0, [tbl], codecs, zstd_level)
+
+    return compact_fn
+
+
+def compact_partitions(
+    spark: SparkSession,
+    out_dir: str,
+    snapshot_id: str = "snap-0",
+    min_chunks: int = 2,
+    codecs: dict[str, str] | None = None,
+    zstd_level: int = 3,
+    num_partitions: int | None = None,
+) -> dict:
+    """Rewrite every committed partition with ≥ min_chunks chunk groups
+    into a single group; append + supersede, idempotent and crash-safe
+    (an interrupted compaction leaves only invisible orphan chunks)."""
+    manifest = read_manifest(spark, out_dir)
+    if manifest is None:
+        return {"compacted_partitions": 0}
+    targets = manifest.filter(
+        (F.col("snapshot_id") == snapshot_id)
+        & (F.col("status") == "done")
+        & (F.col("n_chunks") >= min_chunks)
+    ).select("partition_id", "run_id")
+    n_targets = targets.count()
+    if n_targets == 0:
+        return {"compacted_partitions": 0}
+
+    cdir = chunks_dir(out_dir)
+    visible = spark.read.parquet(cdir).join(
+        F.broadcast(targets), ["partition_id", "run_id"], "left_semi"
+    )
+    n = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    run_id = uuid.uuid4().hex[:12]
+    compacted = (
+        visible.repartition(n, "partition_id")
+        .mapInArrow(make_compact_fn(codecs, zstd_level), CHUNKS_SPARK_SCHEMA)
+        .withColumn("run_id", F.lit(run_id))
+    )
+    compacted.write.mode("append").parquet(cdir)
+
+    written = spark.read.parquet(cdir).filter(F.col("run_id") == run_id)
+    agg = summarize_chunks(written).collect()
+    now = time.time()
+    rows = [
+        {
+            "snapshot_id": snapshot_id,
+            "partition_id": r["partition_id"],
+            "run_id": run_id,
+            "n_rows": r["n_rows"],
+            "n_chunks": r["n_chunks"],
+            "bytes_in": r["bytes_in"],
+            "bytes_out": r["bytes_out"],
+            "codecs": json.dumps(dict(r["codec_map"]), sort_keys=True),
+            "checksum": r["checksum"],
+            "committed_at": now,
+            "status": "done",
+        }
+        for r in agg
+    ]
+    if rows:
+        commit_manifest(rows, out_dir, run_id)
+    return {
+        "compacted_partitions": len(rows),
+        "run_id": run_id,
+        "bytes_out": int(sum(r["bytes_out"] for r in rows)),
+    }

@@ -75,7 +75,14 @@ def commit_manifest(rows: list[dict], out_dir: str, run_id: str) -> str:
 
 
 def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame | None:
-    """Committed manifest, deduped to the first commit per partition."""
+    """Committed manifest, deduped to the LATEST commit per partition.
+
+    Last-wins makes compaction a plain append: a compacted partition's
+    new manifest row supersedes the original, and its old chunks become
+    invisible through the (partition_id, run_id) semi-join. Concurrent
+    double-commits of the same partition are safe either way — both
+    runs encoded the same row set.
+    """
     mdir = _manifest_dir(out_dir)
     if not os.path.isdir(mdir) or not any(
         f.endswith(".parquet") for f in os.listdir(mdir)
@@ -84,7 +91,9 @@ def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame | None:
     raw = spark.read.parquet(mdir)
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("snapshot_id", "partition_id").orderBy("committed_at")
+    w = Window.partitionBy("snapshot_id", "partition_id").orderBy(
+        F.col("committed_at").desc(), F.col("run_id").desc()
+    )
     return (
         raw.withColumn("__rn__", F.row_number().over(w))
         .filter(F.col("__rn__") == 1)
