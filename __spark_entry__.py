@@ -299,7 +299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def median_nchars(s, d):
         docs = _load(s, d, "documents")
         return docs.groupBy("lang").agg(
-            F.expr("percentile(n_chars, 0.5)").alias("median_chars"),
+            F.round(F.expr("percentile(n_chars, 0.5)"), 2).alias("median_chars"),
             F.count("*").alias("n"),
         )
 
@@ -581,7 +581,7 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
     """
     o["median_nchars"] = """
-        SELECT lang, quantile_cont(n_chars, 0.5) AS median_chars,
+        SELECT lang, round(quantile_cont(n_chars, 0.5), 2) AS median_chars,
                count(*) AS n
         FROM documents GROUP BY lang
     """

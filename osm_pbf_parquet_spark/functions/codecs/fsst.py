@@ -8,11 +8,12 @@ literal byte.
 
 Everything is numpy-vectorized:
 
-* encode — one pass builds a uint64 rolling 8-byte window per position;
-  longest-match lookup is a masked searchsorted per symbol length; the
-  greedy left-to-right tokenization (inherently sequential) is solved
-  with pointer-doubling over the "next token start" array in O(n log n)
-  vector ops instead of a per-token Python loop.
+* encode — 256 KiB blocks build a uint64 rolling 8-byte window and do
+  longest-match lookup via single-probe open-addressed hash tables (one
+  per symbol length, cache-resident); the greedy left-to-right
+  tokenization (inherently sequential) is solved with pointer-doubling
+  over the "next token start" array in O(n log n) vector ops instead of
+  a per-token Python loop.
 * decode — escape positions are recovered with a run-parity argument
   (every maximal run of 0xFF bytes starts with an escape and alternates
   escape/literal), then symbol bytes are scattered with ragged-arange
@@ -70,17 +71,6 @@ def build_symbol_table(sample: bytes, max_symbols: int = MAX_SYMBOLS) -> list[by
     for b, _ in byte_counts.most_common(min(64, max_symbols - len(table))):
         table.append(bytes([b]))
     return table[:max_symbols]
-
-
-def _rolling_windows(data: np.ndarray) -> np.ndarray:
-    """uint64 little-endian 8-byte window starting at each position."""
-    n = len(data)
-    padded = np.zeros(n + MAX_SYM_LEN, dtype=np.uint8)
-    padded[:n] = data
-    w = np.zeros(n, dtype=np.uint64)
-    for j in range(MAX_SYM_LEN):
-        w |= padded[j : j + n].astype(np.uint64) << np.uint64(8 * j)
-    return w
 
 
 def _sym_key(sym: bytes) -> int:

@@ -122,6 +122,46 @@ def ivf_assign(
     return df.select(id_col, vec_col).mapInPandas(fn, out_schema)
 
 
+def ivf_index(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    cache: bool = True,
+):
+    """Build the IVF index ONCE: (centroids, cell-assigned table).
+    The assigned table is cached (and at scale would be persisted,
+    partitioned by cell) so each query touches only its probed cells —
+    without reuse, assignment would cost a full scan per query and the
+    'scale path' would be slower than brute force."""
+    cents = kmeans_centroids(df, vec_col, id_col, n_centroids)
+    assigned = ivf_assign(df, cents, vec_col, id_col)
+    if cache:
+        assigned = assigned.cache()
+    return cents, assigned
+
+
+def ivf_search(
+    index,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k against a prebuilt ivf_index: rank centroids
+    by query similarity, scan only the n_probe nearest cells."""
+    import numpy as np
+
+    cents, assigned = index
+    q = np.array(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    order = np.argsort(-(cents @ qn))
+    probe = [int(c) for c in order[: min(n_probe, len(cents))]]
+    candidates = assigned.filter(F.col("cell").isin(probe))
+    return cosine_topk(candidates, query_vec, k, vec_col, id_col)
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -130,22 +170,15 @@ def ivf_topk(
     n_probe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    index=None,
 ) -> DataFrame:
-    """Approximate top-k: probe only the n_probe cells nearest the
-    query — the IVF scale path (brute force scans 1/(n_centroids/
-    n_probe) of the table; with n_probe == n_centroids this is EXACTLY
-    cosine_topk, which is how the correctness oracle validates it)."""
-    import numpy as np
-
-    cents = kmeans_centroids(df, vec_col, id_col, n_centroids)
-    q = np.array(query_vec, dtype=np.float64)
-    qn = q / max(np.linalg.norm(q), 1e-12)
-    order = np.argsort(-(cents @ qn))
-    probe = [int(c) for c in order[: min(n_probe, len(cents))]]
-
-    assigned = ivf_assign(df, cents, vec_col, id_col)
-    candidates = assigned.filter(F.col("cell").isin(probe))
-    return cosine_topk(candidates, query_vec, k, vec_col, id_col)
+    """One-shot convenience: build (or reuse via `index=`) an IVF index
+    and search it. With n_probe == n_centroids the result is EXACTLY
+    cosine_topk, which is how the correctness oracle validates the
+    whole machinery."""
+    if index is None:
+        index = ivf_index(df, vec_col, id_col, n_centroids, cache=False)
+    return ivf_search(index, query_vec, k, n_probe, vec_col, id_col)
 
 
 def sql_cosine_topk(table: str, query_vec: list[float], k: int,

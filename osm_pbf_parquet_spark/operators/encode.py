@@ -104,9 +104,16 @@ def _chunk_stats(col) -> tuple[str | None, str | None]:
     if not prunable or col.null_count == len(col) or len(col) == 0:
         return None, None
     mm = pc.min_max(col)
-    lo, hi = mm["min"].as_py(), mm["max"].as_py()
+    if mm["min"].as_py() is None:  # e.g. all-NaN float chunk
+        return None, None
     if pa.types.is_timestamp(t) or pa.types.is_date(t):
-        lo, hi = mm["min"].cast(pa.int64()).as_py(), mm["max"].cast(pa.int64()).as_py()
+        # temporal scalars expose the raw int (µs/ms/days) as .value
+        return str(mm["min"].value), str(mm["max"].value)
+    lo, hi = mm["min"].as_py(), mm["max"].as_py()
+    if pa.types.is_floating(t) and pc.any(pc.is_nan(col)).as_py():
+        # Spark orders NaN above every double, so a NaN-bearing chunk
+        # must survive any lower-bound predicate
+        hi = float("inf")
     return str(lo), str(hi)
 
 

@@ -56,18 +56,25 @@ def prune_by_range(
     """
     lo_c = F.col("stat_min").cast("double") if numeric else F.col("stat_min")
     hi_c = F.col("stat_max").cast("double") if numeric else F.col("stat_max")
-    cond = F.col("column") == column
-    keep = F.lit(True)
+    # DISQUALIFY groups whose stats provably miss the range, then
+    # anti-join: groups with no stats, no row for `column`, or an
+    # unknown column name are all conservatively KEPT (a semi-join on
+    # qualifiers would silently drop everything on a typo'd column)
+    miss = F.lit(False)
     if lower is not None:
-        keep = keep & (hi_c >= F.lit(lower))
+        miss = miss | (hi_c < F.lit(lower))
     if upper is not None:
-        keep = keep & (lo_c <= F.lit(upper))
-    qualifying = (
-        chunks_df.filter(cond & (F.col("stat_min").isNull() | keep))
+        miss = miss | (lo_c > F.lit(upper))
+    disqualified = (
+        chunks_df.filter(
+            (F.col("column") == column) & F.col("stat_min").isNotNull() & miss
+        )
         .select(*_group_keys(chunks_df))
         .distinct()
     )
-    return chunks_df.join(F.broadcast(qualifying), _group_keys(chunks_df), "left_semi")
+    return chunks_df.join(
+        F.broadcast(disqualified), _group_keys(chunks_df), "left_anti"
+    )
 
 
 def decode_columns(

@@ -15,8 +15,6 @@ partition instead of one per small chunk.
 
 from __future__ import annotations
 
-import json
-import time
 import uuid
 from collections.abc import Iterator
 
@@ -29,13 +27,14 @@ from ..functions.codecs import decode_array
 from ..operators.encode import CHUNKS_SPARK_SCHEMA, _encode_group
 from .manifest import (
     chunks_dir,
-    commit_manifest,
+    commit_summary,
     read_manifest,
     summarize_chunks,
 )
 
 
-def make_compact_fn(codecs: dict[str, str] | None, zstd_level: int):
+def make_compact_fn(codecs: dict[str, str] | None, zstd_level: int,
+                    target_chunk_bytes: int):
     def compact_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         # pid → seq → col_idx → (column, codec, params, payload)
         per_pid: dict[int, dict[int, dict[int, tuple]]] = {}
@@ -67,7 +66,19 @@ def make_compact_fn(codecs: dict[str, str] | None, zstd_level: int):
                 )
                 names.append(seqs[sorted(seqs)[0]][idx][0])
             tbl = pa.table(dict(zip(names, arrays)))
-            yield _encode_group(pid, 0, [tbl], codecs, zstd_level)
+            # re-cut at the byte target: compaction merges small groups
+            # but must not fuse a huge partition into one unbounded
+            # chunk (per-group memory stays O(target_chunk_bytes))
+            if tbl.nbytes <= target_chunk_bytes or tbl.num_rows <= 1:
+                yield _encode_group(pid, 0, [tbl], codecs, zstd_level)
+            else:
+                rows_per = max(1, int(tbl.num_rows * target_chunk_bytes / tbl.nbytes))
+                seq = 0
+                for off in range(0, tbl.num_rows, rows_per):
+                    yield _encode_group(
+                        pid, seq, [tbl.slice(off, rows_per)], codecs, zstd_level
+                    )
+                    seq += 1
 
     return compact_fn
 
@@ -80,6 +91,7 @@ def compact_partitions(
     codecs: dict[str, str] | None = None,
     zstd_level: int = 3,
     num_partitions: int | None = None,
+    target_chunk_bytes: int | None = None,
 ) -> dict:
     """Rewrite every committed partition with ≥ min_chunks chunk groups
     into a single group; append + supersede, idempotent and crash-safe
@@ -103,35 +115,25 @@ def compact_partitions(
     n = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
+    if target_chunk_bytes is None:
+        from ..config import derive_chunk_target
+
+        target_chunk_bytes = derive_chunk_target(spark)
     run_id = uuid.uuid4().hex[:12]
     compacted = (
         visible.repartition(n, "partition_id")
-        .mapInArrow(make_compact_fn(codecs, zstd_level), CHUNKS_SPARK_SCHEMA)
+        .mapInArrow(
+            make_compact_fn(codecs, zstd_level, target_chunk_bytes),
+            CHUNKS_SPARK_SCHEMA,
+        )
         .withColumn("run_id", F.lit(run_id))
     )
     compacted.write.mode("append").parquet(cdir)
 
     written = spark.read.parquet(cdir).filter(F.col("run_id") == run_id)
-    agg = summarize_chunks(written).collect()
-    now = time.time()
-    rows = [
-        {
-            "snapshot_id": snapshot_id,
-            "partition_id": r["partition_id"],
-            "run_id": run_id,
-            "n_rows": r["n_rows"],
-            "n_chunks": r["n_chunks"],
-            "bytes_in": r["bytes_in"],
-            "bytes_out": r["bytes_out"],
-            "codecs": json.dumps(dict(r["codec_map"]), sort_keys=True),
-            "checksum": r["checksum"],
-            "committed_at": now,
-            "status": "done",
-        }
-        for r in agg
-    ]
-    if rows:
-        commit_manifest(rows, out_dir, run_id)
+    rows = commit_summary(
+        summarize_chunks(written).collect(), out_dir, snapshot_id, run_id
+    )
     return {
         "compacted_partitions": len(rows),
         "run_id": run_id,

@@ -135,6 +135,31 @@ def summarize_chunks(written: DataFrame) -> DataFrame:
     )
 
 
+def commit_summary(agg_rows, out_dir: str, snapshot_id: str, run_id: str) -> list[dict]:
+    """Build + atomically commit manifest rows from summarize_chunks
+    output — shared by encode_job and compact_partitions."""
+    now = time.time()
+    rows = [
+        {
+            "snapshot_id": snapshot_id,
+            "partition_id": r["partition_id"],
+            "run_id": run_id,
+            "n_rows": r["n_rows"],
+            "n_chunks": r["n_chunks"],
+            "bytes_in": r["bytes_in"],
+            "bytes_out": r["bytes_out"],
+            "codecs": json.dumps(dict(r["codec_map"]), sort_keys=True),
+            "checksum": r["checksum"],
+            "committed_at": now,
+            "status": "done",
+        }
+        for r in agg_rows
+    ]
+    if rows:
+        commit_manifest(rows, out_dir, run_id)
+    return rows
+
+
 def encode_job(
     spark: SparkSession,
     df: DataFrame,
@@ -196,26 +221,9 @@ def encode_job(
 
     # manifest rows derived from the durable chunks of THIS run
     written = spark.read.parquet(cdir).filter(F.col("run_id") == run_id)
-    agg = summarize_chunks(written).collect()
-    now = time.time()
-    rows = [
-        {
-            "snapshot_id": snapshot_id,
-            "partition_id": r["partition_id"],
-            "run_id": run_id,
-            "n_rows": r["n_rows"],
-            "n_chunks": r["n_chunks"],
-            "bytes_in": r["bytes_in"],
-            "bytes_out": r["bytes_out"],
-            "codecs": json.dumps(dict(r["codec_map"]), sort_keys=True),
-            "checksum": r["checksum"],
-            "committed_at": now,
-            "status": "done",
-        }
-        for r in agg
-    ]
-    if rows:
-        commit_manifest(rows, out_dir, run_id)
+    rows = commit_summary(
+        summarize_chunks(written).collect(), out_dir, snapshot_id, run_id
+    )
     return {
         "run_id": run_id,
         "rows_seen": progress.value,

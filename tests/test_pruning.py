@@ -77,3 +77,41 @@ def test_column_filter_pushes_down(spark, sf_dir, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PushedFilters: [" in plan and ("In(column" in plan or "EqualTo(column" in plan), plan
+
+
+def test_prune_unknown_column_keeps_everything(spark, sf_dir):
+    """A typo'd/absent column name must keep all chunks, never drop them."""
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    chunks = encode_dataframe(src, key_col="doc_id", num_partitions=2)
+    pruned = prune_by_range(chunks, "no_such_column", lower=0)
+    assert pruned.count() == chunks.count()
+
+
+def test_prune_keeps_nan_rows_for_lower_bound(spark):
+    """Spark orders NaN above every double: a NaN-bearing chunk must
+    survive any lower-bound predicate (arrow min/max skip NaNs)."""
+    import math
+
+    df = spark.createDataFrame(
+        [(0, 1.0), (1, 2.0), (2, float("nan"))], ["id", "value"]
+    ).coalesce(1)
+    chunks = encode_dataframe(df, key_col="id", num_partitions=1)
+    pruned = prune_by_range(chunks, "value", lower=10.0)
+    dec = decode_dataframe(pruned, df.schema)
+    got = dec.filter(F.col("value") >= 10.0).collect()
+    assert len(got) == 1 and math.isnan(got[0]["value"])
+
+
+def test_encode_date_column_has_stats(spark):
+    """date32 zone-map stats must not crash the encode (regression)."""
+    import datetime
+
+    df = spark.createDataFrame(
+        [(0, datetime.date(2020, 1, 2)), (1, datetime.date(2021, 3, 4))],
+        ["id", "d"],
+    )
+    chunks = encode_dataframe(df, key_col="id", num_partitions=1)
+    row = {r["column"]: r for r in chunks.collect()}["d"]
+    assert row["stat_min"] is not None and int(row["stat_min"]) <= int(row["stat_max"])
+    dec = decode_dataframe(spark.createDataFrame(chunks.collect(), chunks.schema), df.schema)
+    assert dec.count() == 2
