@@ -115,3 +115,21 @@ def test_encode_date_column_has_stats(spark):
     assert row["stat_min"] is not None and int(row["stat_min"]) <= int(row["stat_max"])
     dec = decode_dataframe(spark.createDataFrame(chunks.collect(), chunks.schema), df.schema)
     assert dec.count() == 2
+
+
+def test_prune_string_range_lexicographic(spark, sf_dir, tmp_path):
+    """numeric=False prunes on string min/max (lexicographic)."""
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet").orderBy("source")
+    d = str(tmp_path / "by_source")
+    src.coalesce(1).write.parquet(d)
+    clustered = spark.read.parquet(d).repartitionByRange(4, "source").sortWithinPartitions("source")
+    chunks = encode_input_partitions(clustered, target_chunk_bytes=64 << 10).cache()
+    total = chunks.select("partition_id", "chunk_seq").distinct().count()
+    pruned = prune_by_range(chunks, "source", lower="src5", upper="src5", numeric=False)
+    kept = pruned.select("partition_id", "chunk_seq").distinct().count()
+    assert kept < total, (kept, total)
+    dec = decode_dataframe(pruned, src.schema)
+    got = dec.filter(F.col("source") == "src5").count()
+    expected = src.filter(F.col("source") == "src5").count()
+    assert got == expected > 0
+    chunks.unpersist()
