@@ -146,6 +146,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["codec_float_value"] = lambda s, d: _roundtrip(
         s, d, "events", "event_id", ["event_id", "value"], {"value": "zstd"}
     )
+    q["codec_alp_price"] = lambda s, d: _roundtrip(
+        s, d, "lineitem", "l_orderkey", ["l_orderkey", "l_extendedprice"],
+        {"l_extendedprice": "alp"}
+    )
 
     def decode_columns_pruned(s, d):
         _utc(s)
@@ -521,6 +525,7 @@ def oracle_sql() -> dict[str, str]:
     o["codec_rle_linenumber"] = "SELECT l_orderkey, l_linenumber FROM lineitem"
     o["codec_dictint_suppkey"] = "SELECT l_orderkey, l_suppkey FROM lineitem"
     o["codec_float_value"] = "SELECT event_id, value FROM events"
+    o["codec_alp_price"] = "SELECT l_orderkey, l_extendedprice FROM lineitem"
     o["decode_columns_pruned"] = "SELECT doc_id, lang FROM documents"
 
     o["v1_dup_check"] = (

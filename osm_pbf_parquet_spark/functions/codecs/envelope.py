@@ -32,7 +32,7 @@ from .primitives import (
 )
 
 INT_CODECS = ("bitpack", "delta", "rle", "dictint", "plain", "zstd")
-FLOAT_CODECS = ("rle", "dictint", "plain", "zstd")
+FLOAT_CODECS = ("alp", "rle", "dictint", "plain", "zstd")
 STR_CODECS = ("str_dict", "str_fsst", "str_zstd", "str_plain", "plain", "zstd")
 OTHER_CODECS = ("plain", "zstd")
 
@@ -198,7 +198,24 @@ def _ipc_array(b: bytes) -> pa.Array:
         return r.read_all().column(0).combine_chunks()
 
 
+def _alp_encode_view(iv):
+    """ALP over the float64 bit view the envelope hands float kernels.
+    On float32 columns the view is garbage floats, so everything lands
+    in the bit-exact patch list — still a correct round-trip, just one
+    the selector never picks."""
+    from . import alp as _alp
+
+    return _alp.alp_encode(iv.view(np.float64))
+
+
+def _alp_decode_view(params, payload):
+    from . import alp as _alp
+
+    return _alp.alp_decode(params, payload)
+
+
 _INT_KERNELS = {
+    "alp": (_alp_encode_view, _alp_decode_view),
     "bitpack": (ic.bitpack_encode, ic.bitpack_decode),
     "delta": (ic.delta_encode, ic.delta_decode),
     "rle": (ic.rle_encode, ic.rle_decode),

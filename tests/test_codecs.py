@@ -94,7 +94,7 @@ FLOAT_ARRAYS = {
 
 
 @pytest.mark.parametrize("name", list(FLOAT_ARRAYS))
-@pytest.mark.parametrize("codec", ["rle", "dictint", "plain", "zstd", None])
+@pytest.mark.parametrize("codec", ["alp", "rle", "dictint", "plain", "zstd", None])
 def test_float_roundtrip(name, codec):
     roundtrip(FLOAT_ARRAYS[name], codec)
 
@@ -195,6 +195,13 @@ def test_selector_picks_run_codec_for_runs():
     assert choose_codec(arr, classify(arr.type)) in ("rle", "delta", "zstd")
     name, _, payload = encode_array(arr)
     assert len(payload) < len(arr) * 8 / 100
+
+
+def test_selector_picks_alp_for_decimal_prices():
+    arr = pa.array(np.round(RNG.uniform(1, 100000, 50_000), 2))
+    assert choose_codec(arr, classify(arr.type)) == "alp"
+    name, _, payload = encode_array(arr, "alp")
+    assert len(payload) < arr.nbytes / 2
 
 
 def test_selector_picks_delta_for_sorted_timestamps():

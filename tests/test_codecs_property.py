@@ -53,7 +53,8 @@ def test_int64_roundtrip_any(values):
 @SETTINGS
 @given(st.lists(opt_float, max_size=300))
 def test_float_roundtrip_any(values):
-    check(pa.array(values, type=pa.float64()), ("rle", "dictint", "plain", "zstd"))
+    check(pa.array(values, type=pa.float64()),
+          ("alp", "rle", "dictint", "plain", "zstd"))
 
 
 @SETTINGS
