@@ -257,6 +257,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["window_first_event"] = window_first_event
 
+    def sessionize_events(s, d):
+        """Gap-based sessionization (30-min inactivity closes a
+        session): lag + cumulative sum window — the standard
+        streaming-analytics shape, expressed batch-side."""
+        from pyspark.sql.window import Window
+
+        _utc(s)
+        ev = _load(s, d, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = F.unix_micros(F.col("ts").cast("timestamp")) - F.lag(
+            F.unix_micros(F.col("ts").cast("timestamp")), 1
+        ).over(w)
+        new_sess = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
+        sess = ev.withColumn("sess_no", F.sum(new_sess).over(w))
+        return (
+            sess.groupBy("user_id", "sess_no")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("session_value"))
+        )
+
+    q["sessionize_events"] = sessionize_events
+
     def tpch_q6(s, d):
         li = _load(s, d, "lineitem")
         return li.filter(
@@ -414,6 +436,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return docs.select("doc_id", token_count(F.col("text")).alias("n_tokens"))
 
     q["text_token_count"] = text_token_count_q
+
+    def text_bpe_tokens_q(s, d):
+        from osm_pbf_parquet_spark.functions.text import bpe_token_count
+
+        docs = _load(s, d, "documents")
+        return docs.select("doc_id", bpe_token_count(F.col("text")).alias("n_bpe"))
+
+    q["text_bpe_tokens"] = text_bpe_tokens_q
 
     def text_lang_id_q(s, d):
         from osm_pbf_parquet_spark.functions.text import lang_predict
@@ -604,6 +634,23 @@ def oracle_sql() -> dict[str, str]:
         ) WHERE rn = 1
     """
 
+    o["sessionize_events"] = """
+        WITH g AS (
+          SELECT user_id, event_id, ts, value,
+                 epoch_us(ts) - lag(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+          FROM events
+        ), s AS (
+          SELECT user_id, value,
+                 sum(CASE WHEN gap IS NULL OR gap > 30*60*1000000 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS sess_no
+          FROM g
+        )
+        SELECT user_id, sess_no, count(*) AS n_events,
+               round(sum(value), 2) AS session_value
+        FROM s GROUP BY user_id, sess_no
+    """
     o["dedup_exact"] = "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
     o["dedup_ngram_jaccard"] = """
         WITH sh AS (
@@ -639,6 +686,10 @@ def oracle_sql() -> dict[str, str]:
 
     o["text_token_count"] = (
         f"SELECT doc_id, {sql_token_count('text')} AS n_tokens FROM documents"
+    )
+    from osm_pbf_parquet_spark.functions.text import sql_bpe_token_count
+    o["text_bpe_tokens"] = (
+        f"SELECT doc_id, {sql_bpe_token_count('text')} AS n_bpe FROM documents"
     )
     o["text_lang_id"] = (
         f"SELECT doc_id, {sql_lang_predict('text')} AS lang_pred FROM documents"

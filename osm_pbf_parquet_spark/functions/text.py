@@ -14,6 +14,10 @@ from pyspark.sql import functions as F
 
 # shared with the SQL oracles — keep both sides in lockstep
 TOKEN_RE = r"\S+"
+# BPE-ish pre-tokenization (GPT-2-style, simplified to the portable
+# subset both Java regex and RE2 support): letter runs, digit runs,
+# and single punctuation marks each become one token
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "in"],
     "de": ["der", "die", "und", "das", "ist"],
@@ -24,6 +28,14 @@ STOPWORDS = {
 def token_count(col: Column) -> Column:
     """Whitespace token count; empty/null-safe (empty → 0)."""
     return F.size(F.regexp_extract_all(F.coalesce(col, F.lit("")), F.lit(TOKEN_RE), F.lit(0)))
+
+
+def bpe_token_count(col: Column) -> Column:
+    """BPE-ish token count (letters/digits/punct pre-tokenization) —
+    the sub-word-budget proxy a training pipeline actually bills by."""
+    return F.size(
+        F.regexp_extract_all(F.coalesce(col, F.lit("")), F.lit(BPE_RE), F.lit(0))
+    )
 
 
 def _word_hits(col: Column, words: list[str]) -> Column:
@@ -66,6 +78,10 @@ def fingerprint(col: Column) -> Column:
 
 def sql_token_count(col: str) -> str:
     return f"len(regexp_extract_all(coalesce({col}, ''), '{TOKEN_RE}'))"
+
+
+def sql_bpe_token_count(col: str) -> str:
+    return f"len(regexp_extract_all(coalesce({col}, ''), '{BPE_RE}'))"
 
 
 def sql_word_hits(col: str, words: list[str]) -> str:
