@@ -279,6 +279,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sessionize_events"] = sessionize_events
 
+    def events_hourly(s, d):
+        """Tumbling 1-hour windows (F.window ≡ date_trunc for aligned
+        tumbling windows) — the bounded-batch face of the streaming
+        windowed-agg pattern."""
+        _utc(s)
+        ev = _load(s, d, "events")
+        return (
+            ev.groupBy(F.window(F.col("ts").cast("timestamp"), "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+            .select(F.col("w.start").alias("hour"), "n", "total")
+        )
+
+    q["events_hourly"] = events_hourly
+
     def tpch_q6(s, d):
         li = _load(s, d, "lineitem")
         return li.filter(
@@ -650,6 +664,11 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, sess_no, count(*) AS n_events,
                round(sum(value), 2) AS session_value
         FROM s GROUP BY user_id, sess_no
+    """
+    o["events_hourly"] = """
+        SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
+               round(sum(value), 2) AS total
+        FROM events GROUP BY 1
     """
     o["dedup_exact"] = "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
     o["dedup_ngram_jaccard"] = """
