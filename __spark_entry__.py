@@ -117,9 +117,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         s, d, "lineitem", "l_orderkey", num_partitions=16
     )
     q["rt_orders_auto"] = lambda s, d: _roundtrip(s, d, "orders", "o_orderkey")
-    q["rt_embeddings_nested"] = lambda s, d: _roundtrip(
-        s, d, "embeddings", "vec_id", num_partitions=4
-    )
+    def rt_embeddings_nested(s, d):
+        # Round-trip the nested list<float> column bit-exactly, then
+        # explode to scalar (vec_id, label, pos, value) rows: the
+        # driver's canonicalizer sorts pandas columns and list-typed
+        # cells are unhashable — scalar columns carry the same
+        # bit-fidelity proof in an oracle-comparable shape (V5).
+        rt = _roundtrip(s, d, "embeddings", "vec_id", num_partitions=4)
+        return rt.select(
+            "vec_id", "label", F.posexplode("embedding").alias("pos", "value")
+        )
+
+    q["rt_embeddings_nested"] = rt_embeddings_nested
     q["codec_dict_lang"] = lambda s, d: _roundtrip(
         s, d, "documents", "doc_id", ["doc_id", "lang"], {"lang": "str_dict"}
     )
@@ -271,10 +280,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).over(w)
         new_sess = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
         sess = ev.withColumn("sess_no", F.sum(new_sess).over(w))
+        # Sum integer cents (floor(value*100) is IEEE-deterministic on
+        # both engines) — summing doubles leaves the 2-dp rounding at
+        # the mercy of partial-aggregation order and flips boundary
+        # sessions' hashes.
+        cents = F.floor(F.col("value") * 100).cast("long")
         return (
-            sess.groupBy("user_id", "sess_no")
+            sess.withColumn("cents", cents)
+            .groupBy("user_id", "sess_no")
             .agg(F.count("*").alias("n_events"),
-                 F.round(F.sum("value"), 2).alias("session_value"))
+                 F.sum("cents").alias("session_cents"))
         )
 
     q["sessionize_events"] = sessionize_events
@@ -560,7 +575,11 @@ def oracle_sql() -> dict[str, str]:
         "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,"
         " o_orderpriority FROM orders"
     )
-    o["rt_embeddings_nested"] = "SELECT vec_id, embedding, label FROM embeddings"
+    o["rt_embeddings_nested"] = """
+        SELECT vec_id, label, g.i - 1 AS pos, embedding[g.i] AS value
+        FROM embeddings,
+             LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+    """
     o["codec_dict_lang"] = "SELECT doc_id, lang FROM documents"
     o["codec_fsst_text"] = "SELECT doc_id, text FROM documents"
     o["codec_zstd_text"] = "SELECT doc_id, text FROM documents"
@@ -577,9 +596,9 @@ def oracle_sql() -> dict[str, str]:
         " FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1)"
     )
     o["v2_outer_join"] = """
-        SELECT sum(CASE WHEN c.c_custkey IS NOT NULL AND o.o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS matched,
-               sum(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END) AS customer_only,
-               sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS order_only
+        SELECT CAST(sum(CASE WHEN c.c_custkey IS NOT NULL AND o.o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS matched,
+               CAST(sum(CASE WHEN o.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS customer_only,
+               CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS order_only
         FROM customer c FULL OUTER JOIN orders o ON c.c_custkey = o.o_custkey
     """
     o["v3_anti_join"] = (
@@ -662,7 +681,7 @@ def oracle_sql() -> dict[str, str]:
           FROM g
         )
         SELECT user_id, sess_no, count(*) AS n_events,
-               round(sum(value), 2) AS session_value
+               CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS session_cents
         FROM s GROUP BY user_id, sess_no
     """
     o["events_hourly"] = """
