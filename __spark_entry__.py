@@ -369,39 +369,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_exact"] = dedup_exact_q
 
     def dedup_ngram_jaccard_q(s, d):
+        # The operator applies the doc-frequency cut (> max_df docs →
+        # shingle dropped via broadcast anti-join of the Zipf head)
+        # before the shingle self-join; the oracle replicates the
+        # identical cut in SQL.
         from osm_pbf_parquet_spark.operators.dedup import ngram_jaccard_pairs
 
         docs = _load(s, d, "documents")
-        # doc-frequency cut (≤ 20 docs) keeps the shingle join bounded;
-        # the oracle applies the identical cut. Short/null texts yield
-        # an empty shingle set (Spark's sequence(1,0) counts DOWN,
-        # unlike DuckDB's generate_series — must be guarded).
-        sh = docs.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "CASE WHEN length(text) >= 6 THEN array_distinct("
-                    "transform(sequence(1, length(text) - 5),"
-                    " i -> substring(text, i, 6))) ELSE array() END"
-                )
-            ).alias("sh"),
-        )
-        rare = sh.groupBy("sh").agg(F.countDistinct("doc_id").alias("df_")).filter(
-            "df_ <= 20"
-        ).select("sh")
-        kept = sh.join(F.broadcast(rare), "sh")
-        sizes = kept.groupBy("doc_id").agg(F.count("*").alias("nsh"))
-        a, b = kept.alias("a"), kept.alias("b")
-        common = (
-            a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-            .agg(F.count("*").alias("common"))
-            .filter("common >= 3")
-        )
-        return (
-            common.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("nsh").alias("n_a")), "doc_a")
-            .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("nsh").alias("n_b")), "doc_b")
-            .select("doc_a", "doc_b", "common", "n_a", "n_b")
+        return ngram_jaccard_pairs(
+            docs, shingle_k=6, min_common=3, max_df=20
         )
 
     q["dedup_ngram_jaccard"] = dedup_ngram_jaccard_q
@@ -420,10 +396,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_simhash"] = dedup_simhash_q
 
+    def dedup_minhash_recall_q(s, d):
+        """MinHash-LSH recall against the EXACT truth set (reference
+        validate.py's golden-join pattern): truth = pairs with full
+        4-gram Jaccard ≥ 0.9 (integer-arithmetic filter, SQL twin),
+        result = truth ∩ LSH candidates. The oracle is the plain-SQL
+        truth set, so any LSH miss fails the row — recall must be
+        100% at this similarity."""
+        from osm_pbf_parquet_spark.operators.dedup import (
+            minhash_lsh_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        docs = _load(s, d, "documents")
+        truth = ngram_jaccard_pairs(
+            docs, shingle_k=4, min_common=2, max_df=None
+        ).filter(
+            10 * F.col("common") >= 9 * (F.col("n_a") + F.col("n_b") - F.col("common"))
+        ).select("doc_a", "doc_b")
+        cand = minhash_lsh_pairs(docs)
+        return truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+
+    q["dedup_minhash_recall"] = dedup_minhash_recall_q
+
+    def dedup_simhash_recall_q(s, d):
+        """SimHash recall on planted exact duplicates: identical text
+        ⇒ identical 64-bit signature ⇒ identical band slices, so the
+        banded join must surface every planted pair — the oracle is
+        the full planted set."""
+        from osm_pbf_parquet_spark.operators.dedup import simhash_pairs
+
+        docs = _load(s, d, "documents").select("doc_id", "text")
+        copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+        corpus = docs.union(copies)
+        planted = docs.filter(F.col("doc_id") % 10 == 0).select(
+            F.col("doc_id").alias("doc_a"),
+            (F.col("doc_id") + 1000000).alias("doc_b"),
+        )
+        return planted.join(simhash_pairs(corpus), ["doc_a", "doc_b"], "left_semi")
+
+    q["dedup_simhash_recall"] = dedup_simhash_recall_q
+
     def dedup_embedding_q(s, d):
+        """Hyperplane-LSH cosine near-dup with a full oracle: union the
+        corpus with perturbed copies (+0.001 on dim 0, id+100000); at
+        min_cos=0.9 the found pairs are exactly the planted ones (max
+        natural cosine in this table is ~0.51), so the LSH path
+        provably fires AND provably misses nothing."""
         from osm_pbf_parquet_spark.operators.dedup import embedding_lsh_pairs
 
-        return embedding_lsh_pairs(_load(s, d, "embeddings"), min_cos=0.5)
+        emb = _load(s, d, "embeddings").select("vec_id", "embedding")
+        pert = emb.select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(
+                    i == F.lit(0), (x + F.lit(0.001)).cast("float")
+                ).otherwise(x),
+            ).alias("embedding"),
+        )
+        return embedding_lsh_pairs(emb.union(pert), min_cos=0.9)
 
     q["dedup_embedding_lsh"] = dedup_embedding_q
 
@@ -711,6 +745,31 @@ def oracle_sql() -> dict[str, str]:
         FROM common
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
+    """
+
+    o["dedup_minhash_recall"] = """
+        WITH sh AS (
+          SELECT DISTINCT d.doc_id, substr(d.text, g.i::INT, 4) AS sh
+          FROM documents d,
+               LATERAL (SELECT unnest(generate_series(1, greatest(length(d.text) - 3, 0))) AS i) g
+        ),
+        sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+        common AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= 2
+        )
+        SELECT doc_a, doc_b FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE 10 * c >= 9 * (sa.nsh + sb.nsh - c)
+    """
+    o["dedup_simhash_recall"] = """
+        SELECT doc_id AS doc_a, doc_id + 1000000 AS doc_b
+        FROM documents WHERE doc_id % 10 = 0
+    """
+    o["dedup_embedding_lsh"] = """
+        SELECT vec_id AS vec_a, vec_id + 100000 AS vec_b FROM embeddings
     """
 
     o["similarity_topk"] = sql_cosine_topk("embeddings", QUERY_VEC, 10)

@@ -26,9 +26,27 @@ from pyspark.sql import functions as F
 MERSENNE31 = (1 << 31) - 1
 
 
-def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """One representative (min id) per distinct text."""
-    return df.groupBy(text_col).agg(F.min(id_col).alias(id_col)).select(id_col)
+def dedup_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_key: bool = True,
+) -> DataFrame:
+    """One representative (min id) per distinct text.
+
+    With ``hash_key`` (default) the shuffle key is sha2-256 of the text
+    rather than the text itself: at 100 TB the group-by would otherwise
+    move every full document through the exchange; 32-byte digests keep
+    the shuffle O(n·32B). Collision probability at 2⁻²⁵⁶ is far below
+    hardware corruption rates. ``hash_key=False`` keeps the literal-text
+    grouping for small/paranoid runs.
+    """
+    key = F.sha2(F.col(text_col), 256) if hash_key else F.col(text_col)
+    return (
+        df.groupBy(key.alias("_k"))
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
 
 
 def _char_shingles(text_col: str, k: int) -> F.Column:
@@ -82,8 +100,20 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs via banded LSH (doc_a < doc_b)."""
+    """Candidate near-duplicate pairs via banded LSH (doc_a < doc_b).
+
+    Buckets are built with ONE groupBy shuffle (collect ids per
+    (band, bucket-hash), generate each in-bucket pair once JVM-side)
+    rather than a banded self-join — halves the shuffled volume and
+    dedupes within each band for free; the final ``distinct()`` only
+    collapses pairs that collide in MULTIPLE bands (map-side partial
+    aggregation makes that cheap). ``max_bucket`` optionally drops
+    degenerate buckets (> max_bucket docs sharing a band hash — at web
+    scale those are boilerplate clusters whose O(bucket²) candidate
+    fan-out a downstream exact check would reject anyway).
+    """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
     banded = sig.select(
@@ -106,18 +136,21 @@ def minhash_lsh_pairs(
             ])
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.bh")
-    a = banded.alias("a")
-    b = banded.alias("b")
+    buckets = (
+        banded.groupBy("band", "bh")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
+    pairs = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "y -> named_struct('doc_a', x, 'doc_b', y))))"
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
-        )
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -203,16 +236,35 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_k: int = 4,
     min_common: int = 2,
+    max_df: int | None = 50,
 ) -> DataFrame:
     """EXACT Jaccard stats on distinct char n-grams (integer outputs:
     common, n_a, n_b — float-free so the DuckDB oracle hashes equal).
 
-    Pairs sharing < min_common shingles are pruned inside the join —
-    at scale add a frequency cut on ubiquitous shingles first.
+    ``max_df`` drops shingles appearing in more than that many docs
+    BEFORE the shingle self-join: without it a ubiquitous shingle
+    ("the ", "ing ") contributes df² join rows and the pair space
+    explodes at corpus scale — the cut bounds each shingle's fan-out at
+    max_df². The frequent set is tiny (Zipf head), so it is removed
+    with a broadcast anti-join — broadcasting the *rare* set (the Zipf
+    tail, nearly all shingles) would be the wrong side at 100 TB.
+    Jaccard stats are then over each doc's rare-shingle set (n_a/n_b
+    count surviving shingles). ``max_df=None`` disables the cut.
+
+    ``_char_shingles`` already array_distinct-s per doc, so the explode
+    emits unique (doc, shingle) rows — no global distinct needed.
     """
     sh = df.select(
         id_col, F.explode(_char_shingles(text_col, shingle_k)).alias("sh")
-    ).distinct()
+    )
+    if max_df is not None:
+        frequent = (
+            sh.groupBy("sh")
+            .agg(F.count("*").alias("df_"))
+            .filter(F.col("df_") > max_df)
+            .select("sh")
+        )
+        sh = sh.join(F.broadcast(frequent), "sh", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("nsh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
