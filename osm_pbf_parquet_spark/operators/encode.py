@@ -282,52 +282,84 @@ def encode_input_partitions(
     )
 
 
+def verify_checksum(payload: bytes, checksum: str | None, ctx: str = "") -> None:
+    """Fail loudly on chunk-store corruption: the crc32 written at
+    encode time (src/sink.rs analog: parquet page checksums) must match
+    before any payload is decoded."""
+    if checksum is not None and f"{zlib.crc32(payload):08x}" != checksum:
+        raise ValueError(
+            f"chunk payload checksum mismatch {ctx}: stored {checksum}, "
+            f"computed {zlib.crc32(payload):08x} — chunk store is corrupt"
+        )
+
+
 def make_decode_fn(field_names: list[str]):
     """Inverse transform: chunk rows → original-schema record batches.
 
     The chunk-group key includes run_id (when present) so chunks from
     different committed runs/snapshots sharing a partition_id — the
     normal multi-epoch streaming store — never collide.
+
+    Groups are decoded and yielded AS SOON as all len(field_names)
+    column cells have arrived, so steady-state task memory is bounded
+    by the in-flight incomplete groups (cells of one chunk group are
+    written adjacently, so they normally arrive adjacently), not by
+    the whole task's input — the decode-side twin of the encode path's
+    target_chunk_bytes bound. Every payload's crc32 is verified against
+    the stored checksum before decode.
     """
+    expected = len(field_names)
+
+    def _emit(key: tuple, by_idx: dict[int, tuple]) -> pa.RecordBatch:
+        n_rows = {e[3] for e in by_idx.values()}
+        if len(n_rows) != 1:
+            raise ValueError(f"inconsistent n_rows {n_rows} in chunk group {key}")
+        arrays = [
+            decode_array(*by_idx[idx][:3]) for idx in sorted(by_idx)
+        ]
+        return pa.record_batch(arrays, names=field_names)
 
     def decode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         groups: dict[tuple, dict[int, tuple]] = {}
         for batch in batches:
             cols = {n: batch.column(n) for n in batch.schema.names}
             run_ids = cols.get("run_id")
+            checksums = cols.get("checksum")
             for i in range(batch.num_rows):
                 key = (
                     run_ids[i].as_py() if run_ids is not None else "",
                     cols["partition_id"][i].as_py(),
                     cols["chunk_seq"][i].as_py(),
                 )
+                payload = cols["payload"][i].as_py()
+                if checksums is not None:
+                    verify_checksum(
+                        payload, checksums[i].as_py(), f"group {key}"
+                    )
                 entry = (
                     cols["codec"][i].as_py(),
                     cols["params"][i].as_py(),
-                    cols["payload"][i].as_py(),
+                    payload,
                     cols["n_rows"][i].as_py(),
                 )
-                prev = groups.setdefault(key, {}).setdefault(
-                    cols["col_idx"][i].as_py(), entry
-                )
+                by_idx = groups.setdefault(key, {})
+                prev = by_idx.setdefault(cols["col_idx"][i].as_py(), entry)
                 if prev is not entry:
                     raise ValueError(
                         f"duplicate chunk cell for group {key} col_idx "
                         f"{cols['col_idx'][i].as_py()} — chunk store has "
                         "colliding runs; decode via plans.manifest.read_encoded"
                     )
+                if len(by_idx) == expected:
+                    yield _emit(key, groups.pop(key))
         for key in sorted(groups):
-            by_idx = groups[key]
-            arrays = []
-            n_rows = {e[3] for e in by_idx.values()}
-            if len(n_rows) != 1:
-                raise ValueError(
-                    f"inconsistent n_rows {n_rows} in chunk group {key}"
-                )
-            for idx in sorted(by_idx):
-                codec, params, payload, _ = by_idx[idx]
-                arrays.append(decode_array(codec, params, payload))
-            yield pa.record_batch(arrays, names=field_names)
+            # leftovers can only be groups with missing cells — a
+            # column-filtered feed must go through pruning.decode_columns
+            # (which passes the matching narrowed field_names)
+            raise ValueError(
+                f"incomplete chunk group {key}: "
+                f"{len(groups[key])}/{expected} column cells present"
+            )
 
     return decode_fn
 

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.codecs import decode_array
-from ..operators.encode import CHUNKS_SPARK_SCHEMA, _encode_group
+from ..operators.encode import CHUNKS_SPARK_SCHEMA, _encode_group, verify_checksum
 from .manifest import (
     chunks_dir,
     commit_summary,
@@ -40,16 +40,22 @@ def make_compact_fn(codecs: dict[str, str] | None, zstd_level: int,
         per_pid: dict[int, dict[int, dict[int, tuple]]] = {}
         for batch in batches:
             cols = {n: batch.column(n) for n in batch.schema.names}
+            checksums = cols.get("checksum")
             for i in range(batch.num_rows):
                 pid = cols["partition_id"][i].as_py()
                 seq = cols["chunk_seq"][i].as_py()
+                payload = cols["payload"][i].as_py()
+                if checksums is not None:
+                    verify_checksum(
+                        payload, checksums[i].as_py(), f"pid {pid} seq {seq}"
+                    )
                 per_pid.setdefault(pid, {}).setdefault(seq, {})[
                     cols["col_idx"][i].as_py()
                 ] = (
                     cols["column"][i].as_py(),
                     cols["codec"][i].as_py(),
                     cols["params"][i].as_py(),
-                    cols["payload"][i].as_py(),
+                    payload,
                 )
             del cols
         for pid in sorted(per_pid):

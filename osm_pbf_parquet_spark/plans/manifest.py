@@ -110,20 +110,26 @@ def summarize_chunks(written: DataFrame) -> DataFrame:
     map_from_entries (Spark's default mapKeyDedupPolicy=EXCEPTION
     would otherwise kill the job at commit time).
     """
+    # n_rows/n_chunks come from the (partition_id, chunk_seq) grain via
+    # max(n_rows) per group — NOT from col_idx == 0 rows, so a
+    # column-filtered chunks feed still yields the true row count
+    # instead of silently committing 0.
+    per_group = written.groupBy("partition_id", "chunk_seq").agg(
+        F.max("n_rows").alias("gnr")
+    )
+    rows_per_pid = per_group.groupBy("partition_id").agg(
+        F.sum("gnr").alias("n_rows"), F.count("*").alias("n_chunks")
+    )
     per_col = (
         written.groupBy("partition_id", "column")
         .agg(
             F.max_by("codec", "chunk_seq").alias("codec"),
-            F.sum(F.when(F.col("col_idx") == 0, F.col("n_rows")).otherwise(0)).alias("nr"),
-            F.countDistinct("chunk_seq").alias("nc"),
             F.sum("bytes_in").alias("bi"),
             F.sum("bytes_out").alias("bo"),
             F.collect_list("checksum").alias("cks"),
         )
     )
-    return per_col.groupBy("partition_id").agg(
-        F.sum("nr").alias("n_rows"),
-        F.max("nc").alias("n_chunks"),
+    per_pid = per_col.groupBy("partition_id").agg(
         F.sum("bi").alias("bytes_in"),
         F.sum("bo").alias("bytes_out"),
         F.map_from_entries(
@@ -133,6 +139,7 @@ def summarize_chunks(written: DataFrame) -> DataFrame:
             F.concat_ws("|", F.sort_array(F.flatten(F.collect_list("cks")))), 256
         ).alias("checksum"),
     )
+    return per_pid.join(rows_per_pid, "partition_id")
 
 
 def commit_summary(agg_rows, out_dir: str, snapshot_id: str, run_id: str) -> list[dict]:

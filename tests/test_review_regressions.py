@@ -92,3 +92,71 @@ def test_encode_job_respects_salted_pids(spark, pages_path, tmp_path):
     got_pids = {r[0] for r in read_manifest(spark, out).select("partition_id").collect()}
     assert got_pids == expected_pids
     assert stats["rows"] == src.count()
+
+
+def test_decode_detects_corrupt_payload(spark):
+    """crc32 stored at encode time is verified before decode: a
+    flipped payload byte must fail the job, not silently decode."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from osm_pbf_parquet_spark.operators.encode import (
+        decode_dataframe,
+        encode_dataframe,
+    )
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("v")
+    )
+    chunks = encode_dataframe(df, key_col="k", num_partitions=2).cache()
+    corrupt = chunks.withColumn(
+        "payload",
+        F.when(
+            F.col("column") == "v",
+            F.concat(F.expr("substring(payload, 1, length(payload) - 1)"),
+                     F.lit(b"\x00")),
+        ).otherwise(F.col("payload")),
+    )
+    with _pytest.raises(Exception, match="checksum mismatch"):
+        decode_dataframe(corrupt, df.schema).collect()
+    chunks.unpersist()
+
+
+def test_decode_rejects_incomplete_group(spark):
+    """A chunk feed missing a column's cells (without the matching
+    narrowed schema) must raise, not emit a misaligned batch."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from osm_pbf_parquet_spark.operators.encode import (
+        decode_dataframe,
+        encode_dataframe,
+    )
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    chunks = encode_dataframe(df, key_col="k", num_partitions=2)
+    only_k = chunks.filter(F.col("column") == "k")
+    with _pytest.raises(Exception, match="incomplete chunk group"):
+        decode_dataframe(only_k, df.schema).collect()
+
+
+def test_summarize_chunks_column_filtered_rows(spark):
+    """n_rows must come from the chunk-group grain, not col_idx == 0:
+    a column-filtered feed yields the true count instead of 0."""
+    import pyspark.sql.functions as F
+
+    from osm_pbf_parquet_spark.operators.encode import encode_dataframe
+    from osm_pbf_parquet_spark.plans.manifest import summarize_chunks
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    chunks = encode_dataframe(df, key_col="k", num_partitions=2).cache()
+    full = summarize_chunks(chunks).agg(F.sum("n_rows")).collect()[0][0]
+    # drop the col_idx==0 rows entirely: count must be unchanged
+    filtered = summarize_chunks(chunks.filter(F.col("col_idx") != 0))
+    part = filtered.agg(F.sum("n_rows")).collect()[0][0]
+    assert full == 500 and part == 500
+    chunks.unpersist()

@@ -55,7 +55,7 @@ def run():
     return ch.agg(F.sum("bytes_in"), F.sum("bytes_out")).collect()[0]
 run()  # warm: workers, JIT, plan
 best = None
-for _ in range(2):
+for _ in range(3):
     t0 = time.time(); r = run(); dt = time.time() - t0
     best = dt if best is None or dt < best else best
 print(json.dumps({"cpus": cpus, "rows": rows, "sec": round(best, 3),
