@@ -548,16 +548,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["multimodal_meta"] = multimodal_meta_q
 
     def multimodal_decode_q(s, d):
+        """REAL PNG/GIF/JPEG header parsing over synthesized payloads
+        whose genuine image headers carry dims that are a pure function
+        of doc_id — the oracle states the expected parse in SQL."""
         _ensure_workers_see_package(s)
         from osm_pbf_parquet_spark.operators.multimodal import (
-            attach_binary,
+            attach_image_fixture,
             extract_media_meta,
         )
 
         docs = _load(s, d, "documents")
-        return extract_media_meta(attach_binary(docs))
+        meta = extract_media_meta(attach_image_fixture(docs))
+        return meta.select(
+            "doc_id",
+            "fmt",
+            F.col("width").cast("long").alias("width"),
+            F.col("height").cast("long").alias("height"),
+            F.col("channels").cast("long").alias("channels"),
+        )
 
-    q["multimodal_decode_stub"] = multimodal_decode_q
+    q["multimodal_decode"] = multimodal_decode_q
 
     # ---- engine observability (rows-only: partitioning uses xxhash64) ----
     def encode_chunk_stats_q(s, d):
@@ -806,7 +816,16 @@ def oracle_sql() -> dict[str, str]:
                sha256(coalesce(text, '')) AS sha256
         FROM documents
     """
-    # dedup_minhash_lsh / dedup_simhash / dedup_embedding_lsh /
-    # multimodal_decode_stub / encode_chunk_stats: xxhash64-derived —
-    # not SQL-expressible in DuckDB → rows-only checks (documented gap).
+    o["multimodal_decode"] = """
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                    ELSE 'jpeg' END AS fmt,
+               100 + doc_id % 900 AS width,
+               100 + (doc_id * 7) % 900 AS height,
+               CASE doc_id % 3 WHEN 0 THEN 4 ELSE 3 END AS channels
+        FROM documents
+    """
+    # dedup_minhash_lsh / dedup_simhash / encode_chunk_stats:
+    # xxhash64-derived candidate sets — not SQL-expressible in DuckDB →
+    # rows-only checks; their recall twins above ARE oracle-checked.
     return o

@@ -174,3 +174,42 @@ def test_decode_image_is_stubbed():
 
     with _pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_parse_image_header_real_formats():
+    from osm_pbf_parquet_spark.operators.multimodal import (
+        parse_image_header,
+        synth_image_payload,
+    )
+
+    assert parse_image_header(synth_image_payload(7, "png", 640, 480)) == (
+        "png", 640, 480, 4
+    )
+    assert parse_image_header(synth_image_payload(7, "gif", 320, 200)) == (
+        "gif", 320, 200, 3
+    )
+    assert parse_image_header(synth_image_payload(7, "jpeg", 1024, 768)) == (
+        "jpeg", 1024, 768, 3
+    )
+    # unrecognized / truncated payloads fall back to None
+    assert parse_image_header(b"plain text") is None
+    assert parse_image_header(b"") is None
+    assert parse_image_header(b"\x89PNG\r\n\x1a\n trunc") is None
+    assert parse_image_header(b"\xff\xd8\x00bad") is None
+
+
+def test_extract_media_meta_parses_real_headers(spark):
+    from osm_pbf_parquet_spark.operators.multimodal import (
+        attach_image_fixture,
+        extract_media_meta,
+        fixture_dims,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(30)], ["doc_id"])
+    meta = {r["doc_id"]: r for r in
+            extract_media_meta(attach_image_fixture(df)).collect()}
+    for i in range(30):
+        fmt, w, h = fixture_dims(i)
+        r = meta[i]
+        assert (r["fmt"], r["width"], r["height"]) == (fmt, w, h)
+        assert r["channels"] == (4 if fmt == "png" else 3)
