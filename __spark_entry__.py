@@ -160,6 +160,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         {"l_extendedprice": "alp"}
     )
 
+    def rt_framed_source(s, d):
+        """Binary-framed ingestion (the reference's process_blobs shape,
+        src/pbf.rs:45-91): length-prefixed zlib blocks → block-parallel
+        mapInArrow decode → columnar encode → decode. The oracle reads
+        the equivalent parquet."""
+        _utc(s)
+        _ensure_workers_see_package(s)
+        from osm_pbf_parquet_spark.operators.encode import (
+            decode_dataframe,
+            encode_dataframe,
+        )
+        from osm_pbf_parquet_spark.sources.framed import (
+            framed_fixture,
+            read_framed,
+        )
+
+        path = framed_fixture(d, "documents")
+        src = read_framed(s, path)
+        chunks = encode_dataframe(src, key_col="doc_id", num_partitions=8)
+        return decode_dataframe(chunks, src.schema)
+
+    q["rt_framed_source"] = rt_framed_source
+
     def decode_columns_pruned(s, d):
         _utc(s)
         _ensure_workers_see_package(s)
@@ -624,6 +647,7 @@ def oracle_sql() -> dict[str, str]:
         FROM embeddings,
              LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
     """
+    o["rt_framed_source"] = "SELECT doc_id, text, lang, source, n_chars FROM documents"
     o["codec_dict_lang"] = "SELECT doc_id, lang FROM documents"
     o["codec_fsst_text"] = "SELECT doc_id, text FROM documents"
     o["codec_zstd_text"] = "SELECT doc_id, text FROM documents"

@@ -134,7 +134,14 @@ def compact_partitions(
         )
         .withColumn("run_id", F.lit(run_id))
     )
-    compacted.write.mode("append").parquet(cdir)
+    # B4 rotation parity with encode_job: bound physical file sizes
+    n_cols = visible.select("column").distinct().count()
+    max_records = max(
+        n_cols, ((512 << 20) // max(1, target_chunk_bytes)) * n_cols
+    )
+    compacted.write.option("maxRecordsPerFile", max_records).mode(
+        "append"
+    ).parquet(cdir)
 
     written = spark.read.parquet(cdir).filter(F.col("run_id") == run_id)
     rows = commit_summary(

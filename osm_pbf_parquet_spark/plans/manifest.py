@@ -179,13 +179,24 @@ def encode_job(
     pid_expr=None,
     zstd_level: int = 3,
     fail_after_partitions: int | None = None,
+    rotate_bytes: int = 512 << 20,
 ) -> dict:
     """Resumable encode: pending partitions only, idempotent commit.
 
     fail_after_partitions is a test hook simulating a mid-job crash:
     only that many pending partitions are encoded and committed.
+
+    rotate_bytes caps physical chunk-parquet file size (the reference's
+    500 MB sink rotation, src/sink.rs:75-94): a chunk GROUP's rows sum
+    to ≤ target_chunk_bytes of payload, so maxRecordsPerFile =
+    (rotate_bytes / target_chunk_bytes) groups × n_cols rows bounds
+    every output file near rotate_bytes even for incompressible data.
     """
     run_id = uuid.uuid4().hex[:12]
+    if target_chunk_bytes is None:
+        from ..config import derive_chunk_target
+
+        target_chunk_bytes = derive_chunk_target(spark)
     # X5 parity: global progress counter (reference src/util.rs:17-18)
     progress = spark.sparkContext.accumulator(0)
     # a pre-attached PID_COL (e.g. partitioning.salted_pids) is
@@ -224,7 +235,13 @@ def encode_job(
     ).withColumn("run_id", F.lit(run_id))
 
     cdir = chunks_dir(out_dir)
-    chunks.write.mode("append").parquet(cdir)
+    n_cols = max(1, len(df.columns) - (1 if PID_COL in df.columns else 0))
+    max_records = max(
+        n_cols, (rotate_bytes // max(1, target_chunk_bytes)) * n_cols
+    )
+    chunks.write.option("maxRecordsPerFile", max_records).mode(
+        "append"
+    ).parquet(cdir)
 
     # manifest rows derived from the durable chunks of THIS run
     written = spark.read.parquet(cdir).filter(F.col("run_id") == run_id)

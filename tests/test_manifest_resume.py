@@ -75,3 +75,32 @@ def test_manifest_records_codecs_and_sizes(spark, pages_path, tmp_path):
         assert row["n_rows"] > 0 and row["status"] == "done"
     total = sum(r["n_rows"] for r in m)
     assert total == src.count()
+
+
+def test_file_rotation_bounds_chunk_files(spark, tmp_path):
+    """B4 parity (reference src/sink.rs:75-94): physical chunk-parquet
+    files rotate near rotate_bytes — no file may exceed ~2× the cap."""
+    import glob
+    import os
+
+    import pyspark.sql.functions as F
+
+    from osm_pbf_parquet_spark.plans.manifest import encode_job
+
+    df = spark.range(0, 20000).select(
+        F.col("id").alias("k"),
+        # sha2-512 hex ≈ incompressible payload so size bounds bite
+        F.sha2(F.col("id").cast("string"), 512).alias("v"),
+    )
+    out = str(tmp_path / "rot")
+    rotate = 256 << 10
+    stats = encode_job(
+        spark, df, out, key_col="k", num_partitions=4,
+        target_chunk_bytes=128 << 10, rotate_bytes=rotate,
+    )
+    assert stats["rows"] == 20000
+    files = glob.glob(f"{out}/chunks/**/part-*.parquet", recursive=True) or \
+        glob.glob(f"{out}/chunks/part-*.parquet")
+    sizes = [os.path.getsize(f) for f in files]
+    assert len(files) > 4, f"rotation produced too few files: {len(files)}"
+    assert max(sizes) <= 2 * rotate, f"file exceeds rotation bound: {max(sizes)}"
