@@ -8,12 +8,16 @@ literal byte.
 
 Everything is numpy-vectorized:
 
-* encode — 256 KiB blocks build a uint64 rolling 8-byte window and do
-  longest-match lookup via single-probe open-addressed hash tables (one
-  per symbol length, cache-resident); the greedy left-to-right
-  tokenization (inherently sequential) is solved with pointer-doubling
-  over the "next token start" array in O(n log n) vector ops instead of
-  a per-token Python loop.
+* encode — greedy tokenization is CELL-BLOCKED: matches may not cross
+  32-byte cell boundaries, so all cells tokenize independently and the
+  greedy walk runs in LOCKSTEP across every cell at once. Matching is
+  fused INTO the walk: symbols are probed (single-probe open-addressed
+  hash table per length, cache-resident) only at actual token start
+  positions — ~0.25n probes instead of n — with windows gathered per
+  active position. Forbidding boundary-crossing matches costs a few %
+  of ratio; any valid tokenization decodes identically, so correctness
+  is untouched (the real FSST encoder makes the same block-local trade
+  for speed).
 * decode — escape positions are recovered with a run-parity argument
   (every maximal run of 0xFF bytes starts with an escape and alternates
   escape/literal), then symbol bytes are scattered with ragged-arange
@@ -77,38 +81,51 @@ def _sym_key(sym: bytes) -> int:
     return int.from_bytes(sym, "little")
 
 
-_BLOCK = 1 << 16
+_CELL = 32  # greedy tokenization cell (power of two)
+_HBITS = 12
+_HSIZE = 1 << _HBITS
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+_SHIFT = np.uint64(64 - _HBITS)
 
 
-def _greedy_starts(step: np.ndarray) -> np.ndarray:
-    """Token start positions of the greedy left-to-right scan.
-
-    step[i] = token length if a token starts at i. Sequential recurrence
-    p ← p + step[p] solved per 64 KiB block with pointer doubling.
-    """
-    n = len(step)
-    out: list[np.ndarray] = []
-    p = 0
-    while p < n:
-        end = min(p + _BLOCK, n)
-        m = end - p
-        loc = np.arange(m, dtype=np.int64) + step[p:end]
-        jump = np.minimum(np.append(loc, m), m)
-        visited = np.zeros(m + 1, dtype=bool)
-        visited[0] = True
-        for _ in range(max(1, int(np.ceil(np.log2(m + 1))))):
-            reach = np.flatnonzero(visited)
-            visited[jump[reach]] = True
-            jump = jump[jump]
-        local_starts = np.flatnonzero(visited[:m])
-        out.append(local_starts + p)
-        last = int(local_starts[-1])
-        p = p + last + int(step[p + last])
-    return np.concatenate(out) if out else np.empty(0, dtype=np.int64)
+def _build_lookup(table: list[bytes]):
+    """(direct-1-byte table, [(k, mask, keys, codes, full)] per multi-
+    byte length). Single-probe open addressing: an insertion collision
+    drops the rarer symbol — lossy for compression, never correctness."""
+    by_len: dict[int, list[tuple[int, int]]] = {}
+    for code, sym in enumerate(table):
+        by_len.setdefault(len(sym), []).append((_sym_key(sym), code))
+    # ESCAPE (255) can never be a symbol code (codes stop at 254), so
+    # it doubles as the "no 1-byte symbol" sentinel
+    direct = np.full(256, ESCAPE, dtype=np.uint8)
+    for key, code in by_len.get(1, []):
+        direct[key] = code
+    tabs = []
+    for k in sorted(kk for kk in by_len if kk > 1):
+        mask = np.uint64((1 << (8 * k)) - 1) if k < 8 else np.uint64(0xFFFFFFFFFFFFFFFF)
+        tbl_key = np.zeros(_HSIZE, dtype=np.uint64)
+        tbl_code = np.zeros(_HSIZE, dtype=np.uint8)
+        tbl_full = np.zeros(_HSIZE, dtype=bool)
+        for key, code in sorted(by_len[k]):
+            h = ((key * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF) >> (64 - _HBITS)
+            if not tbl_full[h]:
+                tbl_key[h], tbl_code[h], tbl_full[h] = key, code, True
+        tabs.append((k, mask, tbl_key, tbl_code, tbl_full))
+    return direct, tabs
 
 
 def fsst_compress(data: bytes, table: list[bytes]) -> bytes:
-    """Encode data against the symbol table. Exact inverse: fsst_decompress."""
+    """Encode data against the symbol table. Exact inverse: fsst_decompress.
+
+    Fused match+walk: every cell's greedy chain advances in lockstep;
+    each generation gathers the byte windows ONLY at the current token
+    start positions (~0.25·n probes total instead of n), probes the
+    per-length hash tables ascending (longer hits overwrite), gates
+    hits on the cell's remaining room (`room >= k`, which also guards
+    the end of the buffer since the last cell ends at n), and scatters
+    the chosen (len, code) to the start position. Arrays shrink as
+    cells finish, so total work tracks the token count.
+    """
     n = len(data)
     if n == 0:
         return b""
@@ -120,73 +137,50 @@ def fsst_compress(data: bytes, table: list[bytes]) -> bytes:
         out[1::2] = arr
         return out.tobytes()
 
-    match_len = np.zeros(n, dtype=np.int8)
-    match_code = np.zeros(n, dtype=np.uint8)
-
-    by_len: dict[int, list[tuple[int, int]]] = {}
-    for code, sym in enumerate(table):
-        by_len.setdefault(len(sym), []).append((_sym_key(sym), code))
-
-    # Symbol lookup: single-probe open-addressed hash table per length
-    # (one gather + compare per position; an insertion collision drops
-    # the rarer symbol — lossy for compression, never for correctness).
-    _HBITS = 12
-    _HSIZE = 1 << _HBITS
-    _MIX = np.uint64(0x9E3779B97F4A7C15)
-    _SHIFT = np.uint64(64 - _HBITS)
-    tables = []
-    for k in sorted(by_len):
-        mask = np.uint64((1 << (8 * k)) - 1) if k < 8 else np.uint64(0xFFFFFFFFFFFFFFFF)
-        tbl_key = np.zeros(_HSIZE, dtype=np.uint64)
-        tbl_code = np.zeros(_HSIZE, dtype=np.uint8)
-        tbl_full = np.zeros(_HSIZE, dtype=bool)
-        for key, code in sorted(by_len[k]):
-            h = ((key * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF) >> (64 - _HBITS)
-            if not tbl_full[h]:
-                tbl_key[h], tbl_code[h], tbl_full[h] = key, code, True
-        tables.append((k, mask, tbl_key, tbl_code, tbl_full))
-
-    # Blocked matching: windows + per-length lookups run on 256 KiB
-    # slices so every temporary stays cache-resident — ~4× less memory
-    # traffic than whole-buffer passes (this loop is bandwidth-bound).
-    # Ascending length order: longer matches overwrite shorter ones.
-    B = 1 << 18
-    padded = np.zeros(n + MAX_SYM_LEN, dtype=np.uint8)
+    direct, tabs = _build_lookup(table)
+    max_k = max((k for k, *_ in tabs), default=1)
+    padded = np.zeros(n + max_k, dtype=np.uint8)
     padded[:n] = arr
-    with np.errstate(over="ignore"):
-        for b in range(0, n, B):
-            e = min(b + B, n)
-            m = e - b
-            wb = np.zeros(m, dtype=np.uint64)
-            for j in range(MAX_SYM_LEN):
-                wb |= padded[b + j : b + j + m].astype(np.uint64) << np.uint64(8 * j)
-            ml = match_len[b:e]
-            mc = match_code[b:e]
-            for k, mask, tbl_key, tbl_code, tbl_full in tables:
-                wk = wb & mask
-                slots = ((wk * _MIX) >> _SHIFT).astype(np.int64)
-                hit = tbl_full[slots] & (tbl_key[slots] == wk)
-                ml[hit] = k
-                mc[hit] = tbl_code[slots[hit]]
-    # tail guard: a match may not overrun the buffer (the zero padding
-    # could otherwise fake a hit); overrunning tails become literals
-    tail = np.arange(max(0, n - MAX_SYM_LEN), n)
-    bad = tail + match_len[tail] > n
-    match_len[tail[bad]] = 0
 
-    # greedy tokenization via blockwise pointer doubling on next-start
-    # pointers: the chain is strictly increasing with step ≤ 8, so each
-    # 64 KiB block needs only its entry point from the previous block —
-    # doubling then runs on small local arrays (cache-friendly) instead
-    # of random gathers across the whole buffer.
-    step = np.where(match_len > 0, match_len, 1)
-    starts = _greedy_starts(step)
-    is_sym = match_len[starts] > 0
+    cur = np.arange(0, n, _CELL, dtype=np.int64)
+    ends = np.minimum(cur + _CELL, n)
+    starts_mask = np.zeros(n, dtype=bool)
+    g_len = np.zeros(n, dtype=np.int8)
+    g_code = np.zeros(n, dtype=np.uint8)
+    with np.errstate(over="ignore"):
+        while cur.size:
+            m = cur.size
+            b0 = padded[cur]
+            w = b0.astype(np.uint64)
+            for j in range(1, max_k):
+                w |= padded[cur + j].astype(np.uint64) << np.uint64(8 * j)
+            room = ends - cur
+            cl = np.zeros(m, dtype=np.int8)
+            cc = np.zeros(m, dtype=np.uint8)
+            for k, mask, tbl_key, tbl_code, tbl_full in tabs:
+                wk = w & mask
+                slots = ((wk * _MIX) >> _SHIFT).astype(np.int64)
+                hit = tbl_full[slots] & (tbl_key[slots] == wk) & (room >= k)
+                cl[hit] = k
+                cc[hit] = tbl_code[slots[hit]]
+            c1 = direct[b0]
+            h1 = (cl == 0) & (c1 != ESCAPE)
+            cl[h1] = 1
+            cc[h1] = c1[h1]
+            starts_mask[cur] = True
+            g_len[cur] = cl
+            g_code[cur] = cc
+            cur = cur + np.where(cl > 0, cl.astype(np.int64), 1)
+            alive = cur < ends
+            cur = cur[alive]
+            ends = ends[alive]
+
+    starts = np.flatnonzero(starts_mask)
+    is_sym = g_len[starts] > 0
     sizes = np.where(is_sym, 1, 2)
     offs = np.concatenate(([0], np.cumsum(sizes)))
     out = np.empty(offs[-1], dtype=np.uint8)
-    sym_off = offs[:-1][is_sym]
-    out[sym_off] = match_code[starts[is_sym]]
+    out[offs[:-1][is_sym]] = g_code[starts[is_sym]]
     esc_off = offs[:-1][~is_sym]
     out[esc_off] = ESCAPE
     out[esc_off + 1] = arr[starts[~is_sym]]
