@@ -55,7 +55,7 @@ def run():
     return ch.agg(F.sum("bytes_in"), F.sum("bytes_out")).collect()[0]
 run()  # warm: workers, JIT, plan
 best = None
-for _ in range(3):
+for _ in range(%(runs)d):
     t0 = time.time(); r = run(); dt = time.time() - t0
     best = dt if best is None or dt < best else best
 print(json.dumps({"cpus": cpus, "rows": rows, "sec": round(best, 3),
@@ -106,13 +106,67 @@ def _ensure_fixture() -> None:
     pages_parquet(FIXTURE, FIXTURE_ROWS)
 
 
-def measure(cpus: int) -> dict:
-    code = _CHILD % {"repo": REPO, "fixture": FIXTURE}
+def measure(cpus: int, runs: int = 3) -> dict:
+    code = _CHILD % {"repo": REPO, "fixture": FIXTURE, "runs": runs}
     out = subprocess.run(
         [sys.executable, "-c", code, str(cpus)],
         capture_output=True, text=True, timeout=1800, check=True,
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+METHODOLOGY = (
+    "same encode job (300k-row pages fixture, fsst/zstd-forced codecs, 64 "
+    "input partitions) in a fresh JVM per parallelism level; per level: "
+    "warm run then 2 timed runs, repeated in 2 ALTERNATING rounds (best "
+    "timed leg per level) so multi-minute host-noise waves hit all levels "
+    "alike; efficiency(N→4N) = throughput(4N) / (4 × throughput(N)). "
+    "machine_ceiling = the same ratio for a Spark-free parallel-numpy probe "
+    "on this host (the sandbox VM is CPU-overcommitted: ~13-16 effective "
+    "cores behind 32 vCPUs, so 8→32 is environment-capped); normalized = "
+    "engine efficiency / machine ceiling, capped at 1."
+)
+
+
+def scaling_report(pairs: list[tuple[int, int]], with_ceiling: bool = True,
+                   rounds: int = 2, runs: int = 2) -> dict:
+    """Alternating-rounds scaling measurement — shared by bench.py's
+    per-round JSON and this tool's --update-baseline path."""
+    _ensure_fixture()
+    needed = sorted({c for p in pairs for c in p})
+    results: dict[int, dict] = {}
+    for _ in range(rounds):
+        for c in needed:
+            r = measure(c, runs=runs)
+            if c not in results or r["sec"] < results[c]["sec"]:
+                results[c] = r
+    ceiling = machine_ceiling(needed) if with_ceiling else {}
+    report = {
+        "levels": {
+            str(c): {k: results[c][k] for k in ("sec", "rows_per_sec", "mb_in_per_sec")}
+            for c in needed
+        },
+        "pairs": {},
+        "machine_pairs": {},
+        "normalized_pairs": {},
+        "methodology": METHODOLOGY,
+    }
+    for lo_c, hi_c in pairs:
+        lo, hi = results[lo_c], results[hi_c]
+        key = f"{lo_c}to{hi_c}"
+        eff = round(hi["rows_per_sec"] / (4 * lo["rows_per_sec"]), 3)
+        report["pairs"][key] = eff
+        if with_ceiling:
+            # a measured ceiling > 1 is unphysical (probe caught a quiet
+            # window at the high level) — cap before normalizing so the
+            # engine is never graded against super-linear hardware
+            m_eff = min(1.0, round(ceiling[hi_c] / (4 * ceiling[lo_c]), 3))
+            report["machine_pairs"][key] = m_eff
+            report["normalized_pairs"][key] = (
+                round(min(1.0, eff / m_eff), 3) if m_eff else None
+            )
+    report["value"] = max(report["pairs"].values())
+    return report
 
 
 def main() -> int:
