@@ -331,6 +331,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_hourly"] = events_hourly
 
+    def asof_join_events(s, d):
+        """As-of join (union+window form, no range join): for each
+        (user, weekly mark) pick the latest event at or before the
+        mark. Oracle: DuckDB's native ASOF LEFT JOIN."""
+        _utc(s)
+        from osm_pbf_parquet_spark.operators.asof import asof_join
+
+        ev = _load(s, d, "events").select("user_id", "ts", "value")
+        marks = (
+            ev.select("user_id").distinct()
+            .select(
+                "user_id",
+                F.explode(
+                    F.array(*[
+                        F.lit(t).cast("timestamp")
+                        for t in ("2024-01-05", "2024-01-12",
+                                  "2024-01-19", "2024-01-26")
+                    ])
+                ).alias("mark_ts"),
+            )
+        )
+        joined = asof_join(
+            marks, ev, ["user_id"], "mark_ts", "ts", ["value"]
+        )
+        return joined.select(
+            "user_id", "mark_ts",
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+
+    q["asof_join_events"] = asof_join_events
+
     def tpch_q6(s, d):
         li = _load(s, d, "lineitem")
         return li.filter(
@@ -558,6 +589,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_fingerprint"] = text_fingerprint_q
 
+    def text_quality_filter_q(s, d):
+        """Composite quality gate (C4/Gopher-style integer rules):
+        which docs survive the pre-training filter."""
+        from osm_pbf_parquet_spark.functions.text import quality_pass
+
+        docs = _load(s, d, "documents")
+        return docs.filter(quality_pass(F.col("text"))).select("doc_id")
+
+    q["text_quality_filter"] = text_quality_filter_q
+
+    def sample_stratified_q(s, d):
+        """Deterministic per-language rebalance: md5-bucket sampling
+        downsamples 'en' to ~20%, keeps ~6% of everything else —
+        stable across runs and cluster sizes, unlike rand()."""
+        from osm_pbf_parquet_spark.functions.text import stratified_sample
+
+        docs = _load(s, d, "documents")
+        return stratified_sample(
+            docs, "doc_id", "lang", {"en": "33"}, default="0f"
+        ).select("doc_id", "lang")
+
+    q["sample_stratified"] = sample_stratified_q
+
     # ---- multimodal plumbing ----
     def multimodal_meta_q(s, d):
         from osm_pbf_parquet_spark.operators.multimodal import (
@@ -701,6 +755,19 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY revenue DESC, l_orderkey
         LIMIT 10
     """
+    o["asof_join_events"] = """
+        WITH marks AS (
+          SELECT DISTINCT user_id, m.t AS mark_ts
+          FROM events,
+               (SELECT unnest(['2024-01-05','2024-01-12','2024-01-19',
+                               '2024-01-26']::TIMESTAMP[]) AS t) m
+        )
+        SELECT m.user_id, m.mark_ts,
+               CAST(floor(e.value * 100) AS BIGINT) AS cents
+        FROM marks m
+        ASOF LEFT JOIN events e
+          ON m.user_id = e.user_id AND m.mark_ts >= e.ts
+    """
     o["tpch_q6"] = """
         SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
                count(*) AS n
@@ -834,6 +901,18 @@ def oracle_sql() -> dict[str, str]:
     o["text_fingerprint"] = (
         f"SELECT doc_id, {sql_fingerprint('text')} AS fp FROM documents"
     )
+    from osm_pbf_parquet_spark.functions.text import (
+        sql_hash_bucket,
+        sql_quality_pass,
+    )
+    o["text_quality_filter"] = (
+        f"SELECT doc_id FROM documents WHERE {sql_quality_pass('text')}"
+    )
+    o["sample_stratified"] = f"""
+        SELECT doc_id, lang FROM documents
+        WHERE {sql_hash_bucket('doc_id')} <=
+              CASE WHEN lang = 'en' THEN '33' ELSE '0f' END
+    """
     o["multimodal_meta"] = """
         SELECT doc_id,
                octet_length(encode(coalesce(text, ''))) AS n_bytes,

@@ -74,6 +74,46 @@ def fingerprint(col: Column) -> Column:
     return F.md5(F.encode(F.coalesce(col, F.lit("")), "UTF-8"))
 
 
+def hash_bucket(key: Column) -> Column:
+    """Deterministic 1/256-granularity sampling bucket: the first two
+    hex chars of md5(key-as-string). Engine-portable (identical in any
+    md5-bearing SQL dialect), stable across runs/cluster sizes — the
+    property a training-data holdout split actually needs, which
+    rand()-based sampling does not have."""
+    return F.substring(F.md5(F.encode(key.cast("string"), "UTF-8")), 1, 2)
+
+
+def sample_by_hash(df, key_col: str, max_bucket: str):
+    """Keep rows whose hash_bucket <= max_bucket ('1f' → 12.5%)."""
+    return df.filter(hash_bucket(F.col(key_col)) <= max_bucket)
+
+
+def stratified_sample(df, key_col: str, strata_col: str,
+                      thresholds: dict[str, str], default: str):
+    """Per-stratum deterministic sampling — the classic training-mix
+    rebalance (downsample the dominant language, keep the tail).
+    thresholds map stratum value → max hex bucket ('33' ≈ 20%)."""
+    thr = F.lit(default)
+    for value, bucket in sorted(thresholds.items()):
+        thr = F.when(F.col(strata_col) == value, F.lit(bucket)).otherwise(thr)
+    return df.filter(hash_bucket(F.col(key_col)) <= thr)
+
+
+def quality_pass(text: Column) -> Column:
+    """Composite quality gate (integer arithmetic only — exact twin in
+    SQL): long enough, not digit-soup, not shouting, and carrying
+    target-language stopwords. The standard pre-training heuristic
+    family (C4's stopword rule + Gopher's ratio caps, on the signals
+    char_class_counts carries)."""
+    cc = char_class_counts(text)
+    return (
+        (cc["n_chars"] >= 200)
+        & (100 * cc["n_digit"] <= 20 * cc["n_chars"])
+        & (100 * cc["n_upper"] <= 30 * cc["n_chars"])
+        & (cc["n_stopword"] >= 2)
+    )
+
+
 # ---- SQL twins (DuckDB oracle fragments) ----------------------------------
 
 def sql_token_count(col: str) -> str:
@@ -110,3 +150,16 @@ def sql_char_class_counts(col: str) -> dict[str, str]:
 
 def sql_fingerprint(col: str) -> str:
     return f"md5(coalesce({col}, ''))"
+
+
+def sql_hash_bucket(key: str) -> str:
+    return f"substr(md5(CAST({key} AS VARCHAR)), 1, 2)"
+
+
+def sql_quality_pass(col: str) -> str:
+    cc = sql_char_class_counts(col)
+    return (
+        f"({cc['n_chars']} >= 200 AND 100 * {cc['n_digit']} <= 20 * {cc['n_chars']}"
+        f" AND 100 * {cc['n_upper']} <= 30 * {cc['n_chars']}"
+        f" AND {cc['n_stopword']} >= 2)"
+    )

@@ -1,0 +1,99 @@
+"""As-of join: each left row picks the temporally nearest right row.
+
+Spark has no native ASOF JOIN (DuckDB/Pandas/kdb do); the classic
+range-join rewrite (inequality join + aggregation) shuffles the full
+cross-range. This implementation uses the UNION + WINDOW form instead:
+
+    tag right rows kind=0, left rows kind=1
+    union on (key, ts, kind)
+    value = last(right_value, ignorenulls) OVER (
+        PARTITION BY key ORDER BY ts, kind
+        ROWS UNBOUNDED PRECEDING)          -- backward direction
+    keep kind=1 rows
+
+ONE shuffle (the window partition), no join, no range explosion —
+each partition is a single ordered merge, so it scales linearly with
+rows and is skew-bounded by the hottest key, the same profile as any
+per-key windowing. At 100 TB this beats the inequality-join rewrite by
+the full width of the range fan-out.
+
+Semantics: backward = most recent right row with right_ts <= left_ts
+(ties at equal ts match, right sorts first); forward = earliest right
+row with right_ts >= left_ts. Right rows whose value is NULL are
+treated as missing (the window looks further back) — pre-coalesce if
+NULL must win. Multiple right rows at the same (key, ts) are resolved
+by last-wins on the union order; pre-aggregate for determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """Left as-of join; returns left's columns + value_cols.
+
+    left keeps ALL its columns; value_cols are taken from right.
+    Column names in value_cols must not collide with left's columns.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
+    collide = set(value_cols) & set(left.columns)
+    if collide:
+        raise ValueError(f"value_cols collide with left columns: {sorted(collide)}")
+
+    left_extra = [c for c in left.columns if c not in key_cols and c != left_ts]
+    right_types = {f.name: f.dataType for f in right.schema.fields}
+
+    r = right.select(
+        *key_cols,
+        F.col(right_ts).alias("__ts__"),
+        F.lit(0).alias("__kind__"),
+        *[F.col(c) for c in value_cols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_extra],
+    )
+    l = left.select(  # noqa: E741
+        *key_cols,
+        F.col(left_ts).alias("__ts__"),
+        F.lit(1).alias("__kind__"),
+        *[F.lit(None).cast(right_types[c]).alias(c) for c in value_cols],
+        *left_extra,
+    )
+    merged = r.unionByName(l)
+
+    if direction == "backward":
+        # right (kind 0) sorts before left at equal ts → ties match
+        w = (
+            Window.partitionBy(*key_cols)
+            .orderBy(F.col("__ts__").asc(), F.col("__kind__").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    else:
+        w = (
+            Window.partitionBy(*key_cols)
+            .orderBy(F.col("__ts__").desc(), F.col("__kind__").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    picked = merged.select(
+        *key_cols,
+        "__ts__",
+        "__kind__",
+        *left_extra,
+        *[
+            F.last(F.col(c), ignorenulls=True).over(w).alias(c)
+            for c in value_cols
+        ],
+    )
+    return picked.filter(F.col("__kind__") == 1).select(
+        *key_cols, F.col("__ts__").alias(left_ts), *left_extra, *value_cols
+    )

@@ -213,3 +213,26 @@ def test_extract_media_meta_parses_real_headers(spark):
         r = meta[i]
         assert (r["fmt"], r["width"], r["height"]) == (fmt, w, h)
         assert r["channels"] == (4 if fmt == "png" else 3)
+
+
+def test_quality_and_sampling(spark):
+    from osm_pbf_parquet_spark.functions.text import (
+        quality_pass,
+        sample_by_hash,
+        stratified_sample,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = docs.count()
+    passed = docs.filter(quality_pass(F.col("text"))).count()
+    assert 0 < passed < n, "quality gate must split the corpus"
+    s = sample_by_hash(docs, "doc_id", "1f")
+    frac = s.count() / n
+    assert 0.02 < frac < 0.30  # ~12.5% ± small-sample noise
+    # determinism: same bucket set twice
+    a = {r["doc_id"] for r in s.collect()}
+    b = {r["doc_id"] for r in sample_by_hash(docs, "doc_id", "1f").collect()}
+    assert a == b
+    strat = stratified_sample(docs, "doc_id", "lang", {"en": "ff"}, "00")
+    langs = {r["lang"] for r in strat.select("lang").distinct().collect()}
+    assert "en" in langs  # en kept at 100%
