@@ -210,7 +210,12 @@ def main() -> int:
         sys.path.insert(0, os.path.join(REPO, "tools"))
         import bench_scaling
 
-        scaling = bench_scaling.scaling_report([(2, 8), (8, 32)])
+        try:
+            scaling = bench_scaling.scaling_report([(2, 8), (8, 32)])
+        except Exception as e:  # noqa: BLE001 — a failed scaling leg
+            # (subprocess timeout on this overcommitted VM) must not
+            # discard the already-measured suite timings
+            scaling = {"error": f"{type(e).__name__}: {e}"}
 
     print(
         json.dumps(

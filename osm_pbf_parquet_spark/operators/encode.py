@@ -314,6 +314,16 @@ def make_decode_fn(field_names: list[str]):
         n_rows = {e[3] for e in by_idx.values()}
         if len(n_rows) != 1:
             raise ValueError(f"inconsistent n_rows {n_rows} in chunk group {key}")
+        # the cells' column names (in col_idx order) must BE field_names:
+        # catches a narrowed-schema decode fed an unfiltered chunk store
+        # before it could mislabel an array
+        got_names = [by_idx[idx][4] for idx in sorted(by_idx)]
+        if got_names != field_names:
+            raise ValueError(
+                f"chunk group {key} columns {got_names} != expected "
+                f"{field_names} — filter the chunk feed to match the schema "
+                "(pruning.decode_columns does both together)"
+            )
         arrays = [
             decode_array(*by_idx[idx][:3]) for idx in sorted(by_idx)
         ]
@@ -321,6 +331,7 @@ def make_decode_fn(field_names: list[str]):
 
     def decode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         groups: dict[tuple, dict[int, tuple]] = {}
+        emitted: set[tuple] = set()  # tiny: one tuple per chunk group
         for batch in batches:
             cols = {n: batch.column(n) for n in batch.schema.names}
             run_ids = cols.get("run_id")
@@ -331,6 +342,12 @@ def make_decode_fn(field_names: list[str]):
                     cols["partition_id"][i].as_py(),
                     cols["chunk_seq"][i].as_py(),
                 )
+                if key in emitted:
+                    raise ValueError(
+                        f"chunk cell arrived for already-decoded group {key} "
+                        "— chunk store has colliding runs; decode via "
+                        "plans.manifest.read_encoded"
+                    )
                 payload = cols["payload"][i].as_py()
                 if checksums is not None:
                     verify_checksum(
@@ -341,6 +358,7 @@ def make_decode_fn(field_names: list[str]):
                     cols["params"][i].as_py(),
                     payload,
                     cols["n_rows"][i].as_py(),
+                    cols["column"][i].as_py(),
                 )
                 by_idx = groups.setdefault(key, {})
                 prev = by_idx.setdefault(cols["col_idx"][i].as_py(), entry)
@@ -352,6 +370,7 @@ def make_decode_fn(field_names: list[str]):
                     )
                 if len(by_idx) == expected:
                     yield _emit(key, groups.pop(key))
+                    emitted.add(key)
         for key in sorted(groups):
             # leftovers can only be groups with missing cells — a
             # column-filtered feed must go through pruning.decode_columns

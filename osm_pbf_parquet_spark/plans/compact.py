@@ -98,6 +98,7 @@ def compact_partitions(
     zstd_level: int = 3,
     num_partitions: int | None = None,
     target_chunk_bytes: int | None = None,
+    rotate_bytes: int = 512 << 20,
 ) -> dict:
     """Rewrite every committed partition with ≥ min_chunks chunk groups
     into a single group; append + supersede, idempotent and crash-safe
@@ -134,10 +135,15 @@ def compact_partitions(
         )
         .withColumn("run_id", F.lit(run_id))
     )
-    # B4 rotation parity with encode_job: bound physical file sizes
-    n_cols = visible.select("column").distinct().count()
+    # B4 rotation parity with encode_job: bound physical file sizes.
+    # n_cols comes from one manifest row's codec map (per-column keys) —
+    # no scan job over the chunk store just to count columns.
+    import json as _json
+
+    codecs_json = manifest.select("codecs").first()["codecs"]
+    n_cols = max(1, len(_json.loads(codecs_json)))
     max_records = max(
-        n_cols, ((512 << 20) // max(1, target_chunk_bytes)) * n_cols
+        n_cols, (rotate_bytes // max(1, target_chunk_bytes)) * n_cols
     )
     compacted.write.option("maxRecordsPerFile", max_records).mode(
         "append"

@@ -113,7 +113,13 @@ def _session_fn(gap_us: int):
                 out["value_cents"].append(cents)
                 start_us, last_us, n, cents = t, t, 1, c
             else:
-                last_us, n, cents = t, n + 1, cents + c
+                # a late in-watermark event must never move the session
+                # window BACKWARD (it would prematurely split the next
+                # gap and shrink the idle timeout); it may extend the
+                # start earlier — merging into the open session is the
+                # standard streaming approximation for cross-batch lates
+                start_us = min(start_us, t)
+                last_us, n, cents = max(last_us, t), n + 1, cents + c
         state.update((int(start_us), int(last_us), int(n), int(cents)))
         # close the open session once the watermark passes last_ts + gap
         state.setTimeoutTimestamp(last_us // 1000 + gap_us // 1000)

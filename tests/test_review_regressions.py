@@ -160,3 +160,47 @@ def test_summarize_chunks_column_filtered_rows(spark):
     part = filtered.agg(F.sum("n_rows")).collect()[0][0]
     assert full == 500 and part == 500
     chunks.unpersist()
+
+
+def test_decode_rejects_colliding_runs_even_when_adjacent(spark):
+    """A chunk store holding two runs WITHOUT run_id that share
+    (partition_id, chunk_seq) must fail decode even when one run's
+    cells complete a group before the other's arrive (review r2: the
+    eager-emit path silently returned duplicate rows)."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from osm_pbf_parquet_spark.operators.encode import (
+        decode_dataframe,
+        encode_dataframe,
+    )
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    chunks = encode_dataframe(df, key_col="k", num_partitions=1)
+    doubled = chunks.union(chunks).coalesce(1)
+    with _pytest.raises(Exception, match="colliding runs"):
+        decode_dataframe(doubled, df.schema, num_partitions=1).collect()
+
+
+def test_decode_narrowed_schema_needs_filtered_feed(spark):
+    """A narrowed schema over an UNFILTERED chunk feed must raise (not
+    mislabel whichever column completes a group first)."""
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from pyspark.sql import types as T
+
+    from osm_pbf_parquet_spark.operators.encode import (
+        decode_dataframe,
+        encode_dataframe,
+    )
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    chunks = encode_dataframe(df, key_col="k", num_partitions=1)
+    narrow = T.StructType([df.schema["v"]])
+    with _pytest.raises(Exception, match="columns|colliding"):
+        decode_dataframe(chunks, narrow, num_partitions=1).collect()

@@ -10,8 +10,10 @@ sf0.1 tables are overhead-dominated at local[32]: the whole table
 encodes in ~4 s).
 
 Each parallelism level runs in a FRESH JVM; within a process the job
-runs once warm, then best-of-3 timed (criterion-style, matching the
-reference's bench methodology, benches/benchmark.rs:26-30).
+runs once warm, then 2 timed runs; levels alternate across 2 rounds and
+the best leg per level wins (criterion-style warm timing, matching the
+reference's bench methodology, benches/benchmark.rs:26-30; the
+alternation decorrelates this VM's multi-minute noise waves).
 
 Measured pairs: (2→8) and (8→32). The machine is a shared VM with
 heavy hypervisor steal at high thread counts (single-stream memcpy
@@ -154,13 +156,14 @@ def scaling_report(pairs: list[tuple[int, int]], with_ceiling: bool = True,
     for lo_c, hi_c in pairs:
         lo, hi = results[lo_c], results[hi_c]
         key = f"{lo_c}to{hi_c}"
-        eff = round(hi["rows_per_sec"] / (4 * lo["rows_per_sec"]), 3)
+        factor = hi_c / lo_c  # the pair's actual scale-up, not a fixed 4×
+        eff = round(hi["rows_per_sec"] / (factor * lo["rows_per_sec"]), 3)
         report["pairs"][key] = eff
         if with_ceiling:
             # a measured ceiling > 1 is unphysical (probe caught a quiet
             # window at the high level) — cap before normalizing so the
             # engine is never graded against super-linear hardware
-            m_eff = min(1.0, round(ceiling[hi_c] / (4 * ceiling[lo_c]), 3))
+            m_eff = min(1.0, round(ceiling[hi_c] / (factor * ceiling[lo_c]), 3))
             report["machine_pairs"][key] = m_eff
             report["normalized_pairs"][key] = (
                 round(min(1.0, eff / m_eff), 3) if m_eff else None
@@ -170,43 +173,27 @@ def scaling_report(pairs: list[tuple[int, int]], with_ceiling: bool = True,
 
 
 def main() -> int:
-    _ensure_fixture()
+    """CLI wrapper around scaling_report — ONE methodology for both the
+    per-round bench JSON and the BASELINE.md table."""
     pairs = [(2, 8)] if "--quick" in sys.argv else [(2, 8), (8, 32)]
-    results = {}
-    needed = sorted({c for p in pairs for c in p})
-    # alternate levels across rounds and keep the best leg per level:
-    # host noise (hypervisor steal) then hits all levels alike instead
-    # of whichever level ran during a bad window
     rounds = 1 if "--one-round" in sys.argv else 2
-    for _ in range(rounds):
-        for c in needed:
-            r = measure(c)
-            if c not in results or r["sec"] < results[c]["sec"]:
-                results[c] = r
-    ceiling = machine_ceiling(needed)
-    report = {"metric": "scaling_efficiency", "unit": "ratio",
-              "fixture_rows": FIXTURE_ROWS, "levels": results,
-              "machine_ceiling_sorts": ceiling, "pairs": {},
-              "machine_pairs": {}, "normalized_pairs": {}}
-    for lo_c, hi_c in pairs:
-        lo, hi = results[lo_c], results[hi_c]
-        eff = round(hi["rows_per_sec"] / (4 * lo["rows_per_sec"]), 3)
-        m_eff = round(ceiling[hi_c] / (4 * ceiling[lo_c]), 3)
-        key = f"{lo_c}to{hi_c}"
-        report["pairs"][key] = eff
-        report["machine_pairs"][key] = m_eff
-        report["normalized_pairs"][key] = round(min(1.0, eff / m_eff), 3) if m_eff else None
-    report["value"] = max(report["pairs"].values())
+    report = {
+        "metric": "scaling_efficiency",
+        "unit": "ratio",
+        "fixture_rows": FIXTURE_ROWS,
+        **scaling_report(pairs, rounds=rounds),
+    }
     print(json.dumps(report))
+    needed = sorted({c for p in pairs for c in p})
     if "--update-baseline" in sys.argv:
         lines = [
             "\n## Measured scaling (tools/bench_scaling.py, pages fixture "
             f"{FIXTURE_ROWS} rows, fsst/zstd-forced encode, fresh JVM per level)\n",
-            "| parallelism | sec (best of 3, warm) | rows/s | MB/s in |",
+            "| parallelism | sec (best leg: 2 timed runs × 2 alternating rounds, warm) | rows/s | MB/s in |",
             "|---|---|---|---|",
         ]
         for c in needed:
-            r = results[c]
+            r = report["levels"][str(c)]
             lines.append(
                 f"| local[{c}] | {r['sec']} | {r['rows_per_sec']} | {r['mb_in_per_sec']} |"
             )
