@@ -515,6 +515,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_embedding_lsh"] = dedup_embedding_q
 
+    def dedup_components_q(s, d):
+        """Duplicate CLUSTERS from pair candidates: large-star/small-
+        star connected components (O(log n) rounds, one shuffle each)
+        over the exact ngram-jaccard pair set. Oracle: DuckDB recursive
+        CTE transitive closure over the identical edge set."""
+        from osm_pbf_parquet_spark.operators.components import (
+            connected_components,
+        )
+        from osm_pbf_parquet_spark.operators.dedup import ngram_jaccard_pairs
+
+        docs = _load(s, d, "documents")
+        pairs = ngram_jaccard_pairs(docs, shingle_k=6, min_common=3, max_df=20)
+        return connected_components(pairs)
+
+    q["dedup_components"] = dedup_components_q
+
     # ---- similarity search ----
     def similarity_topk_q(s, d):
         from osm_pbf_parquet_spark.functions.similarity import cosine_topk
@@ -848,6 +864,35 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sb ON sb.doc_id = doc_b
     """
 
+    o["dedup_components"] = """
+        WITH RECURSIVE
+        sh AS (
+          SELECT DISTINCT d.doc_id, substr(d.text, g.i::INT, 6) AS sh
+          FROM documents d,
+               LATERAL (SELECT unnest(generate_series(1, greatest(length(d.text) - 5, 0))) AS i) g
+        ),
+        rare AS (
+          SELECT sh FROM (SELECT sh, count(DISTINCT doc_id) AS df_ FROM sh GROUP BY sh)
+          WHERE df_ <= 20
+        ),
+        kept AS (SELECT sh.* FROM sh JOIN rare USING (sh)),
+        edges AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= 3
+        ),
+        sym AS (
+          SELECT doc_a AS u, doc_b AS v FROM edges
+          UNION SELECT doc_b, doc_a FROM edges
+        ),
+        reach(u, v) AS (
+          SELECT u, v FROM sym
+          UNION
+          SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+        )
+        SELECT u AS node, least(u, min(v)) AS component
+        FROM reach GROUP BY u
+    """
     o["dedup_minhash_recall"] = """
         WITH sh AS (
           SELECT DISTINCT d.doc_id, substr(d.text, g.i::INT, 4) AS sh

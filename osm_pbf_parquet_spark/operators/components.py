@@ -1,0 +1,108 @@
+"""Connected components over candidate-duplicate pairs.
+
+A dedup pipeline's last mile: LSH/Jaccard emit PAIRS, but dedup acts on
+CLUSTERS (keep one doc per component). This implements the alternating
+large-star / small-star algorithm (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14 — see PAPERS.md), the
+standard web-scale formulation:
+
+  large-star: every node connects its LARGER neighbors to its current
+              minimum neighbor (or itself)
+  small-star: every node connects its smaller-or-equal neighbors to its
+              minimum neighbor
+
+Both steps are a groupBy + one explode — no joins inside an iteration —
+and the edge set contracts toward a star per component in O(log n)
+rounds, each round one shuffle. Compare label-propagation (O(diameter)
+rounds) or transitive closure (edge blow-up): at 100 TB of near-dup
+web pages whose duplicate chains can be long, O(log n) rounds of
+linear-size shuffles is the survivable plan.
+
+The driver loop checks convergence via an edge-count action per round —
+bounded driver work (one scalar per round), no collect of data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _star_round(edges: DataFrame, large: bool) -> DataFrame:
+    """One large-star (large=True) or small-star round.
+
+    edges: (u, v) with u != v, orientation irrelevant (symmetrized
+    here). Emits new edges (neighbor → min) deduplicated.
+    """
+    sym = edges.select("u", "v").union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    grouped = sym.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
+    # m = min(u, all neighbors); large-star links only neighbors > u,
+    # small-star links neighbors <= u (and u itself when m != u)
+    m = F.array_min(F.array_union(F.col("nbrs"), F.array(F.col("u"))))
+    cond = "x > u" if large else "x <= u"
+    with_targets = grouped.select(
+        F.col("u"),
+        m.alias("m"),
+        F.expr(f"filter(nbrs, x -> {cond})").alias("targets"),
+    )
+    if large:
+        targets = F.col("targets")
+    else:
+        # small-star also re-links u itself to the minimum
+        targets = F.when(
+            F.col("m") != F.col("u"),
+            F.array_union(F.col("targets"), F.array(F.col("u"))),
+        ).otherwise(F.col("targets"))
+    out = with_targets.select(
+        F.explode(targets).alias("u2"), F.col("m").alias("v2")
+    )
+    return (
+        out.filter(F.col("u2") != F.col("v2"))
+        .select(F.col("u2").alias("u"), F.col("v2").alias("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) with component = min node id reachable.
+
+    Only nodes that appear in `pairs` are returned — left-join the full
+    corpus and coalesce(component, id) for singleton handling.
+    """
+    # localCheckpoint (NOT cache) per round: an iterative plan whose
+    # lineage compounds across rounds re-analyzes exponentially and
+    # OOMs the driver around round ~10 — checkpointing truncates the
+    # logical plan to the materialized blocks each round (Spark's
+    # standard iterative-algorithm hygiene; GraphX does the same)
+    edges = (
+        pairs.select(F.col(src).cast("long").alias("u"),
+                     F.col(dst).cast("long").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_cnt = edges.count()
+    for _ in range(max_iter):
+        after_large = _star_round(edges, large=True)
+        after_small = _star_round(after_large, large=False).localCheckpoint()
+        cnt = after_small.count()
+        # fixpoint of the combined round = the canonical star forest
+        # (each edge points at its component minimum); counts-equal +
+        # one-way except ⇒ set equality with a single extra job
+        stable = cnt == prev_cnt and after_small.exceptAll(edges).isEmpty()
+        edges = after_small
+        prev_cnt = cnt
+        if stable:
+            break
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    # final star forest: each edge (u, v) has v = component min;
+    # the min itself is a member of its own component
+    nodes = edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = edges.select(F.col("v").alias("node"), F.col("v").alias("component"))
+    return nodes.union(roots).distinct()
