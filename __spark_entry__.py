@@ -195,6 +195,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["decode_columns_pruned"] = decode_columns_pruned
 
+    def rt_evolved_schema(s, d):
+        """Read-time schema evolution: decode an existing chunk store
+        into a target schema that ADDS a column (typed NULLs) and
+        DROPS one (its payloads never read)."""
+        from pyspark.sql import types as T
+
+        _utc(s)
+        _ensure_workers_see_package(s)
+        from osm_pbf_parquet_spark.operators.encode import encode_dataframe
+        from osm_pbf_parquet_spark.operators.pruning import decode_evolved
+
+        src = _load(s, d, "documents")
+        chunks = encode_dataframe(src, key_col="doc_id", num_partitions=8)
+        target = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("lang", T.StringType()),
+                T.StructField("n_chars", T.LongType()),
+                T.StructField("quality", T.DoubleType()),  # added
+            ]  # 'source' dropped
+        )
+        return decode_evolved(chunks, src.schema, target)
+
+    q["rt_evolved_schema"] = rt_evolved_schema
+
+    def rt_sorted_pruned(s, d):
+        """Sorted-within-partition encode + zone-map range prune +
+        exact re-filter: the pruned decode must equal the plain SQL
+        range scan bit-for-bit (prune is only allowed to SKIP)."""
+        _utc(s)
+        _ensure_workers_see_package(s)
+        from osm_pbf_parquet_spark.operators.encode import (
+            decode_dataframe,
+            encode_dataframe,
+        )
+        from osm_pbf_parquet_spark.operators.pruning import prune_by_range
+
+        ev = _load(s, d, "events")
+        chunks = encode_dataframe(
+            ev, key_col="event_id", num_partitions=8,
+            target_chunk_bytes=64 << 10, sort_cols=["value"],
+        )
+        pruned = prune_by_range(chunks, "value", lower=10.0, upper=20.0)
+        return decode_dataframe(pruned, ev.schema).filter(
+            (F.col("value") >= 10.0) & (F.col("value") <= 20.0)
+        ).select("event_id", "value")
+
+    q["rt_sorted_pruned"] = rt_sorted_pruned
+
     # ---- §2.9 relational validation semantics (V1–V4) ----
     def v1_dup_check(s, d):
         li = _load(s, d, "lineitem")
@@ -729,6 +779,14 @@ def oracle_sql() -> dict[str, str]:
     o["codec_alp_price"] = "SELECT l_orderkey, l_extendedprice FROM lineitem"
     o["decode_columns_pruned"] = "SELECT doc_id, lang FROM documents"
 
+    o["rt_evolved_schema"] = """
+        SELECT doc_id, text, lang, n_chars, CAST(NULL AS DOUBLE) AS quality
+        FROM documents
+    """
+    o["rt_sorted_pruned"] = """
+        SELECT event_id, value FROM events
+        WHERE value >= 10.0 AND value <= 20.0
+    """
     o["v1_dup_check"] = (
         "SELECT count(*) AS dup_groups FROM (SELECT l_orderkey, l_linenumber"
         " FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1)"

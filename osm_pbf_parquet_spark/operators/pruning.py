@@ -87,3 +87,38 @@ def decode_columns(
     sub_schema = T.StructType([f for f in schema.fields if f.name in columns])
     pruned = select_columns(chunks_df, [f.name for f in sub_schema.fields])
     return decode_dataframe(pruned, sub_schema)
+
+
+def decode_evolved(
+    chunks_df: DataFrame,
+    written_schema: T.StructType,
+    target_schema: T.StructType,
+) -> DataFrame:
+    """Schema evolution at read time (Iceberg-style, name-based):
+    columns present in both schemas decode normally, columns ADDED in
+    target_schema come back as typed NULLs, columns DROPPED from
+    target_schema are never read (their payload bytes are skipped by
+    the pruned scan) — no rewrite of the chunk store.
+
+    Type changes are rejected: silent cast-on-read is how columnar
+    stores corrupt data; evolve by add-new + backfill instead.
+    """
+    written = {f.name: f.dataType for f in written_schema.fields}
+    shared = [f for f in target_schema.fields if f.name in written]
+    for f in shared:
+        if written[f.name] != f.dataType:
+            raise ValueError(
+                f"type change on column {f.name!r} "
+                f"({written[f.name]} → {f.dataType}) is not an "
+                "evolution — add a new column and backfill"
+            )
+    decoded = decode_columns(
+        chunks_df, written_schema, [f.name for f in shared]
+    )
+    return decoded.select(
+        *[
+            F.col(f.name) if f.name in written
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in target_schema.fields
+        ]
+    )

@@ -133,3 +133,70 @@ def test_prune_string_range_lexicographic(spark, sf_dir, tmp_path):
     expected = src.filter(F.col("source") == "src5").count()
     assert got == expected > 0
     chunks.unpersist()
+
+
+def test_decode_evolved_add_and_drop(spark):
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from osm_pbf_parquet_spark.operators.encode import encode_dataframe
+    from osm_pbf_parquet_spark.operators.pruning import decode_evolved
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).alias("gone"),
+        F.concat(F.lit("t"), F.col("id")).alias("txt"),
+    )
+    chunks = encode_dataframe(df, key_col="k", num_partitions=2).cache()
+    target = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("txt", T.StringType()),
+            T.StructField("quality", T.DoubleType()),  # added
+        ]  # 'gone' dropped
+    )
+    out = decode_evolved(chunks, df.schema, target)
+    assert out.columns == ["k", "txt", "quality"]
+    rows = out.collect()
+    assert len(rows) == 500
+    assert all(r["quality"] is None for r in rows)
+    assert {r["k"] for r in rows} == set(range(500))
+    # type change must be rejected, not silently cast
+    bad = T.StructType([T.StructField("k", T.IntegerType())])
+    with _pytest.raises(ValueError, match="type change"):
+        decode_evolved(chunks, df.schema, bad)
+    chunks.unpersist()
+
+
+def test_sorted_encode_makes_zone_maps_selective(spark):
+    """sort_cols clusters values per chunk, so a range predicate prunes
+    most chunk groups even under hash partitioning — and the decoded
+    rows are still exactly the filtered set."""
+    import pyspark.sql.functions as F
+
+    from osm_pbf_parquet_spark.operators.encode import (
+        decode_dataframe,
+        encode_dataframe,
+    )
+    from osm_pbf_parquet_spark.operators.pruning import prune_by_range
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    chunks = encode_dataframe(
+        ev, key_col="event_id", num_partitions=2,
+        target_chunk_bytes=2 << 10, sort_cols=["value"],
+    ).cache()
+    n_groups = chunks.select("partition_id", "chunk_seq").distinct().count()
+    assert n_groups >= 16, "fixture must produce many chunk groups"
+    lo, hi = 10.0, 20.0
+    pruned = prune_by_range(chunks, "value", lower=lo, upper=hi)
+    kept = pruned.select("partition_id", "chunk_seq").distinct().count()
+    assert kept < n_groups / 2, f"zone maps did not bite: {kept}/{n_groups}"
+    dec = decode_dataframe(pruned, ev.schema).filter(
+        (F.col("value") >= lo) & (F.col("value") <= hi)
+    )
+    expected = ev.filter((F.col("value") >= lo) & (F.col("value") <= hi))
+    assert sorted(r["event_id"] for r in dec.collect()) == sorted(
+        r["event_id"] for r in expected.collect()
+    )
+    chunks.unpersist()
