@@ -655,6 +655,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_fingerprint"] = text_fingerprint_q
 
+    def vocab_topk_q(s, d):
+        """Vocabulary building: top-100 tokens by document frequency
+        (the tokenizer-training pre-pass). explode → two-level agg;
+        deterministic tie-break on the token itself."""
+        docs = _load(s, d, "documents")
+        toks = docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.regexp_extract_all(
+                        F.coalesce(F.col("text"), F.lit("")), F.lit(r"\S+"), F.lit(0)
+                    )
+                )
+            ).alias("tok"),
+        )
+        return (
+            toks.groupBy("tok")
+            .agg(F.count("*").alias("df"))
+            .orderBy(F.desc("df"), F.col("tok"))
+            .limit(100)
+        )
+
+    q["vocab_topk"] = vocab_topk_q
+
     def text_quality_filter_q(s, d):
         """Composite quality gate (C4/Gopher-style integer rules):
         which docs survive the pre-training filter."""
@@ -1008,6 +1032,15 @@ def oracle_sql() -> dict[str, str]:
         sql_hash_bucket,
         sql_quality_pass,
     )
+    o["vocab_topk"] = r"""
+        WITH toks AS (
+          SELECT DISTINCT doc_id, t.tok
+          FROM documents,
+               LATERAL (SELECT unnest(regexp_extract_all(coalesce(text, ''), '\S+')) AS tok) t
+        )
+        SELECT tok, count(*) AS df FROM toks
+        GROUP BY tok ORDER BY df DESC, tok LIMIT 100
+    """
     o["text_quality_filter"] = (
         f"SELECT doc_id FROM documents WHERE {sql_quality_pass('text')}"
     )
