@@ -27,6 +27,20 @@ if _REPO not in sys.path:
 # deterministic 64-dim query vector shared verbatim by Spark + SQL sides
 QUERY_VEC = [round(math.sin(d + 1), 6) for d in range(64)]
 
+# shared DuckDB CTE fragment — distinct 6-gram shingles with the df<=20
+# frequency cut (the ngram_jaccard_pairs operator's SQL twin); used by
+# both the dedup_ngram_jaccard and dedup_components oracles
+_SHINGLE_KEPT_CTES = """sh AS (
+          SELECT DISTINCT d.doc_id, substr(d.text, g.i::INT, 6) AS sh
+          FROM documents d,
+               LATERAL (SELECT unnest(generate_series(1, greatest(length(d.text) - 5, 0))) AS i) g
+        ),
+        rare AS (
+          SELECT sh FROM (SELECT sh, count(DISTINCT doc_id) AS df_ FROM sh GROUP BY sh)
+          WHERE df_ <= 20
+        ),
+        kept AS (SELECT sh.* FROM sh JOIN rare USING (sh))"""
+
 
 def _ensure_workers_see_package(spark: SparkSession) -> None:
     """Ship the engine package to python workers once per session
@@ -923,17 +937,8 @@ def oracle_sql() -> dict[str, str]:
         FROM events GROUP BY 1
     """
     o["dedup_exact"] = "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
-    o["dedup_ngram_jaccard"] = """
-        WITH sh AS (
-          SELECT DISTINCT d.doc_id, substr(d.text, g.i::INT, 6) AS sh
-          FROM documents d,
-               LATERAL (SELECT unnest(generate_series(1, greatest(length(d.text) - 5, 0))) AS i) g
-        ),
-        rare AS (
-          SELECT sh FROM (SELECT sh, count(DISTINCT doc_id) AS df_ FROM sh GROUP BY sh)
-          WHERE df_ <= 20
-        ),
-        kept AS (SELECT sh.* FROM sh JOIN rare USING (sh)),
+    o["dedup_ngram_jaccard"] = f"""
+        WITH {_SHINGLE_KEPT_CTES},
         sizes AS (SELECT doc_id, count(*) AS nsh FROM kept GROUP BY doc_id),
         common AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
@@ -946,18 +951,9 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sb ON sb.doc_id = doc_b
     """
 
-    o["dedup_components"] = """
+    o["dedup_components"] = f"""
         WITH RECURSIVE
-        sh AS (
-          SELECT DISTINCT d.doc_id, substr(d.text, g.i::INT, 6) AS sh
-          FROM documents d,
-               LATERAL (SELECT unnest(generate_series(1, greatest(length(d.text) - 5, 0))) AS i) g
-        ),
-        rare AS (
-          SELECT sh FROM (SELECT sh, count(DISTINCT doc_id) AS df_ FROM sh GROUP BY sh)
-          WHERE df_ <= 20
-        ),
-        kept AS (SELECT sh.* FROM sh JOIN rare USING (sh)),
+        {_SHINGLE_KEPT_CTES},
         edges AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
           FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id

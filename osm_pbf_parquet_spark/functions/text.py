@@ -99,6 +99,13 @@ def stratified_sample(df, key_col: str, strata_col: str,
     return df.filter(hash_bucket(F.col(key_col)) <= thr)
 
 
+# quality gate thresholds — shared by the Column form and its SQL twin
+QUALITY_MIN_CHARS = 200
+QUALITY_MAX_DIGIT_PCT = 20
+QUALITY_MAX_UPPER_PCT = 30
+QUALITY_MIN_STOPWORDS = 2
+
+
 def quality_pass(text: Column) -> Column:
     """Composite quality gate (integer arithmetic only — exact twin in
     SQL): long enough, not digit-soup, not shouting, and carrying
@@ -107,10 +114,10 @@ def quality_pass(text: Column) -> Column:
     char_class_counts carries)."""
     cc = char_class_counts(text)
     return (
-        (cc["n_chars"] >= 200)
-        & (100 * cc["n_digit"] <= 20 * cc["n_chars"])
-        & (100 * cc["n_upper"] <= 30 * cc["n_chars"])
-        & (cc["n_stopword"] >= 2)
+        (cc["n_chars"] >= QUALITY_MIN_CHARS)
+        & (100 * cc["n_digit"] <= QUALITY_MAX_DIGIT_PCT * cc["n_chars"])
+        & (100 * cc["n_upper"] <= QUALITY_MAX_UPPER_PCT * cc["n_chars"])
+        & (cc["n_stopword"] >= QUALITY_MIN_STOPWORDS)
     )
 
 
@@ -159,7 +166,8 @@ def sql_hash_bucket(key: str) -> str:
 def sql_quality_pass(col: str) -> str:
     cc = sql_char_class_counts(col)
     return (
-        f"({cc['n_chars']} >= 200 AND 100 * {cc['n_digit']} <= 20 * {cc['n_chars']}"
-        f" AND 100 * {cc['n_upper']} <= 30 * {cc['n_chars']}"
-        f" AND {cc['n_stopword']} >= 2)"
+        f"({cc['n_chars']} >= {QUALITY_MIN_CHARS}"
+        f" AND 100 * {cc['n_digit']} <= {QUALITY_MAX_DIGIT_PCT} * {cc['n_chars']}"
+        f" AND 100 * {cc['n_upper']} <= {QUALITY_MAX_UPPER_PCT} * {cc['n_chars']}"
+        f" AND {cc['n_stopword']} >= {QUALITY_MIN_STOPWORDS})"
     )

@@ -71,19 +71,17 @@ def asof_join(
     )
     merged = r.unionByName(l)
 
-    if direction == "backward":
-        # right (kind 0) sorts before left at equal ts → ties match
-        w = (
-            Window.partitionBy(*key_cols)
-            .orderBy(F.col("__ts__").asc(), F.col("__kind__").asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-    else:
-        w = (
-            Window.partitionBy(*key_cols)
-            .orderBy(F.col("__ts__").desc(), F.col("__kind__").asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
+    # only the ts direction differs between modes; kind asc keeps right
+    # (kind 0) before left at equal ts in both, so ties match
+    ts_ord = (
+        F.col("__ts__").asc() if direction == "backward"
+        else F.col("__ts__").desc()
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(ts_ord, F.col("__kind__").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     picked = merged.select(
         *key_cols,
         "__ts__",
