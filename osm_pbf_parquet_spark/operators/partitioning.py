@@ -69,6 +69,40 @@ def salted_pids(
     return joined.withColumn(PID_COL, pid.cast("long")).drop("__host__", "fanout")
 
 
+def range_pids(
+    df: DataFrame,
+    col: str,
+    num_partitions: int = 32,
+    sample_error: float = 0.01,
+) -> DataFrame:
+    """Attach PID_COL by VALUE RANGE of `col` (approx-quantile bounds):
+    globally clusters the store on that column, so zone-map pruning of
+    a range predicate eliminates whole PARTITIONS, not just chunks —
+    the right layout for time-series / append-mostly tables. Combine
+    with encode_dataframe(sort_cols=[col]) for chunk-level clustering
+    inside each partition.
+
+    approxQuantile is one bounded-memory pass (Greenwald-Khanna); the
+    boundary list (num_partitions-1 values) compiles into a CASE chain
+    — no sort shuffle, unlike repartitionByRange, and the pid is a
+    deterministic pure function of the value (resumable across runs
+    for a fixed boundary set; persist boundaries for incremental
+    loads).
+    """
+    probs = [i / num_partitions for i in range(1, num_partitions)]
+    bounds = df.stat.approxQuantile(col, probs, sample_error)
+    # dedupe (heavy skew can repeat a boundary) while keeping order
+    uniq: list = []
+    for b in bounds:
+        if not uniq or b > uniq[-1]:
+            uniq.append(b)
+    pid = F.lit(0)
+    for i, b in enumerate(uniq):
+        pid = F.when(F.col(col) > F.lit(b), F.lit(i + 1)).otherwise(pid)
+    # nulls sort first (partition 0), matching Spark's default ordering
+    return df.withColumn(PID_COL, pid.cast("long"))
+
+
 def partition_balance(df_with_pid: DataFrame) -> dict:
     """max/mean rows per partition — the skew health metric."""
     counts = df_with_pid.groupBy(PID_COL).count()

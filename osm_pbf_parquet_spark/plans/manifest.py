@@ -74,7 +74,9 @@ def commit_manifest(rows: list[dict], out_dir: str, run_id: str) -> str:
     return final
 
 
-def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame | None:
+def read_manifest(
+    spark: SparkSession, out_dir: str, as_of: float | None = None
+) -> DataFrame | None:
     """Committed manifest, deduped to the LATEST commit per partition.
 
     Last-wins makes compaction a plain append: a compacted partition's
@@ -82,6 +84,9 @@ def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame | None:
     invisible through the (partition_id, run_id) semi-join. Concurrent
     double-commits of the same partition are safe either way — both
     runs encoded the same row set.
+
+    as_of (unix seconds) time-travels: commits after the horizon are
+    invisible, so last-wins resolves to whatever was current then.
     """
     mdir = _manifest_dir(out_dir)
     if not os.path.isdir(mdir) or not any(
@@ -89,6 +94,10 @@ def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame | None:
     ):
         return None
     raw = spark.read.parquet(mdir)
+    if as_of is not None:
+        raw = raw.filter(F.col("committed_at") <= as_of)
+        if raw.isEmpty():
+            return None
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("snapshot_id", "partition_id").orderBy(
@@ -258,18 +267,33 @@ def encode_job(
     }
 
 
-def read_encoded(spark: SparkSession, out_dir: str, schema) -> DataFrame:
+def read_encoded(
+    spark: SparkSession,
+    out_dir: str,
+    schema,
+    snapshot_id: str | None = None,
+    as_of: float | None = None,
+) -> DataFrame:
     """Decode the committed view: chunks ⋉ manifest on (pid, run_id).
 
     Orphan chunks from crashed runs are invisible — only manifest-
     committed (partition_id, run_id) pairs participate.
+
+    snapshot_id scopes the read to one snapshot (a streaming epoch, a
+    backfill generation); default reads ALL snapshots (the full table —
+    epochs are disjoint appends). as_of (unix seconds) time-travels:
+    only commits with committed_at <= as_of are visible, and last-wins
+    supersedes (compaction) resolve against that horizon — the same
+    read semantics an Iceberg snapshot timestamp gives, from the same
+    append-only metadata.
     """
-    manifest = read_manifest(spark, out_dir)
+    manifest = read_manifest(spark, out_dir, as_of=as_of)
     if manifest is None:
         raise FileNotFoundError(f"no manifest under {out_dir}")
-    committed = manifest.filter(F.col("status") == "done").select(
-        "partition_id", "run_id"
-    )
+    committed = manifest.filter(F.col("status") == "done")
+    if snapshot_id is not None:
+        committed = committed.filter(F.col("snapshot_id") == snapshot_id)
+    committed = committed.select("partition_id", "run_id")
     chunks = spark.read.parquet(chunks_dir(out_dir)).join(
         F.broadcast(committed), ["partition_id", "run_id"], "left_semi"
     )

@@ -104,3 +104,41 @@ def test_file_rotation_bounds_chunk_files(spark, tmp_path):
     sizes = [os.path.getsize(f) for f in files]
     assert len(files) > 4, f"rotation produced too few files: {len(files)}"
     assert max(sizes) <= 2 * rotate, f"file exceeds rotation bound: {max(sizes)}"
+
+
+def test_snapshot_scoped_and_time_travel_reads(spark, tmp_path):
+    """snapshot_id scopes a read to one epoch; as_of time-travels to
+    the pre-compaction store state (Iceberg-style, append-only)."""
+    import time as _time
+
+    import pyspark.sql.functions as F
+
+    from osm_pbf_parquet_spark.plans.compact import compact_partitions
+    from osm_pbf_parquet_spark.plans.manifest import encode_job, read_encoded
+
+    df1 = spark.range(0, 300).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    df2 = spark.range(300, 500).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    out = str(tmp_path / "tt")
+    encode_job(spark, df1, out, key_col="k", num_partitions=4,
+               snapshot_id="epoch-1", target_chunk_bytes=512)
+    t_between = _time.time()
+    _time.sleep(0.05)
+    encode_job(spark, df2, out, key_col="k", num_partitions=4,
+               snapshot_id="epoch-2", target_chunk_bytes=4 << 10)
+
+    # full read = union of epochs; scoped reads see only their epoch
+    assert read_encoded(spark, out, df1.schema).count() == 500
+    assert read_encoded(spark, out, df1.schema, snapshot_id="epoch-1").count() == 300
+    assert read_encoded(spark, out, df1.schema, snapshot_id="epoch-2").count() == 200
+    # time travel to before epoch-2 existed
+    assert read_encoded(spark, out, df1.schema, as_of=t_between).count() == 300
+
+    # compaction supersedes epoch-1's chunks, but as_of still resolves
+    # to the pre-compaction rows (append-only: nothing was deleted)
+    stats = compact_partitions(spark, out, snapshot_id="epoch-1", min_chunks=2)
+    assert stats["compacted_partitions"] > 0
+    assert read_encoded(spark, out, df1.schema, snapshot_id="epoch-1").count() == 300
+    before = read_encoded(spark, out, df1.schema, as_of=t_between)
+    assert sorted(r["k"] for r in before.collect()) == list(range(300))

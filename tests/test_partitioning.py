@@ -66,3 +66,45 @@ def test_encode_with_salted_pids_roundtrip(spark, pages_path):
     cols = [c for c in df.columns if c != "url"]
     ok = joined.filter(F.expr(" AND ".join(f"a.{c} <=> b.{c}" for c in cols))).count()
     assert ok == df.count()
+
+
+def test_range_pids_cluster_and_prune(spark):
+    """Range partitioning globally clusters values: each pid covers a
+    disjoint range, zone maps then skip most chunk groups for a range
+    predicate, and the decode equals the plain filter."""
+    import pyspark.sql.functions as F
+
+    from osm_pbf_parquet_spark.operators.encode import (
+        PID_COL,
+        decode_dataframe,
+        encode_dataframe,
+    )
+    from osm_pbf_parquet_spark.operators.partitioning import range_pids
+    from osm_pbf_parquet_spark.operators.pruning import prune_by_range
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    with_pid = range_pids(ev, "value", num_partitions=8)
+    # disjoint ranges per pid: max(value) of pid k <= min(value) of pid k+1
+    spans = (
+        with_pid.groupBy(PID_COL)
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .orderBy(PID_COL)
+        .collect()
+    )
+    assert len(spans) >= 6
+    for a, b in zip(spans, spans[1:]):
+        assert a["hi"] <= b["lo"], f"overlapping ranges: {a} vs {b}"
+    chunks = encode_dataframe(
+        with_pid, num_partitions=8, target_chunk_bytes=8 << 10
+    ).cache()
+    n_groups = chunks.select("partition_id", "chunk_seq").distinct().count()
+    lo = spans[0]["hi"]  # a range inside the first partition only
+    pruned = prune_by_range(chunks, "value", upper=float(lo))
+    kept = pruned.select("partition_id", "chunk_seq").distinct().count()
+    assert kept < n_groups / 2, f"range layout did not prune: {kept}/{n_groups}"
+    dec = decode_dataframe(pruned, ev.schema).filter(F.col("value") <= lo)
+    want = ev.filter(F.col("value") <= lo)
+    assert sorted(r["event_id"] for r in dec.collect()) == sorted(
+        r["event_id"] for r in want.collect()
+    )
+    chunks.unpersist()
