@@ -673,13 +673,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """Vocabulary building: top-100 tokens by document frequency
         (the tokenizer-training pre-pass). explode → two-level agg;
         deterministic tie-break on the token itself."""
+        from osm_pbf_parquet_spark.functions.text import TOKEN_RE
+
         docs = _load(s, d, "documents")
         toks = docs.select(
             "doc_id",
             F.explode(
                 F.array_distinct(
                     F.regexp_extract_all(
-                        F.coalesce(F.col("text"), F.lit("")), F.lit(r"\S+"), F.lit(0)
+                        F.coalesce(F.col("text"), F.lit("")),
+                        F.lit(TOKEN_RE), F.lit(0),
                     )
                 )
             ).alias("tok"),
@@ -1028,11 +1031,12 @@ def oracle_sql() -> dict[str, str]:
         sql_hash_bucket,
         sql_quality_pass,
     )
-    o["vocab_topk"] = r"""
+    from osm_pbf_parquet_spark.functions.text import TOKEN_RE as _TOKEN_RE
+    o["vocab_topk"] = f"""
         WITH toks AS (
           SELECT DISTINCT doc_id, t.tok
           FROM documents,
-               LATERAL (SELECT unnest(regexp_extract_all(coalesce(text, ''), '\S+')) AS tok) t
+               LATERAL (SELECT unnest(regexp_extract_all(coalesce(text, ''), '{_TOKEN_RE}')) AS tok) t
         )
         SELECT tok, count(*) AS df FROM toks
         GROUP BY tok ORDER BY df DESC, tok LIMIT 100

@@ -12,12 +12,16 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# shared with the SQL oracles — keep both sides in lockstep
-TOKEN_RE = r"\S+"
+# shared with the SQL oracles — keep both sides in lockstep. The
+# whitespace class is EXPLICIT (not \s/\S): Java regex counts \x0B as
+# whitespace, RE2 (DuckDB) does not, so the shorthands silently
+# tokenize differently on vertical-tab-bearing text.
+_WS = r" \t\n\x0B\f\r"
+TOKEN_RE = rf"[^{_WS}]+"
 # BPE-ish pre-tokenization (GPT-2-style, simplified to the portable
 # subset both Java regex and RE2 support): letter runs, digit runs,
 # and single punctuation marks each become one token
-BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+BPE_RE = rf"[A-Za-z]+|[0-9]+|[^A-Za-z0-9{_WS}]"
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "in"],
     "de": ["der", "die", "und", "das", "ist"],

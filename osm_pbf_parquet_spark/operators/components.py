@@ -11,12 +11,16 @@ standard web-scale formulation:
   small-star: every node connects its smaller-or-equal neighbors to its
               minimum neighbor
 
-Both steps are a groupBy + one explode — no joins inside an iteration —
-and the edge set contracts toward a star per component in O(log n)
-rounds, each round one shuffle. Compare label-propagation (O(diameter)
-rounds) or transitive closure (edge blow-up): at 100 TB of near-dup
-web pages whose duplicate chains can be long, O(log n) rounds of
-linear-size shuffles is the survivable plan.
+Each round is a plain min-aggregation plus a per-EDGE join against the
+per-node minimum — deliberately NOT collect_set + explode: collecting a
+node's neighbor set materializes a whole component in one task row, and
+near-dup web corpora have boilerplate clusters of millions of docs (the
+component minimum would OOM a single executor). Per-edge joins keep
+every row O(1) regardless of degree; the edge set still contracts
+toward a star per component in O(log n) rounds. Compare
+label-propagation (O(diameter) rounds) or transitive closure (edge
+blow-up): at 100 TB of near-dup web pages whose duplicate chains can be
+long, O(log n) rounds of linear-size shuffles is the survivable plan.
 
 The driver loop checks convergence via an edge-count action per round —
 bounded driver work (one scalar per round), no collect of data.
@@ -32,32 +36,30 @@ def _star_round(edges: DataFrame, large: bool) -> DataFrame:
     """One large-star (large=True) or small-star round.
 
     edges: (u, v) with u != v, orientation irrelevant (symmetrized
-    here). Emits new edges (neighbor → min) deduplicated.
+    here). Emits new edges (neighbor → min(u, Γ(u))) deduplicated.
+    Every intermediate row is O(1)-sized — no per-node neighbor arrays.
     """
-    sym = edges.select("u", "v").union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    grouped = sym.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
-    # m = min(u, all neighbors); large-star links only neighbors > u,
-    # small-star links neighbors <= u (and u itself when m != u)
-    m = F.array_min(F.array_union(F.col("nbrs"), F.array(F.col("u"))))
-    cond = "x > u" if large else "x <= u"
-    with_targets = grouped.select(
-        F.col("u"),
-        m.alias("m"),
-        F.expr(f"filter(nbrs, x -> {cond})").alias("targets"),
+    sym = edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
-    if large:
-        targets = F.col("targets")
-    else:
+    # m(u) = min(u, Γ(u)) — a plain partial-aggregating min, then joined
+    # back per edge (both sides hash-partitioned on u, so the join
+    # reuses the aggregation's exchange)
+    mins = sym.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+    cond = F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")
+    linked = (
+        sym.filter(cond)
+        .join(mins, "u")
+        .select(F.col("v").alias("u2"), F.col("m").alias("v2"))
+    )
+    if not large:
         # small-star also re-links u itself to the minimum
-        targets = F.when(
-            F.col("m") != F.col("u"),
-            F.array_union(F.col("targets"), F.array(F.col("u"))),
-        ).otherwise(F.col("targets"))
-    out = with_targets.select(
-        F.explode(targets).alias("u2"), F.col("m").alias("v2")
-    )
+        linked = linked.union(
+            mins.filter(F.col("m") != F.col("u"))
+            .select(F.col("u").alias("u2"), F.col("m").alias("v2"))
+        )
     return (
-        out.filter(F.col("u2") != F.col("v2"))
+        linked.filter(F.col("u2") != F.col("v2"))
         .select(F.col("u2").alias("u"), F.col("v2").alias("v"))
         .distinct()
     )

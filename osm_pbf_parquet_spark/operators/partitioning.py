@@ -69,11 +69,30 @@ def salted_pids(
     return joined.withColumn(PID_COL, pid.cast("long")).drop("__host__", "fanout")
 
 
+def range_bounds(
+    df: DataFrame,
+    col: str,
+    num_partitions: int = 32,
+    sample_error: float = 0.01,
+) -> list[float]:
+    """Deduplicated approx-quantile partition boundaries for `col` —
+    persist these and pass them back to range_pids so incremental
+    loads of a growing table keep a STABLE value→pid mapping."""
+    probs = [i / num_partitions for i in range(1, num_partitions)]
+    bounds = df.stat.approxQuantile(col, probs, sample_error)
+    uniq: list[float] = []
+    for b in bounds:
+        if not uniq or b > uniq[-1]:
+            uniq.append(b)
+    return uniq
+
+
 def range_pids(
     df: DataFrame,
     col: str,
     num_partitions: int = 32,
     sample_error: float = 0.01,
+    bounds: list[float] | None = None,
 ) -> DataFrame:
     """Attach PID_COL by VALUE RANGE of `col` (approx-quantile bounds):
     globally clusters the store on that column, so zone-map pruning of
@@ -85,19 +104,15 @@ def range_pids(
     approxQuantile is one bounded-memory pass (Greenwald-Khanna); the
     boundary list (num_partitions-1 values) compiles into a CASE chain
     — no sort shuffle, unlike repartitionByRange, and the pid is a
-    deterministic pure function of the value (resumable across runs
-    for a fixed boundary set; persist boundaries for incremental
-    loads).
+    deterministic pure function of the value given a boundary set.
+    For incremental loads of a growing table, compute `range_bounds`
+    ONCE, persist it, and pass it via `bounds` on every run — the
+    value→pid mapping then stays stable across runs (resumable).
     """
-    probs = [i / num_partitions for i in range(1, num_partitions)]
-    bounds = df.stat.approxQuantile(col, probs, sample_error)
-    # dedupe (heavy skew can repeat a boundary) while keeping order
-    uniq: list = []
-    for b in bounds:
-        if not uniq or b > uniq[-1]:
-            uniq.append(b)
+    if bounds is None:
+        bounds = range_bounds(df, col, num_partitions, sample_error)
     pid = F.lit(0)
-    for i, b in enumerate(uniq):
+    for i, b in enumerate(bounds):
         pid = F.when(F.col(col) > F.lit(b), F.lit(i + 1)).otherwise(pid)
     # nulls sort first (partition 0), matching Spark's default ordering
     return df.withColumn(PID_COL, pid.cast("long"))

@@ -105,6 +105,13 @@ def decode_evolved(
     """
     written = {f.name: f.dataType for f in written_schema.fields}
     shared = [f for f in target_schema.fields if f.name in written]
+    if not shared:
+        raise ValueError(
+            "target schema shares no columns with the written schema "
+            f"({[f.name for f in target_schema.fields]} vs "
+            f"{sorted(written)}) — an all-new schema would silently "
+            "read back 0 rows"
+        )
     for f in shared:
         if written[f.name] != f.dataType:
             raise ValueError(

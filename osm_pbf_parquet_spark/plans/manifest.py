@@ -95,9 +95,12 @@ def read_manifest(
         return None
     raw = spark.read.parquet(mdir)
     if as_of is not None:
+        # no eager emptiness probe: an as_of before the first commit is
+        # a legitimate "nothing visible yet" — it flows through as an
+        # empty manifest view and the read yields an empty table, which
+        # is the truthful answer (FileNotFoundError stays reserved for
+        # a store with no manifest at all)
         raw = raw.filter(F.col("committed_at") <= as_of)
-        if raw.isEmpty():
-            return None
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("snapshot_id", "partition_id").orderBy(

@@ -215,14 +215,14 @@ def test_extract_media_meta_parses_real_headers(spark):
         assert r["channels"] == (4 if fmt == "png" else 3)
 
 
-def test_quality_and_sampling(spark):
+def test_quality_and_sampling(spark, sf_dir):
     from osm_pbf_parquet_spark.functions.text import (
         quality_pass,
         sample_by_hash,
         stratified_sample,
     )
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n = docs.count()
     passed = docs.filter(quality_pass(F.col("text"))).count()
     assert 0 < passed < n, "quality gate must split the corpus"

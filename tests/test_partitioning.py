@@ -68,7 +68,7 @@ def test_encode_with_salted_pids_roundtrip(spark, pages_path):
     assert ok == df.count()
 
 
-def test_range_pids_cluster_and_prune(spark):
+def test_range_pids_cluster_and_prune(spark, sf_dir):
     """Range partitioning globally clusters values: each pid covers a
     disjoint range, zone maps then skip most chunk groups for a range
     predicate, and the decode equals the plain filter."""
@@ -82,7 +82,7 @@ def test_range_pids_cluster_and_prune(spark):
     from osm_pbf_parquet_spark.operators.partitioning import range_pids
     from osm_pbf_parquet_spark.operators.pruning import prune_by_range
 
-    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     with_pid = range_pids(ev, "value", num_partitions=8)
     # disjoint ranges per pid: max(value) of pid k <= min(value) of pid k+1
     spans = (

@@ -169,7 +169,7 @@ def test_decode_evolved_add_and_drop(spark):
     chunks.unpersist()
 
 
-def test_sorted_encode_makes_zone_maps_selective(spark):
+def test_sorted_encode_makes_zone_maps_selective(spark, sf_dir):
     """sort_cols clusters values per chunk, so a range predicate prunes
     most chunk groups even under hash partitioning — and the decoded
     rows are still exactly the filtered set."""
@@ -181,7 +181,7 @@ def test_sorted_encode_makes_zone_maps_selective(spark):
     )
     from osm_pbf_parquet_spark.operators.pruning import prune_by_range
 
-    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     chunks = encode_dataframe(
         ev, key_col="event_id", num_partitions=2,
         target_chunk_bytes=2 << 10, sort_cols=["value"],
