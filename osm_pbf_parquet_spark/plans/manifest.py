@@ -192,6 +192,7 @@ def encode_job(
     zstd_level: int = 3,
     fail_after_partitions: int | None = None,
     rotate_bytes: int = 512 << 20,
+    sort_cols: list[str] | None = None,
 ) -> dict:
     """Resumable encode: pending partitions only, idempotent commit.
 
@@ -244,6 +245,7 @@ def encode_job(
         pid_expr=pid_expr,
         zstd_level=zstd_level,
         progress=progress,
+        sort_cols=sort_cols,
     ).withColumn("run_id", F.lit(run_id))
 
     cdir = chunks_dir(out_dir)

@@ -177,6 +177,8 @@ def main() -> int:
     per-round bench JSON and the BASELINE.md table."""
     pairs = [(2, 8)] if "--quick" in sys.argv else [(2, 8), (8, 32)]
     rounds = 1 if "--one-round" in sys.argv else 2
+    if "--rounds" in sys.argv:  # more rounds → best-leg converges to the
+        rounds = int(sys.argv[sys.argv.index("--rounds") + 1])  # quiet-host truth
     report = {
         "metric": "scaling_efficiency",
         "unit": "ratio",
