@@ -236,3 +236,16 @@ def test_quality_and_sampling(spark, sf_dir):
     strat = stratified_sample(docs, "doc_id", "lang", {"en": "ff"}, "00")
     langs = {r["lang"] for r in strat.select("lang").distinct().collect()}
     assert "en" in langs  # en kept at 100%
+
+
+def test_ngram_freq_cut_is_broadcast_antijoin(spark, docs_with_dups):
+    """The df>max_df cut must remove the (small) frequent set via a
+    BROADCAST anti-join — a shuffled anti-join of the rare set (the
+    Zipf tail, ~all shingles) would be the wrong side at scale."""
+    from osm_pbf_parquet_spark.operators.dedup import ngram_jaccard_pairs
+
+    plan = (
+        ngram_jaccard_pairs(docs_with_dups, max_df=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
