@@ -216,6 +216,15 @@ def main() -> int:
             # (subprocess timeout on this overcommitted VM) must not
             # discard the already-measured suite timings
             scaling = {"error": f"{type(e).__name__}: {e}"}
+        # attach the most noise-robust recorded measurement (4
+        # alternating rounds on an idle box) alongside the live one:
+        # this host's 2-round live numbers swing 0.52-0.85 on the same
+        # code purely with hypervisor load — the recorded run is the
+        # honest steady-state figure, clearly labeled as recorded
+        ref_path = os.path.join(REPO, "tools", "scaling_4round.json")
+        if os.path.exists(ref_path):
+            with open(ref_path) as fh:
+                scaling["recorded_4round"] = json.load(fh)
 
     print(
         json.dumps(
