@@ -520,7 +520,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         4-gram Jaccard ≥ 0.9 (integer-arithmetic filter, SQL twin),
         result = truth ∩ LSH candidates. The oracle is the plain-SQL
         truth set, so any LSH miss fails the row — recall must be
-        100% at this similarity."""
+        100% at this similarity.
+
+        The truth-set computation (max_df=None: NO frequency cut, the
+        exact full-shingle Jaccard) is O(Σ df²) — validation-scale by
+        design; at corpus scale the LSH path under test is the one you
+        run, and recall is audited on a sampled slice like this one."""
         from osm_pbf_parquet_spark.operators.dedup import (
             minhash_lsh_pairs,
             ngram_jaccard_pairs,
