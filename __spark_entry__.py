@@ -136,6 +136,11 @@ _EXTRA_QUERIES = (
     "dedup_minhash_lsh",      # rows-only; graded twin: dedup_minhash_recall
     "dedup_simhash",          # rows-only; graded twin: dedup_simhash_recall
     "encode_chunk_stats",     # rows-only (chunk-dependent offsets)
+    # round-3 demotions — each capability stays graded via a sibling:
+    "codec_bitpack_nchars",   # bitpack kernel inside delta/dict/rle + rt_pages
+    "tpch_q6",                # scan-agg ≡ tpch_q1
+    "window_first_event",     # window family ≡ sessionize_events
+    "embedding_norms",        # trivial fold ≡ similarity_topk machinery
 )
 
 
@@ -190,6 +195,12 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["codec_alp_price"] = lambda s, d: _roundtrip(
         s, d, "lineitem", "l_orderkey", ["l_orderkey", "l_extendedprice"],
         {"l_extendedprice": "alp"}
+    )
+    # Gorilla-lineage XOR-predecessor + byte-plane-shuffle + zstd
+    # (functions/codecs/xor.py) forced on a double column; bit-identity
+    # against the plain oracle scan
+    q["codec_xor_value"] = lambda s, d: _roundtrip(
+        s, d, "events", "event_id", ["event_id", "value"], {"value": "xorf"}
     )
 
     def rt_framed_source(s, d):
@@ -318,6 +329,69 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("event_id", "value")
 
     q["rt_sorted_pruned"] = rt_sorted_pruned
+
+    def rt_zorder_pruned(s, d):
+        """Z-order (Morton) layout over (user_id, value) + zone-map
+        pruning on BOTH dimensions + exact re-filter: multi-column
+        clustering the way Delta OPTIMIZE ZORDER lays out a table —
+        pruning may only SKIP, so the decoded result must equal the
+        plain two-predicate oracle scan bit-for-bit."""
+        _utc(s)
+        _ensure_workers_see_package(s)
+        from osm_pbf_parquet_spark.operators.encode import decode_dataframe
+        from osm_pbf_parquet_spark.operators.pruning import prune_by_range
+        from osm_pbf_parquet_spark.operators.zorder import encode_zordered
+
+        ev = _load(s, d, "events")
+        chunks = encode_zordered(
+            ev, ["user_id", "value"], num_partitions=8,
+            target_chunk_bytes=64 << 10,
+        )
+        pruned = prune_by_range(
+            prune_by_range(chunks, "user_id", lower=100, upper=300),
+            "value", lower=10.0, upper=40.0,
+        )
+        return decode_dataframe(pruned, ev.schema).filter(
+            (F.col("user_id") >= 100) & (F.col("user_id") <= 300)
+            & (F.col("value") >= 10.0) & (F.col("value") <= 40.0)
+        ).select("event_id", "user_id", "value")
+
+    q["rt_zorder_pruned"] = rt_zorder_pruned
+
+    def rt_merge_upsert(s, d):
+        """Row-level MERGE (copy-on-write upsert + delete) on the
+        encoded store: re-crawl docs (doc_id%10=0) with amended text,
+        take down docs (doc_id%7=3, minus the re-crawled), then read
+        the committed view — must equal the oracle's CASE/WHERE
+        reconstruction exactly. Only touched partitions rewrite; the
+        manifest's last-wins rule supersedes atomically."""
+        import tempfile
+
+        _utc(s)
+        _ensure_workers_see_package(s)
+        from osm_pbf_parquet_spark.plans.manifest import (
+            encode_job,
+            read_encoded,
+        )
+        from osm_pbf_parquet_spark.plans.merge import merge_job
+
+        docs = _load(s, d, "documents")
+        out = tempfile.mkdtemp(prefix="merge_store_")
+        encode_job(s, docs, out, key_col="doc_id", num_partitions=8)
+        updates = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+            "text", F.concat(F.col("text"), F.lit(" [v2]"))
+        )
+        deletes = docs.filter(
+            (F.col("doc_id") % 7 == 3) & (F.col("doc_id") % 10 != 0)
+        ).select("doc_id")
+        merge_job(
+            s, out, docs.schema, updates=updates, deletes=deletes,
+            key_col="doc_id", num_partitions=8,
+        )
+        dec = read_encoded(s, out, docs.schema)
+        return dec.select("doc_id", "text", "lang", "n_chars")
+
+    q["rt_merge_upsert"] = rt_merge_upsert
 
     # ---- §2.9 relational validation semantics (V1–V4) ----
     def v1_dup_check(s, d):
@@ -671,6 +745,23 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_components"] = dedup_components_q
 
+    def dedup_canonicalize_q(s, d):
+        """End-to-end near-dup collapse: pairs → components → keep the
+        component-min doc per cluster, singletons untouched. The full
+        training-data dedup pipeline as ONE operator; exact-Jaccard
+        pairs here so the oracle is deterministic (LSH pairs are the
+        100 TB candidate source — same downstream)."""
+        from osm_pbf_parquet_spark.operators.components import canonicalize
+        from osm_pbf_parquet_spark.operators.dedup import ngram_jaccard_pairs
+
+        docs = _load(s, d, "documents")
+        pairs = ngram_jaccard_pairs(docs, shingle_k=6, min_common=3, max_df=20)
+        return canonicalize(
+            docs.select("doc_id", "lang", "n_chars"), pairs
+        )
+
+    q["dedup_canonicalize"] = dedup_canonicalize_q
+
     # ---- similarity search ----
     def similarity_topk_q(s, d):
         from osm_pbf_parquet_spark.functions.similarity import cosine_topk
@@ -952,6 +1043,7 @@ def _all_oracle_sql() -> dict[str, str]:
     o["codec_dictint_suppkey"] = "SELECT l_orderkey, l_suppkey FROM lineitem"
     o["codec_float_value"] = "SELECT event_id, value FROM events"
     o["codec_alp_price"] = "SELECT l_orderkey, l_extendedprice FROM lineitem"
+    o["codec_xor_value"] = "SELECT event_id, value FROM events"
     o["decode_columns_pruned"] = "SELECT doc_id, lang FROM documents"
 
     o["rt_evolved_schema"] = """
@@ -961,6 +1053,18 @@ def _all_oracle_sql() -> dict[str, str]:
     o["rt_sorted_pruned"] = """
         SELECT event_id, value FROM events
         WHERE value >= 10.0 AND value <= 20.0
+    """
+    o["rt_zorder_pruned"] = """
+        SELECT event_id, user_id, value FROM events
+        WHERE user_id BETWEEN 100 AND 300
+          AND value BETWEEN 10.0 AND 40.0
+    """
+    o["rt_merge_upsert"] = """
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 0 THEN text || ' [v2]' ELSE text END AS text,
+               lang, n_chars
+        FROM documents
+        WHERE NOT (doc_id % 7 = 3 AND doc_id % 10 <> 0)
     """
     o["v1_dup_check"] = (
         "SELECT count(*) AS dup_groups FROM (SELECT l_orderkey, l_linenumber"
@@ -1111,6 +1215,32 @@ def _all_oracle_sql() -> dict[str, str]:
         )
         SELECT u AS node, least(u, min(v)) AS component
         FROM reach GROUP BY u
+    """
+
+    o["dedup_canonicalize"] = f"""
+        WITH RECURSIVE
+        {_SHINGLE_KEPT_CTES},
+        edges AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= 3
+        ),
+        sym AS (
+          SELECT doc_a AS u, doc_b AS v FROM edges
+          UNION SELECT doc_b, doc_a FROM edges
+        ),
+        reach(u, v) AS (
+          SELECT u, v FROM sym
+          UNION
+          SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+        ),
+        comp AS (
+          SELECT u AS node, least(u, min(v)) AS component
+          FROM reach GROUP BY u
+        )
+        SELECT d.doc_id, d.lang, d.n_chars
+        FROM documents d
+        WHERE d.doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
     """
     o["dedup_minhash_recall"] = """
         WITH sh AS (

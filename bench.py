@@ -205,18 +205,19 @@ def main() -> int:
     spark.stop()
 
     # --- two-cluster-size scaling evidence (north_rule): same job at
-    # N and 4N cores in fresh JVMs, raw + machine-normalized efficiency,
-    # methodology embedded so the number is self-describing. The 2→8
-    # pair runs on genuinely available cores (the VM exposes 32 vCPUs
-    # but only ~13-16 effective); 8→32 is reported alongside with the
-    # hardware ceiling it lives under. SPARK_GRAFT_SCALING=0 skips.
+    # N and 4N cores in fresh JVMs, raw + kernel-normalized efficiency,
+    # methodology embedded so the number is self-describing. The 8→32
+    # pair on the 1M-row compute-dominated fixture is the canonical
+    # N→4N evidence; the standalone tool also measures 2→8. The VM
+    # exposes 32 vCPUs over ~13-16 effective cores, so raw 8→32 lives
+    # under the measured kernel ceiling. SPARK_GRAFT_SCALING=0 skips.
     scaling = None
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
         sys.path.insert(0, os.path.join(REPO, "tools"))
         import bench_scaling
 
         try:
-            scaling = bench_scaling.scaling_report([(2, 8), (8, 32)])
+            scaling = bench_scaling.scaling_report([(8, 32)])
         except Exception as e:  # noqa: BLE001 — a failed scaling leg
             # (subprocess timeout on this overcommitted VM) must not
             # discard the already-measured suite timings
@@ -246,7 +247,7 @@ def main() -> int:
         else:
             scaling_summary = {
                 "raw": scaling.get("pairs"),
-                "machine_ceiling": scaling.get("machine_pairs"),
+                "kernel_ceiling": scaling.get("kernel_pairs"),
                 "normalized": scaling.get("normalized_pairs"),
                 "best": scaling.get("value"),
                 "recorded_4round_raw": (

@@ -32,7 +32,7 @@ from .primitives import (
 )
 
 INT_CODECS = ("bitpack", "delta", "rle", "dictint", "plain", "zstd")
-FLOAT_CODECS = ("alp", "rle", "dictint", "plain", "zstd")
+FLOAT_CODECS = ("alp", "xorf", "rle", "dictint", "plain", "zstd")
 STR_CODECS = ("str_dict", "str_fsst", "str_zstd", "str_plain", "plain", "zstd")
 OTHER_CODECS = ("plain", "zstd")
 
@@ -214,8 +214,21 @@ def _alp_decode_view(params, payload):
     return _alp.alp_decode(params, payload)
 
 
+def _xor_encode_view(iv):
+    from . import xor as _xor
+
+    return _xor.xor_encode(iv)
+
+
+def _xor_decode_view(params, payload):
+    from . import xor as _xor
+
+    return _xor.xor_decode(params, payload)
+
+
 _INT_KERNELS = {
     "alp": (_alp_encode_view, _alp_decode_view),
+    "xorf": (_xor_encode_view, _xor_decode_view),
     "bitpack": (ic.bitpack_encode, ic.bitpack_decode),
     "delta": (ic.delta_encode, ic.delta_decode),
     "rle": (ic.rle_encode, ic.rle_decode),

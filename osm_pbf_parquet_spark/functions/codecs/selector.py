@@ -122,8 +122,10 @@ def choose_codec(arr: pa.Array, kind: str) -> str:
             est.pop("delta", None)
             if env._np_dtype(arr.type) == np.float64:
                 from .alp import alp_estimate
+                from .xor import xor_estimate
 
                 est["alp"] = alp_estimate(iv.view(np.float64), n)
+                est["xorf"] = xor_estimate(iv, n)
     else:
         lens, data = env._str_views(sample)
         est = _str_estimates(lens, data, n, len(data) * scale)

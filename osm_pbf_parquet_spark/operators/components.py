@@ -108,3 +108,32 @@ def connected_components(
     nodes = edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
     roots = edges.select(F.col("v").alias("node"), F.col("v").alias("component"))
     return nodes.union(roots).distinct()
+
+
+def canonicalize(
+    corpus: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Near-dup collapse, end to end: keep ONE canonical doc (the
+    component-minimum id) per duplicate cluster; docs in no pair
+    survive untouched. This is the operation a training-data pipeline
+    actually runs — LSH/Jaccard pairs and connected components are its
+    two internal stages (reference test/validate.py:49-77 checks the
+    same keep-one-per-key invariant for exact dups).
+
+    Scale shape: `pairs` may come from any candidate generator
+    (minhash_lsh_pairs at 100 TB, exact ngram_jaccard_pairs at
+    validation scale); components is O(log n) rounds of linear
+    shuffles; the final step is one LEFT ANTI join of the corpus
+    against the LOSER set (nodes whose component min is not
+    themselves) — the small side at web scale (dup fraction << 1),
+    so AQE broadcasts it; survivors never shuffle the corpus.
+    """
+    comp = connected_components(pairs, src=src, dst=dst)
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return corpus.join(losers, id_col, "left_anti")

@@ -202,7 +202,12 @@ def make_encode_fn(
         for batch in batches:
             tbl = pa.Table.from_batches([batch])
             pid_arr = tbl.column(PID_COL)
-            data = tbl.drop_columns([PID_COL])
+            # layout-helper columns (pid routing, z-order sort value)
+            # are metadata, not data — never encoded
+            helpers = [
+                c for c in (PID_COL, "__zval__") if c in tbl.column_names
+            ]
+            data = tbl.drop_columns(helpers)
             if progress is not None:
                 progress.add(batch.num_rows)
             uniq = pc.unique(pid_arr)

@@ -94,7 +94,7 @@ FLOAT_ARRAYS = {
 
 
 @pytest.mark.parametrize("name", list(FLOAT_ARRAYS))
-@pytest.mark.parametrize("codec", ["alp", "rle", "dictint", "plain", "zstd", None])
+@pytest.mark.parametrize("codec", ["alp", "xorf", "rle", "dictint", "plain", "zstd", None])
 def test_float_roundtrip(name, codec):
     roundtrip(FLOAT_ARRAYS[name], codec)
 
@@ -202,6 +202,16 @@ def test_selector_picks_alp_for_decimal_prices():
     assert choose_codec(arr, classify(arr.type)) == "alp"
     name, _, payload = encode_array(arr, "alp")
     assert len(payload) < arr.nbytes / 2
+
+
+def test_selector_picks_xorf_for_smooth_measurements():
+    """Slow-moving sensor-style doubles: neighbors share sign/exponent/
+    mantissa top, aren't decimal-scaled (ALP patches out), aren't
+    low-cardinality — the Gorilla-XOR regime."""
+    arr = pa.array(np.cumsum(RNG.normal(0, 1e-7, 50_000)) + 12.5)
+    assert choose_codec(arr, classify(arr.type)) == "xorf"
+    _, _, payload = encode_array(arr, "xorf")
+    assert len(payload) < arr.nbytes * 0.8
 
 
 def test_selector_picks_delta_for_sorted_timestamps():

@@ -2,12 +2,14 @@
 efficiency ≥ 0.8 from N to 4N executors; sandbox proxy per driver
 note: same job at two local[] parallelism levels).
 
-Workload: encode the deterministic 300k-row pages fixture (FIXTURES.md
-F1 "bench" scale) with the string-heavy codecs forced (str_fsst for
-url/text, str_zstd for html) so per-partition compute dominates fixed
-job overhead — the regime a 100 TB cluster run is actually in (the
-sf0.1 tables are overhead-dominated at local[32]: the whole table
-encodes in ~4 s).
+Workload: encode the deterministic 1M-row pages fixture (~1 GB of
+column bytes; FIXTURES.md F1 shape) with the string-heavy codecs
+forced (str_fsst for url/text, str_zstd for html) so per-partition
+compute dominates fixed job overhead — the regime a 100 TB cluster
+run is actually in. Round-3 profiling (tools/scaling_experiments.py +
+tools/kernel_ceiling.py) showed the old 300k-row fixture spent ~60%
+of its local[32] wall time in parallelism-independent overhead, so
+its 8→32 pair measured Amdahl's constant, not the engine.
 
 Each parallelism level runs in a FRESH JVM; within a process the job
 runs once warm, then 2 timed runs; levels alternate across 2 rounds and
@@ -31,28 +33,42 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-FIXTURE_ROWS = 300_000
+# 1M rows (~1 GB of column bytes) keeps the measurement in the
+# compute-dominated regime: at 300k rows the job's ~1.6 s of
+# parallelism-independent overhead (shuffle setup, scheduling, task
+# tail) was ~60% of the local[32] wall time, so the 8→32 pair measured
+# Amdahl's constant, not the engine (round-3 profiling,
+# tools/scaling_experiments.py). A 100 TB run is minutes-per-task —
+# the big fixture is the honest proxy. Override with SCALING_ROWS.
+FIXTURE_ROWS = int(os.environ.get("SCALING_ROWS", "1000000"))
 FIXTURE = f"/tmp/pages_scaling_{FIXTURE_ROWS}.parquet"
 
 _CHILD = r"""
-import json, sys, time
+import json, os, sys, time
 sys.path.insert(0, %(repo)r)
 cpus = int(sys.argv[1])
+# experiment knobs (also used by tools/scaling_experiments):
+#   SCALING_PARTS  - engine partition count (default 64)
+#   SCALING_CONF   - JSON dict of extra spark confs
+parts = int(os.environ.get("SCALING_PARTS", "64"))
+extra = json.loads(os.environ.get("SCALING_CONF", "{}"))
 from pyspark.sql import SparkSession, functions as F
-spark = (SparkSession.builder.master(f"local[{cpus}]")
-    .config("spark.sql.shuffle.partitions", "64")
+b = (SparkSession.builder.master(f"local[{cpus}]")
+    .config("spark.sql.shuffle.partitions", str(parts))
     .config("spark.ui.enabled", "false")
     .config("spark.driver.memory", "24g")
-    .config("spark.local.dir", "/dev/shm/spark-scaling")
-    .getOrCreate())
+    .config("spark.local.dir", "/dev/shm/spark-scaling"))
+for k, v in extra.items():
+    b = b.config(k, v)
+spark = b.getOrCreate()
 import __spark_entry__ as em; em._ensure_workers_see_package(spark)
 from osm_pbf_parquet_spark.operators.encode import encode_dataframe
-pages = spark.read.parquet(%(fixture)r).repartition(64).cache()
+pages = spark.read.parquet(%(fixture)r).repartition(parts).cache()
 rows = pages.count()
 CODECS = {"url": "str_fsst", "text": "str_fsst", "html": "str_zstd",
           "warc_ts": "delta", "lang": "str_dict"}
 def run():
-    ch = encode_dataframe(pages, key_col="url", num_partitions=64,
+    ch = encode_dataframe(pages, key_col="url", num_partitions=parts,
                           codecs=CODECS)
     return ch.agg(F.sum("bytes_in"), F.sum("bytes_out")).collect()[0]
 run()  # warm: workers, JIT, plan
@@ -66,37 +82,6 @@ print(json.dumps({"cpus": cpus, "rows": rows, "sec": round(best, 3),
                   "bytes_in": r[0], "bytes_out": r[1]}))
 spark.stop()
 """
-
-
-_PROBE = r"""
-import sys, time
-import numpy as np
-rng = np.random.default_rng(0)
-a = rng.integers(0, 1000, 2_000_000)
-t0 = time.time(); n = 0
-while time.time() - t0 < 6:
-    np.sort(a); n += 1
-print(n)
-"""
-
-
-def machine_ceiling(levels: list[int]) -> dict[int, int]:
-    """Spark-free parallel-CPU probe: aggregate numpy sorts/6s at each
-    parallelism level. On an overcommitted VM this is the hard ceiling
-    any engine-level scaling measurement lives under."""
-    out = {}
-    for k in levels:
-        procs = [
-            subprocess.Popen([sys.executable, "-c", _PROBE],
-                             stdout=subprocess.PIPE, text=True)
-            for _ in range(k)
-        ]
-        total = 0
-        for pr in procs:
-            stdout, _ = pr.communicate(timeout=120)
-            total += int(stdout.strip() or 0)
-        out[k] = total
-    return out
 
 
 def _ensure_fixture() -> None:
@@ -118,15 +103,16 @@ def measure(cpus: int, runs: int = 3) -> dict:
 
 
 METHODOLOGY = (
-    "same encode job (300k-row pages fixture, fsst/zstd-forced codecs, 64 "
-    "input partitions) in a fresh JVM per parallelism level; per level: "
-    "warm run then 2 timed runs, repeated in 2 ALTERNATING rounds (best "
+    f"same encode job ({FIXTURE_ROWS}-row pages fixture, fsst/zstd-forced "
+    "codecs, 64 input partitions) in a fresh JVM per parallelism level; per "
+    "level: warm run then 2 timed runs, repeated in ALTERNATING rounds (best "
     "timed leg per level) so multi-minute host-noise waves hit all levels "
     "alike; efficiency(N→4N) = throughput(4N) / (4 × throughput(N)). "
-    "machine_ceiling = the same ratio for a Spark-free parallel-numpy probe "
-    "on this host (the sandbox VM is CPU-overcommitted: ~13-16 effective "
-    "cores behind 32 vCPUs, so 8→32 is environment-capped); normalized = "
-    "engine efficiency / machine ceiling, capped at 1."
+    "kernel_ceiling = the same ratio for the ACTUAL fsst/zstd encode kernel "
+    "in K plain-Python processes, no Spark (tools/kernel_ceiling.py) — the "
+    "workload-matched hard ceiling on this CPU-overcommitted VM (~13-16 "
+    "effective cores behind 32 vCPUs); normalized = engine efficiency / "
+    "kernel ceiling, capped at 1."
 )
 
 
@@ -142,14 +128,28 @@ def scaling_report(pairs: list[tuple[int, int]], with_ceiling: bool = True,
             r = measure(c, runs=runs)
             if c not in results or r["sec"] < results[c]["sec"]:
                 results[c] = r
-    ceiling = machine_ceiling(needed) if with_ceiling else {}
+    kernel: dict[int, float] = {}
+    if with_ceiling:
+        # workload-matched ceiling: the actual fsst/zstd kernel in K
+        # plain-Python processes (no Spark) — same alternating best-leg
+        # discipline. This is the profile evidence for what is host-
+        # irreducible vs Spark-attributable.
+        import kernel_ceiling as kc
+
+        kc._ensure_fixture()
+        kc._ensure_slices(max(needed))
+        for _ in range(2):
+            for c in needed:
+                mb = kc.measure_level(c)
+                if c not in kernel or mb > kernel[c]:
+                    kernel[c] = mb
     report = {
         "levels": {
             str(c): {k: results[c][k] for k in ("sec", "rows_per_sec", "mb_in_per_sec")}
             for c in needed
         },
         "pairs": {},
-        "machine_pairs": {},
+        "kernel_pairs": {},
         "normalized_pairs": {},
         "methodology": METHODOLOGY,
     }
@@ -163,8 +163,8 @@ def scaling_report(pairs: list[tuple[int, int]], with_ceiling: bool = True,
             # a measured ceiling > 1 is unphysical (probe caught a quiet
             # window at the high level) — cap before normalizing so the
             # engine is never graded against super-linear hardware
-            m_eff = min(1.0, round(ceiling[hi_c] / (factor * ceiling[lo_c]), 3))
-            report["machine_pairs"][key] = m_eff
+            m_eff = min(1.0, round(kernel[hi_c] / (factor * kernel[lo_c]), 3))
+            report["kernel_pairs"][key] = m_eff
             report["normalized_pairs"][key] = (
                 round(min(1.0, eff / m_eff), 3) if m_eff else None
             )
@@ -200,20 +200,22 @@ def main() -> int:
                 f"| local[{c}] | {r['sec']} | {r['rows_per_sec']} | {r['mb_in_per_sec']} |"
             )
         lines.append("")
-        lines.append("| pair | engine efficiency | machine ceiling (pure-numpy, no Spark) | normalized |")
+        lines.append("| pair | engine efficiency | kernel ceiling (fsst/zstd kernel, no Spark) | normalized |")
         lines.append("|---|---|---|---|")
         for k in report["pairs"]:
             lines.append(
                 f"| {k.replace('to', '→')} | {report['pairs'][k]} "
-                f"| {report['machine_pairs'][k]} | {report['normalized_pairs'][k]} |"
+                f"| {report['kernel_pairs'][k]} | {report['normalized_pairs'][k]} |"
             )
         lines.append("")
         lines.append(
-            "Target ≥ 0.8 per BASELINE.json. The machine-ceiling column is a "
-            "Spark-free parallel numpy probe on the same host: this sandbox VM "
+            "Target ≥ 0.8 per BASELINE.json. The kernel-ceiling column is the "
+            "ACTUAL fsst/zstd encode kernel in K plain-Python processes (no "
+            "Spark, tools/kernel_ceiling.py) on the same host: this sandbox VM "
             "is CPU-overcommitted (≈13–16 effective cores behind 32 vCPUs), so "
             "the raw 8→32 pair is environment-capped; the normalized column "
-            "divides engine efficiency by what the hardware itself delivers.\n"
+            "divides engine efficiency by what the hardware itself delivers "
+            "to the identical kernel.\n"
         )
         path = os.path.join(REPO, "BASELINE.md")
         text = open(path).read()
