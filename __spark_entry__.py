@@ -141,6 +141,10 @@ _EXTRA_QUERIES = (
     "tpch_q6",                # scan-agg ≡ tpch_q1
     "window_first_event",     # window family ≡ sessionize_events
     "embedding_norms",        # trivial fold ≡ similarity_topk machinery
+    "rt_bloom_point",         # new in r3; window already at 50 oracle-backed
+    "pq_topk_recall",         # new in r3; window already at 50 oracle-backed
+    "token_postings_pairs",   # new in r3; window already at 50 oracle-backed
+    "token_search_all",       # new in r3; window already at 50 oracle-backed
 )
 
 
@@ -392,6 +396,33 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dec.select("doc_id", "text", "lang", "n_chars")
 
     q["rt_merge_upsert"] = rt_merge_upsert
+
+    def rt_bloom_point(s, d):
+        """Point lookup over the chunk store via per-chunk Bloom
+        filters (functions/bloom.py): on a hash-partitioned
+        high-cardinality key, zone maps are blind but the bloom
+        prunes to ~1 chunk group from metadata alone. Pruning may
+        only SKIP — the decoded + exactly-refiltered row must equal
+        the oracle's plain point SELECT."""
+        _utc(s)
+        _ensure_workers_see_package(s)
+        from osm_pbf_parquet_spark.operators.encode import (
+            decode_dataframe,
+            encode_dataframe,
+        )
+        from osm_pbf_parquet_spark.operators.pruning import prune_by_point
+
+        docs = _load(s, d, "documents").select("doc_id", "lang", "n_chars")
+        chunks = encode_dataframe(
+            docs, key_col="doc_id", num_partitions=8,
+            target_chunk_bytes=16 << 10, bloom_cols=["doc_id"],
+        )
+        kept = prune_by_point(chunks, "doc_id", 123)
+        return decode_dataframe(kept, docs.schema).filter(
+            F.col("doc_id") == 123
+        )
+
+    q["rt_bloom_point"] = rt_bloom_point
 
     # ---- §2.9 relational validation semantics (V1–V4) ----
     def v1_dup_check(s, d):
@@ -821,6 +852,39 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ivf_topk_partial_recall"] = ivf_topk_partial_recall_q
 
+    def pq_topk_recall_q(s, d):
+        """Product-quantized ANN driver-verified by the same planted
+        design: 10 near-copies of the query (cosine ≈ 1) must be the
+        ADC top-10 even through 8-byte codes (32× compression) — the
+        codebook trains on the first 2048 ids, blind to the plant."""
+        _ensure_workers_see_package(s)
+        from osm_pbf_parquet_spark.functions.pq import (
+            pq_encode,
+            pq_topk,
+            pq_train,
+        )
+
+        emb = _load(s, d, "embeddings").select("vec_id", "embedding")
+        dim0 = (
+            (F.col("id") + 1).cast("double") * F.lit(0.001)
+            + F.lit(float(QUERY_VEC[0]))
+        ).cast("float")
+        rest = F.array(*[F.lit(float(x)).cast("float") for x in QUERY_VEC[1:]])
+        planted = (
+            s.range(10)
+            .select(
+                (F.lit(900000) + F.col("id")).cast(
+                    dict(emb.dtypes)["vec_id"]
+                ).alias("vec_id"),
+                F.concat(F.array(dim0), rest).alias("embedding"),
+            )
+        )
+        book = pq_train(emb, m=8, k=16)
+        codes = pq_encode(emb.union(planted), book)
+        return pq_topk(codes, book, QUERY_VEC, topk=10).select("vec_id")
+
+    q["pq_topk_recall"] = pq_topk_recall_q
+
     def embedding_norms_q(s, d):
         from osm_pbf_parquet_spark.functions.similarity import l2norm
 
@@ -901,6 +965,32 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["vocab_topk"] = vocab_topk_q
+
+    def token_postings_q(s, d):
+        """Inverted token index (corpus search building block):
+        case-folded token → sorted posting list, exploded to scalar
+        (token, doc_id) rows for the mid-frequency band (bounded)."""
+        from osm_pbf_parquet_spark.functions.text import token_postings
+
+        docs = _load(s, d, "documents")
+        idx = token_postings(docs).filter(
+            (F.col("df_count") >= 5) & (F.col("df_count") <= 20)
+        )
+        return idx.select(
+            "token", F.explode("postings").alias("doc_id")
+        )
+
+    q["token_postings_pairs"] = token_postings_q
+
+    def token_search_q(s, d):
+        """AND-semantics term search: docs containing ALL query terms
+        (case-folded whitespace tokens)."""
+        from osm_pbf_parquet_spark.functions.text import search_all_tokens
+
+        docs = _load(s, d, "documents")
+        return search_all_tokens(docs, ["the", "data"])
+
+    q["token_search_all"] = token_search_q
 
     def text_quality_filter_q(s, d):
         """Composite quality gate (C4/Gopher-style integer rules):
@@ -1058,6 +1148,9 @@ def _all_oracle_sql() -> dict[str, str]:
         SELECT event_id, user_id, value FROM events
         WHERE user_id BETWEEN 100 AND 300
           AND value BETWEEN 10.0 AND 40.0
+    """
+    o["rt_bloom_point"] = """
+        SELECT doc_id, lang, n_chars FROM documents WHERE doc_id = 123
     """
     o["rt_merge_upsert"] = """
         SELECT doc_id,
@@ -1274,6 +1367,9 @@ def _all_oracle_sql() -> dict[str, str]:
     o["ivf_topk_partial_recall"] = """
         SELECT CAST(900000 + range AS BIGINT) AS vec_id FROM range(10)
     """
+    o["pq_topk_recall"] = """
+        SELECT CAST(900000 + range AS BIGINT) AS vec_id FROM range(10)
+    """
     o["embedding_norms"] = """
         SELECT vec_id,
                round(sqrt(list_sum(list_transform(embedding,
@@ -1314,6 +1410,27 @@ def _all_oracle_sql() -> dict[str, str]:
         SELECT tok, count(*) AS df FROM toks
         GROUP BY tok ORDER BY df DESC, tok LIMIT 100
     """
+    o["token_postings_pairs"] = """
+        WITH tok AS (
+          SELECT DISTINCT d.doc_id, lower(t.tok) AS token
+          FROM documents d,
+               LATERAL unnest(regexp_extract_all(coalesce(d.text, ''), '[^ \t\n\x0B\f\r]+')) AS t(tok)
+        ),
+        df_ AS (SELECT token, count(*) AS c FROM tok GROUP BY token)
+        SELECT t.token, t.doc_id
+        FROM tok t JOIN df_ USING (token)
+        WHERE c BETWEEN 5 AND 20
+    """
+    o["token_search_all"] = """
+        SELECT doc_id FROM documents
+        WHERE list_contains(list_transform(list_distinct(
+                regexp_extract_all(coalesce(text, ''), '[^ \t\n\x0B\f\r]+')),
+                t -> lower(t)), 'the')
+          AND list_contains(list_transform(list_distinct(
+                regexp_extract_all(coalesce(text, ''), '[^ \t\n\x0B\f\r]+')),
+                t -> lower(t)), 'data')
+    """
+
     o["text_quality_filter"] = (
         f"SELECT doc_id FROM documents WHERE {sql_quality_pass('text')}"
     )

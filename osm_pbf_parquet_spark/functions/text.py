@@ -175,3 +175,65 @@ def sql_quality_pass(col: str) -> str:
         f" AND 100 * {cc['n_upper']} <= {QUALITY_MAX_UPPER_PCT} * {cc['n_chars']}"
         f" AND {cc['n_stopword']} >= {QUALITY_MIN_STOPWORDS})"
     )
+
+
+def token_postings(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+):
+    """Inverted token index: (token, df_count, postings sorted array).
+
+    The corpus-search building block (find every document containing a
+    term) as one explode + one groupBy — all built-ins. At 100 TB the
+    postings of Zipf-head tokens ("the") are huge: store df_count so
+    readers can skip/segment them, and search with search_all_tokens
+    (semi-join per term, smallest-df first) instead of materializing
+    head postings into one row when the corpus outgrows array limits.
+    """
+    tok = F.explode(
+        F.array_distinct(
+            F.regexp_extract_all(
+                F.coalesce(F.col(text_col), F.lit("")), F.lit(TOKEN_RE), F.lit(0)
+            )
+        )
+    ).alias("token")
+    base = df.select(F.col(id_col), tok)
+    if lowercase:
+        base = base.withColumn("token", F.lower(F.col("token")))
+        base = base.distinct()  # lowercasing can merge variants per doc
+    return base.groupBy("token").agg(
+        F.count("*").alias("df_count"),
+        F.sort_array(F.collect_list(id_col)).alias("postings"),
+    )
+
+
+def search_all_tokens(
+    df,
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Documents containing ALL terms (AND semantics, case-folded):
+    one aggregated containment check per doc — no index required, or
+    use token_postings + array_intersect when the index is built."""
+    cols = [
+        F.array_contains(
+            F.transform(
+                F.array_distinct(
+                    F.regexp_extract_all(
+                        F.coalesce(F.col(text_col), F.lit("")),
+                        F.lit(TOKEN_RE), F.lit(0),
+                    )
+                ),
+                lambda t: F.lower(t),
+            ),
+            term.lower(),
+        )
+        for term in terms
+    ]
+    cond = cols[0]
+    for c in cols[1:]:
+        cond = cond & c
+    return df.filter(cond).select(id_col)

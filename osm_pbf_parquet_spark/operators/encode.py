@@ -51,6 +51,9 @@ CHUNKS_ARROW_SCHEMA = pa.schema(
         ("checksum", pa.string()),
         ("stat_min", pa.string()),
         ("stat_max", pa.string()),
+        # per-chunk Bloom filter of a key column (functions/bloom.py):
+        # point-lookup pruning from metadata alone; null when not built
+        ("stat_bloom", pa.binary()),
     ]
 )
 
@@ -69,6 +72,7 @@ CHUNKS_SPARK_SCHEMA = T.StructType(
         T.StructField("checksum", T.StringType()),
         T.StructField("stat_min", T.StringType()),
         T.StructField("stat_max", T.StringType()),
+        T.StructField("stat_bloom", T.BinaryType()),
     ]
 )
 
@@ -123,6 +127,7 @@ def _encode_group(
     tables: list[pa.Table],
     codecs: dict[str, str] | None,
     zstd_level: int = 3,
+    bloom_cols: tuple[str, ...] = (),
 ) -> pa.RecordBatch:
     tbl = pa.concat_tables(tables).combine_chunks()
     n = tbl.num_rows
@@ -146,6 +151,12 @@ def _encode_group(
         lo, hi = _chunk_stats(col)  # pc.min_max accepts chunked columns
         rows["stat_min"].append(lo)
         rows["stat_max"].append(hi)
+        if name in bloom_cols:
+            from ..functions.bloom import bloom_build
+
+            rows["stat_bloom"].append(bloom_build(col))
+        else:
+            rows["stat_bloom"].append(None)
     return pa.record_batch(
         [pa.array(rows[f.name], type=f.type) for f in CHUNKS_ARROW_SCHEMA],
         schema=CHUNKS_ARROW_SCHEMA,
@@ -157,6 +168,7 @@ def make_encode_fn(
     target_chunk_bytes: int,
     zstd_level: int = 3,
     progress=None,
+    bloom_cols: tuple[str, ...] = (),
 ):
     """Arrow-batch iterator transform for mapInArrow.
 
@@ -191,11 +203,11 @@ def make_encode_fn(
                 st["bytes"] += target_chunk_bytes  # force the cut below
                 sub = sub.slice(take)
                 if st["bytes"] >= target_chunk_bytes:
-                    yield _encode_group(pid, st["seq"], st["tables"], codecs, zstd_level)
+                    yield _encode_group(pid, st["seq"], st["tables"], codecs, zstd_level, bloom_cols)
                     st["tables"], st["bytes"] = [], 0
                     st["seq"] += 1
             if st["bytes"] >= target_chunk_bytes and st["tables"]:
-                yield _encode_group(pid, st["seq"], st["tables"], codecs, zstd_level)
+                yield _encode_group(pid, st["seq"], st["tables"], codecs, zstd_level, bloom_cols)
                 st["tables"], st["bytes"] = [], 0
                 st["seq"] += 1
 
@@ -221,7 +233,7 @@ def make_encode_fn(
                 yield from feed(pid, sub)
         for pid, st in acc.items():
             if st["tables"]:
-                yield _encode_group(pid, st["seq"], st["tables"], codecs, zstd_level)
+                yield _encode_group(pid, st["seq"], st["tables"], codecs, zstd_level, bloom_cols)
 
     return encode_fn
 
@@ -236,8 +248,12 @@ def encode_dataframe(
     zstd_level: int = 3,
     progress=None,
     sort_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> DataFrame:
     """Encode every column of df into chunk rows. One shuffle.
+
+    bloom_cols builds a per-chunk Bloom filter (stat_bloom) for the
+    named columns — point-lookup pruning via pruning.prune_by_point.
 
     If df already carries PID_COL (e.g. from partitioning.salted_pids)
     it is used as-is; otherwise pid = pmod(xxhash64(key_col), N).
@@ -262,7 +278,8 @@ def encode_dataframe(
     if sort_cols:
         routed = routed.sortWithinPartitions(PID_COL, *sort_cols)
     return routed.mapInArrow(
-        make_encode_fn(codecs, target_chunk_bytes, zstd_level, progress),
+        make_encode_fn(codecs, target_chunk_bytes, zstd_level, progress,
+                       tuple(bloom_cols or ())),
         CHUNKS_SPARK_SCHEMA,
     )
 
@@ -273,6 +290,7 @@ def encode_input_partitions(
     target_chunk_bytes: int | None = None,
     zstd_level: int = 3,
     progress=None,
+    bloom_cols: list[str] | None = None,
 ) -> DataFrame:
     """Shuffle-free encode: each INPUT partition is the engine
     partition (pid = spark_partition_id) — the exact twin of the
@@ -294,7 +312,8 @@ def encode_input_partitions(
         target_chunk_bytes = derive_chunk_target(df.sparkSession)
     with_pid = df.withColumn(PID_COL, F.spark_partition_id().cast("long"))
     return with_pid.mapInArrow(
-        make_encode_fn(codecs, target_chunk_bytes, zstd_level, progress),
+        make_encode_fn(codecs, target_chunk_bytes, zstd_level, progress,
+                       tuple(bloom_cols or ())),
         CHUNKS_SPARK_SCHEMA,
     )
 

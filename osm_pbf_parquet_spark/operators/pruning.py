@@ -20,6 +20,7 @@ is inherent to any columnar store, not this engine.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -128,4 +129,45 @@ def decode_evolved(
             else F.lit(None).cast(f.dataType).alias(f.name)
             for f in target_schema.fields
         ]
+    )
+
+
+def prune_by_point(chunks_df: DataFrame, column: str, value) -> DataFrame:
+    """Bloom-filter point-lookup pruning: keep only chunk groups whose
+    stat_bloom for `column` might contain `value` (plus, conservatively,
+    groups that carry no filter).
+
+    The "fetch THIS url out of 10^12 pages" path: probes run over chunk
+    METADATA rows only (thousands of rows per store, an Arrow-batched
+    scalar fn — never the payload hot path), so the lookup prunes to
+    ~1 chunk group under any partitioning, clustered or not — where
+    zone maps are blind on a hash-partitioned high-cardinality key.
+    A Bloom "no" is definitive (no false negatives); a "yes" merely
+    decodes one extra group, so the exact predicate must still be
+    re-applied after decode.
+    """
+    import pyarrow as pa
+
+    from ..functions.bloom import bloom_might_contain, bloom_probe_positions
+
+    h1, h2 = bloom_probe_positions(value, pa.array([value]).type)
+
+    @F.pandas_udf(T.BooleanType())
+    def might(blobs: pd.Series) -> pd.Series:
+        return blobs.map(
+            lambda b: bloom_might_contain(bytes(b), int(h1), int(h2))
+            if b is not None
+            else True
+        )
+
+    disqualified = (
+        chunks_df.filter(
+            (F.col("column") == column) & F.col("stat_bloom").isNotNull()
+        )
+        .filter(~might(F.col("stat_bloom")))
+        .select(*_group_keys(chunks_df))
+        .distinct()
+    )
+    return chunks_df.join(
+        F.broadcast(disqualified), _group_keys(chunks_df), "left_anti"
     )

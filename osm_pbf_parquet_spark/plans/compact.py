@@ -34,7 +34,8 @@ from .manifest import (
 
 
 def make_compact_fn(codecs: dict[str, str] | None, zstd_level: int,
-                    target_chunk_bytes: int):
+                    target_chunk_bytes: int,
+                    bloom_cols: tuple[str, ...] = ()):
     def compact_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         # pid → seq → col_idx → (column, codec, params, payload)
         per_pid: dict[int, dict[int, dict[int, tuple]]] = {}
@@ -76,13 +77,14 @@ def make_compact_fn(codecs: dict[str, str] | None, zstd_level: int,
             # but must not fuse a huge partition into one unbounded
             # chunk (per-group memory stays O(target_chunk_bytes))
             if tbl.nbytes <= target_chunk_bytes or tbl.num_rows <= 1:
-                yield _encode_group(pid, 0, [tbl], codecs, zstd_level)
+                yield _encode_group(pid, 0, [tbl], codecs, zstd_level, bloom_cols)
             else:
                 rows_per = max(1, int(tbl.num_rows * target_chunk_bytes / tbl.nbytes))
                 seq = 0
                 for off in range(0, tbl.num_rows, rows_per):
                     yield _encode_group(
-                        pid, seq, [tbl.slice(off, rows_per)], codecs, zstd_level
+                        pid, seq, [tbl.slice(off, rows_per)], codecs,
+                        zstd_level, bloom_cols
                     )
                     seq += 1
 
@@ -99,6 +101,7 @@ def compact_partitions(
     num_partitions: int | None = None,
     target_chunk_bytes: int | None = None,
     rotate_bytes: int = 512 << 20,
+    bloom_cols: list[str] | None = None,
 ) -> dict:
     """Rewrite every committed partition with ≥ min_chunks chunk groups
     into a single group; append + supersede, idempotent and crash-safe
@@ -130,7 +133,8 @@ def compact_partitions(
     compacted = (
         visible.repartition(n, "partition_id")
         .mapInArrow(
-            make_compact_fn(codecs, zstd_level, target_chunk_bytes),
+            make_compact_fn(codecs, zstd_level, target_chunk_bytes,
+                            tuple(bloom_cols or ())),
             CHUNKS_SPARK_SCHEMA,
         )
         .withColumn("run_id", F.lit(run_id))

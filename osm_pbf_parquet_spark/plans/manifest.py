@@ -193,6 +193,7 @@ def encode_job(
     fail_after_partitions: int | None = None,
     rotate_bytes: int = 512 << 20,
     sort_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> dict:
     """Resumable encode: pending partitions only, idempotent commit.
 
@@ -246,6 +247,7 @@ def encode_job(
         zstd_level=zstd_level,
         progress=progress,
         sort_cols=sort_cols,
+        bloom_cols=bloom_cols,
     ).withColumn("run_id", F.lit(run_id))
 
     cdir = chunks_dir(out_dir)

@@ -9,4 +9,4 @@ each micro-batch via foreachBatch, giving incremental ingest the
 reference never implemented.
 """
 
-from .encode_stream import encode_stream  # noqa: F401
+from .encode_stream import encode_stream, merge_stream  # noqa: F401

@@ -50,3 +50,58 @@ def encode_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def merge_stream(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema,
+    key_col: str,
+    op_col: str = "op",
+    num_partitions: int = 32,
+    codecs: dict[str, str] | None = None,
+    snapshot_id: str = "snap-0",
+    trigger_once: bool = True,
+):
+    """CDC apply: a change stream with an `op` column ('upsert' |
+    'delete') merges into ONE logical snapshot via copy-on-write
+    merge_job — re-crawls and takedowns land continuously while
+    readers always see a consistent committed view (last-wins
+    manifest, same visibility rule as every other writer).
+
+    Replayed epochs re-merge the same change set; merge_job is
+    idempotent for a replay because applying identical upserts/deletes
+    twice reaches the same final rows (the second commit supersedes
+    with identical content).
+    """
+    from pyspark.sql import functions as F
+
+    from ..plans.merge import merge_job
+
+    spark = stream_df.sparkSession
+    data_cols = [f.name for f in schema.fields]
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_df = batch_df.cache()
+        try:
+            ups = batch_df.filter(F.col(op_col) == "upsert").select(*data_cols)
+            dels = batch_df.filter(F.col(op_col) == "delete").select(key_col)
+            merge_job(
+                spark, out_dir, schema,
+                updates=ups if not ups.isEmpty() else None,
+                deletes=dels if not dels.isEmpty() else None,
+                key_col=key_col, num_partitions=num_partitions,
+                snapshot_id=snapshot_id, codecs=codecs,
+            )
+        finally:
+            batch_df.unpersist()
+
+    writer = stream_df.writeStream.foreachBatch(_sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,144 @@
+"""Per-chunk Bloom filters: point-lookup pruning on high-cardinality
+keys, where zone maps are blind (a url-hash-partitioned store's every
+chunk spans the full key range).
+
+Guarantees under test: NO false negatives ever (a pruned-away group
+provably lacks the key), low false-positive rate (wasted decodes), and
+end-to-end: lookup-by-key decodes ~1 chunk group instead of all.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+from pyspark.sql import functions as F
+
+from osm_pbf_parquet_spark.functions.bloom import (
+    bloom_build,
+    bloom_might_contain,
+    bloom_probe_positions,
+)
+from osm_pbf_parquet_spark.operators.encode import (
+    decode_dataframe,
+    encode_dataframe,
+)
+from osm_pbf_parquet_spark.operators.pruning import prune_by_point
+
+
+# ---- kernel ----
+
+def test_no_false_negatives_strings():
+    urls = [f"https://example.com/{i}?q={i * 7}" for i in range(20_000)]
+    blob = bloom_build(pa.array(urls))
+    for u in urls[::97]:
+        h1, h2 = bloom_probe_positions(u, pa.string())
+        assert bloom_might_contain(blob, h1, h2)
+
+
+def test_false_positive_rate_bounded():
+    blob = bloom_build(pa.array([f"k{i}" for i in range(10_000)]))
+    fp = sum(
+        bloom_might_contain(blob, *bloom_probe_positions(f"absent{i}", pa.string()))
+        for i in range(3_000)
+    )
+    assert fp / 3_000 < 0.03
+
+
+@pytest.mark.parametrize(
+    "values,probe,dtype",
+    [
+        ([1, 2, 3, 10**12], 10**12, pa.int64()),
+        ([1.5, -0.0, 3.25], 1.5, pa.float64()),
+        (["", "a", None], "", pa.string()),
+        ([b"\x00\xff", b"xyz"], b"\x00\xff", pa.binary()),
+    ],
+)
+def test_kernel_membership_edge_types(values, probe, dtype):
+    blob = bloom_build(pa.array(values, type=dtype))
+    assert bloom_might_contain(blob, *bloom_probe_positions(probe, dtype))
+
+
+def test_empty_and_all_null_columns():
+    assert bloom_build(pa.array([], type=pa.string())) is not None
+    blob = bloom_build(pa.array([None, None], type=pa.int64()))
+    # nothing was added — absent keys should (almost surely) miss
+    h1, h2 = bloom_probe_positions(42, pa.int64())
+    assert not bloom_might_contain(blob, h1, h2)
+
+
+# ---- e2e over the chunk store ----
+
+def test_point_lookup_prunes_to_few_groups(spark, pages_path):
+    pages = spark.read.parquet(pages_path)
+    target = pages.select("url").first()["url"]
+    chunks = encode_dataframe(
+        pages, key_col="url", num_partitions=8,
+        target_chunk_bytes=256 << 10, bloom_cols=["url"],
+    ).cache()
+    total = chunks.select("partition_id", "chunk_seq").distinct().count()
+    kept_chunks = prune_by_point(chunks, "url", target).cache()
+    kept = kept_chunks.select("partition_id", "chunk_seq").distinct().count()
+    assert kept < max(2, total // 4), (
+        f"bloom pruning kept {kept}/{total} groups for a point lookup"
+    )
+    # no false negatives: the row is still there, bit-identical
+    row = (
+        decode_dataframe(kept_chunks, pages.schema)
+        .filter(F.col("url") == target)
+        .collect()
+    )
+    assert len(row) == 1
+    src = pages.filter(F.col("url") == target).collect()[0]
+    assert row[0] == src
+
+
+def test_absent_key_usually_prunes_everything(spark, pages_path):
+    pages = spark.read.parquet(pages_path)
+    chunks = encode_dataframe(
+        pages, key_col="url", num_partitions=8,
+        target_chunk_bytes=256 << 10, bloom_cols=["url"],
+    ).cache()
+    kept = (
+        prune_by_point(chunks, "url", "https://definitely-absent.example/x")
+        .select("partition_id", "chunk_seq").distinct().count()
+    )
+    total = chunks.select("partition_id", "chunk_seq").distinct().count()
+    assert kept <= max(1, total // 8)
+
+
+def test_no_bloom_means_no_pruning(spark, pages_path):
+    """Stores without filters must be conservatively kept whole."""
+    pages = spark.read.parquet(pages_path).limit(500)
+    chunks = encode_dataframe(pages, key_col="url", num_partitions=4).cache()
+    total = chunks.select("partition_id", "chunk_seq").distinct().count()
+    kept = (
+        prune_by_point(chunks, "url", "anything")
+        .select("partition_id", "chunk_seq").distinct().count()
+    )
+    assert kept == total
+
+
+def test_compaction_rebuilds_blooms(spark, pages_path, tmp_path):
+    from osm_pbf_parquet_spark.plans.compact import compact_partitions
+    from osm_pbf_parquet_spark.plans.manifest import encode_job, read_encoded
+
+    out = str(tmp_path / "store")
+    src = spark.read.parquet(pages_path)
+    encode_job(
+        spark, src, out, key_col="url", num_partitions=4,
+        target_chunk_bytes=128 << 10, bloom_cols=["url"],
+    )
+    compact_partitions(
+        spark, out, min_chunks=2, bloom_cols=["url"],
+        target_chunk_bytes=4 << 20,
+    )
+    dec = read_encoded(spark, out, src.schema)
+    assert dec.count() == src.count()
+    # the compacted chunks still carry url blooms
+    from osm_pbf_parquet_spark.plans.manifest import chunks_dir
+
+    chunks = spark.read.parquet(chunks_dir(out))
+    with_bloom = chunks.filter(
+        (F.col("column") == "url") & F.col("stat_bloom").isNotNull()
+    ).count()
+    assert with_bloom > 0

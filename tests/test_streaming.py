@@ -32,3 +32,54 @@ def test_stream_encode_available_now(spark, pages_path, tmp_path):
     cols = [c for c in src_static.columns if c != "url"]
     ok = joined.filter(F.expr(" AND ".join(f"a.{c} <=> b.{c}" for c in cols))).count()
     assert ok == src_static.count()
+
+
+def test_merge_stream_cdc_apply(spark, pages_path, tmp_path):
+    """A CDC stream (upserts + deletes) lands in one logical snapshot
+    via copy-on-write merge; the final view equals batch-applied
+    changes exactly."""
+    from osm_pbf_parquet_spark.plans.manifest import encode_job, read_encoded
+    from osm_pbf_parquet_spark.streaming.encode_stream import merge_stream
+
+    src = spark.read.parquet(pages_path)
+    out = str(tmp_path / "store")
+    encode_job(spark, src, out, key_col="url", num_partitions=4)
+
+    # change feed: 80 re-crawls + 30 takedowns, written as parquet the
+    # stream will pick up
+    ups = (
+        src.limit(80)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" [cdc]")))
+        .withColumn("op", F.lit("upsert"))
+    )
+    dels = (
+        src.orderBy(F.desc("url")).limit(30)
+        .withColumn("op", F.lit("delete"))
+    )
+    feed_dir = str(tmp_path / "feed")
+    ups.unionByName(dels).write.parquet(feed_dir)
+
+    stream = (
+        spark.readStream.schema(ups.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(feed_dir)
+    )
+    q = merge_stream(
+        stream, out, str(tmp_path / "ckpt"), src.schema,
+        key_col="url", num_partitions=4,
+    )
+    q.awaitTermination(180)
+
+    expected = (
+        src.join(ups.select("url"), "url", "left_anti")
+        .join(dels.select("url"), "url", "left_anti")
+        .unionByName(ups.drop("op"))
+    )
+    dec = read_encoded(spark, out, src.schema)
+    assert dec.count() == expected.count()
+    joined = expected.alias("a").join(dec.alias("b"), "url")
+    cols = [c for c in src.columns if c != "url"]
+    ok = joined.filter(
+        F.expr(" AND ".join(f"a.{c} <=> b.{c}" for c in cols))
+    ).count()
+    assert ok == expected.count()

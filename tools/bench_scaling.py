@@ -12,10 +12,12 @@ of its local[32] wall time in parallelism-independent overhead, so
 its 8→32 pair measured Amdahl's constant, not the engine.
 
 Each parallelism level runs in a FRESH JVM; within a process the job
-runs once warm, then 2 timed runs; levels alternate across 2 rounds and
-the best leg per level wins (criterion-style warm timing, matching the
-reference's bench methodology, benches/benchmark.rs:26-30; the
-alternation decorrelates this VM's multi-minute noise waves).
+runs once warm, then 2 timed runs (criterion-style warm timing,
+matching the reference's bench methodology, benches/benchmark.rs:26-30).
+Levels alternate WITHIN each round so a pair's legs sample adjacent
+host windows; the headline ratio is the median across rounds of the
+within-round ratio (common-mode hypervisor noise cancels). Best-leg
+throughputs are reported per level for absolute numbers.
 
 Measured pairs: (2→8) and (8→32). The machine is a shared VM with
 heavy hypervisor steal at high thread counts (single-stream memcpy
@@ -105,13 +107,16 @@ def measure(cpus: int, runs: int = 3) -> dict:
 METHODOLOGY = (
     f"same encode job ({FIXTURE_ROWS}-row pages fixture, fsst/zstd-forced "
     "codecs, 64 input partitions) in a fresh JVM per parallelism level; per "
-    "level: warm run then 2 timed runs, repeated in ALTERNATING rounds (best "
-    "timed leg per level) so multi-minute host-noise waves hit all levels "
-    "alike; efficiency(N→4N) = throughput(4N) / (4 × throughput(N)). "
+    "level: warm run then 2 timed runs, levels ALTERNATING within each round "
+    "so a pair's two legs sample adjacent host windows. paired_median = "
+    "median over rounds of throughput(4N)/(4×throughput(N)) computed WITHIN "
+    "each round (common-mode host noise cancels) — the headline figure; "
+    "best-leg 'pairs' kept for continuity but it compares independently "
+    "cherry-picked quiet windows, which deflates the ratio on a shared VM. "
     "kernel_ceiling = the same ratio for the ACTUAL fsst/zstd encode kernel "
     "in K plain-Python processes, no Spark (tools/kernel_ceiling.py) — the "
     "workload-matched hard ceiling on this CPU-overcommitted VM (~13-16 "
-    "effective cores behind 32 vCPUs); normalized = engine efficiency / "
+    "effective cores behind 32 vCPUs); normalized = paired_median / "
     "kernel ceiling, capped at 1."
 )
 
@@ -123,11 +128,15 @@ def scaling_report(pairs: list[tuple[int, int]], with_ceiling: bool = True,
     _ensure_fixture()
     needed = sorted({c for p in pairs for c in p})
     results: dict[int, dict] = {}
+    history: list[dict[int, dict]] = []
     for _ in range(rounds):
+        this_round: dict[int, dict] = {}
         for c in needed:
             r = measure(c, runs=runs)
+            this_round[c] = r
             if c not in results or r["sec"] < results[c]["sec"]:
                 results[c] = r
+        history.append(this_round)
     kernel: dict[int, float] = {}
     if with_ceiling:
         # workload-matched ceiling: the actual fsst/zstd kernel in K
@@ -149,6 +158,7 @@ def scaling_report(pairs: list[tuple[int, int]], with_ceiling: bool = True,
             for c in needed
         },
         "pairs": {},
+        "paired_median": {},
         "kernel_pairs": {},
         "normalized_pairs": {},
         "methodology": METHODOLOGY,
@@ -157,8 +167,25 @@ def scaling_report(pairs: list[tuple[int, int]], with_ceiling: bool = True,
         lo, hi = results[lo_c], results[hi_c]
         key = f"{lo_c}to{hi_c}"
         factor = hi_c / lo_c  # the pair's actual scale-up, not a fixed 4×
+        # best-leg ratio is kept for continuity, but it compares each
+        # level's QUIETEST host window picked independently — on this
+        # noisy VM that structurally deflates the ratio (the low level
+        # gains more from a quiet window). The honest ratio for a
+        # shared-host measurement is per-round PAIRED (legs adjacent in
+        # time → common-mode noise cancels), median across rounds.
         eff = round(hi["rows_per_sec"] / (factor * lo["rows_per_sec"]), 3)
         report["pairs"][key] = eff
+        per_round = sorted(
+            r[hi_c]["rows_per_sec"] / (factor * r[lo_c]["rows_per_sec"])
+            for r in history
+        )
+        mid = len(per_round) // 2
+        med = (
+            per_round[mid]
+            if len(per_round) % 2
+            else (per_round[mid - 1] + per_round[mid]) / 2
+        )
+        report["paired_median"][key] = round(med, 3)
         if with_ceiling:
             # a measured ceiling > 1 is unphysical (probe caught a quiet
             # window at the high level) — cap before normalizing so the
@@ -166,9 +193,9 @@ def scaling_report(pairs: list[tuple[int, int]], with_ceiling: bool = True,
             m_eff = min(1.0, round(kernel[hi_c] / (factor * kernel[lo_c]), 3))
             report["kernel_pairs"][key] = m_eff
             report["normalized_pairs"][key] = (
-                round(min(1.0, eff / m_eff), 3) if m_eff else None
+                round(min(1.0, med / m_eff), 3) if m_eff else None
             )
-    report["value"] = max(report["pairs"].values())
+    report["value"] = max(report["paired_median"].values())
     return report
 
 
@@ -200,11 +227,12 @@ def main() -> int:
                 f"| local[{c}] | {r['sec']} | {r['rows_per_sec']} | {r['mb_in_per_sec']} |"
             )
         lines.append("")
-        lines.append("| pair | engine efficiency | kernel ceiling (fsst/zstd kernel, no Spark) | normalized |")
-        lines.append("|---|---|---|---|")
+        lines.append("| pair | paired-median efficiency (headline) | best-leg | kernel ceiling (fsst/zstd kernel, no Spark) | normalized (median/ceiling) |")
+        lines.append("|---|---|---|---|---|")
         for k in report["pairs"]:
             lines.append(
-                f"| {k.replace('to', '→')} | {report['pairs'][k]} "
+                f"| {k.replace('to', '→')} | {report['paired_median'][k]} "
+                f"| {report['pairs'][k]} "
                 f"| {report['kernel_pairs'][k]} | {report['normalized_pairs'][k]} |"
             )
         lines.append("")
@@ -214,8 +242,12 @@ def main() -> int:
             "Spark, tools/kernel_ceiling.py) on the same host: this sandbox VM "
             "is CPU-overcommitted (≈13–16 effective cores behind 32 vCPUs), so "
             "the raw 8→32 pair is environment-capped; the normalized column "
-            "divides engine efficiency by what the hardware itself delivers "
-            "to the identical kernel.\n"
+            "divides the paired-median efficiency by what the hardware itself "
+            "delivers to the identical kernel. paired-median computes the "
+            "ratio WITHIN each alternating round (adjacent host windows — "
+            "common-mode noise cancels) and takes the median across rounds; "
+            "best-leg compares each level's quietest window picked "
+            "independently, which structurally deflates the ratio here.\n"
         )
         path = os.path.join(REPO, "BASELINE.md")
         text = open(path).read()
