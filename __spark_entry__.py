@@ -141,10 +141,20 @@ _EXTRA_QUERIES = (
     "tpch_q6",                # scan-agg ≡ tpch_q1
     "window_first_event",     # window family ≡ sessionize_events
     "embedding_norms",        # trivial fold ≡ similarity_topk machinery
-    "rt_bloom_point",         # new in r3; window already at 50 oracle-backed
-    "pq_topk_recall",         # new in r3; window already at 50 oracle-backed
-    "token_postings_pairs",   # new in r3; window already at 50 oracle-backed
-    "token_search_all",       # new in r3; window already at 50 oracle-backed
+    # round-3 swaps: the window stays at exactly 50 oracle-backed
+    # entries; three NEW capabilities (bloom point-lookup pruning,
+    # product-quantized ANN, inverted token index) take the slots of
+    # three siblings whose capability stays graded elsewhere and whose
+    # green record stands in CORRECTNESS_r02:
+    "codec_dictint_suppkey",  # dict codec graded via codec_dict_lang (str+int share the kernel family); r02-green
+    "text_token_count",       # token family graded via text_bpe_tokens/vocab_topk; r02-green
+    "ivf_topk_fullprobe",     # IVF machinery graded via ivf_topk_partial_recall (stricter); r02-green
+    "token_search_all",       # thin consumer of token_postings_pairs (graded)
+    "codec_zstd_text",        # zstd kernel graded via rt_pages html column; r02-green
+
+    "store_count_meta",       # new in r3; metadata-only count (window full)
+    "store_minmax_meta",      # new in r3; metadata-only min/max (window full)
+    "vacuum_decode",          # new in r3; GC lifecycle round-trip (window full)
 )
 
 
@@ -992,6 +1002,92 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["token_search_all"] = token_search_q
 
+    def extract_text_pages_q(s, d):
+        """The north-star invariant as an operator: html:binary →
+        text:string with JVM built-ins only (functions/html.py —
+        lossy UTF-8 decode + tag strip). Pages html derives from
+        documents exactly as rt_pages does, so extraction must
+        return the embedded text byte-identically per url."""
+        _utc(s)
+        from osm_pbf_parquet_spark.functions.html import (
+            ensure_lossy_decode,
+            extract_html_text,
+        )
+
+        ensure_lossy_decode(s)
+        docs = _load(s, d, "documents")
+        pages = docs.select(
+            F.concat(
+                F.lit("https://example.org/p/"), F.col("doc_id").cast("string")
+            ).alias("url"),
+            F.concat(
+                F.lit(b"<html>\xff\xfe"),
+                F.coalesce(F.col("text"), F.lit("")).cast("binary"),
+                F.lit(b"</html>"),
+            ).alias("html"),
+        )
+        return pages.select(
+            "url", extract_html_text("html").alias("extracted")
+        )
+
+    q["extract_text_pages"] = extract_text_pages_q
+
+    def store_count_meta_q(s, d):
+        """Metadata-only count(*): the chunk store answers from chunk
+        n_rows alone — no payload decode (operators/pruning.py
+        store_count)."""
+        _utc(s)
+        _ensure_workers_see_package(s)
+        from osm_pbf_parquet_spark.operators.encode import encode_dataframe
+        from osm_pbf_parquet_spark.operators.pruning import store_count
+
+        docs = _load(s, d, "documents")
+        chunks = encode_dataframe(docs, key_col="doc_id", num_partitions=8)
+        return store_count(chunks)
+
+    q["store_count_meta"] = store_count_meta_q
+
+    def store_minmax_meta_q(s, d):
+        """Metadata-only global min/max from zone-map stats alone
+        (operators/pruning.py store_minmax)."""
+        _utc(s)
+        _ensure_workers_see_package(s)
+        from osm_pbf_parquet_spark.operators.encode import encode_dataframe
+        from osm_pbf_parquet_spark.operators.pruning import store_minmax
+
+        docs = _load(s, d, "documents")
+        chunks = encode_dataframe(docs, key_col="doc_id", num_partitions=8)
+        return store_minmax(chunks, "n_chars")
+
+    q["store_minmax_meta"] = store_minmax_meta_q
+
+    def vacuum_decode_q(s, d):
+        """Store lifecycle end-to-end: encode → compact (supersede) →
+        vacuum at horizon 0 (physically delete superseded + orphan
+        chunk files) → decode the committed view — must still equal
+        the plain table (plans/vacuum.py)."""
+        import tempfile
+
+        _utc(s)
+        _ensure_workers_see_package(s)
+        from osm_pbf_parquet_spark.plans.compact import compact_partitions
+        from osm_pbf_parquet_spark.plans.manifest import (
+            encode_job,
+            read_encoded,
+        )
+        from osm_pbf_parquet_spark.plans.vacuum import vacuum
+
+        docs = _load(s, d, "documents")
+        out = tempfile.mkdtemp(prefix="vacuum_store_")
+        encode_job(s, docs, out, key_col="doc_id", num_partitions=8,
+                   target_chunk_bytes=32 << 10)
+        compact_partitions(s, out, min_chunks=2)
+        vacuum(s, out, older_than_s=0.0)
+        dec = read_encoded(s, out, docs.schema)
+        return dec.select("doc_id", "text", "lang", "n_chars")
+
+    q["vacuum_decode"] = vacuum_decode_q
+
     def text_quality_filter_q(s, d):
         """Composite quality gate (C4/Gopher-style integer rules):
         which docs survive the pre-training filter."""
@@ -1429,6 +1525,22 @@ def _all_oracle_sql() -> dict[str, str]:
           AND list_contains(list_transform(list_distinct(
                 regexp_extract_all(coalesce(text, ''), '[^ \t\n\x0B\f\r]+')),
                 t -> lower(t)), 'data')
+    """
+    o["extract_text_pages"] = """
+        SELECT 'https://example.org/p/' || doc_id AS url,
+               coalesce(text, '') AS extracted
+        FROM documents
+    """
+    o["store_count_meta"] = """
+        SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+    """
+    o["store_minmax_meta"] = """
+        SELECT CAST(min(n_chars) AS DOUBLE) AS min_value,
+               CAST(max(n_chars) AS DOUBLE) AS max_value
+        FROM documents
+    """
+    o["vacuum_decode"] = """
+        SELECT doc_id, text, lang, n_chars FROM documents
     """
 
     o["text_quality_filter"] = (

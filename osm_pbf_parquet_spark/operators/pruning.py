@@ -132,6 +132,45 @@ def decode_evolved(
     )
 
 
+def store_count(chunks_df: DataFrame) -> DataFrame:
+    """Exact row count of the store from chunk METADATA alone — no
+    payload byte is ever read (the parquet scan prunes to the tiny
+    key/n_rows columns). Every column's chunk row in a group carries
+    the same n_rows, so per-group max == the group's row count.
+
+    The `SELECT count(*)` fast path every columnar engine serves from
+    footer statistics; at 10^12 rows this is a metadata-table agg,
+    seconds not hours. Returns a 1-row DataFrame (n bigint).
+    """
+    return (
+        chunks_df.groupBy(*_group_keys(chunks_df))
+        .agg(F.max("n_rows").alias("rows"))
+        .agg(F.sum("rows").cast("long").alias("n"))
+    )
+
+
+def store_minmax(
+    chunks_df: DataFrame, column: str, numeric: bool = True
+) -> DataFrame:
+    """Exact global min/max of `column` from zone-map metadata alone.
+
+    Valid because chunk stats are computed over ALL of the chunk's
+    values at encode time (encode.py _chunk_stats): the global min is
+    the min of chunk minima. All-null chunks carry null stats and
+    drop out, matching SQL min/max null semantics. numeric=True casts
+    the stat strings to double (ints/floats/int64-viewed timestamps);
+    numeric=False compares lexicographically (strings).
+
+    Columns that never get stats (nested/binary) return NULLs —
+    truthfully "unknown from metadata", never a wrong value.
+    """
+    lo = F.col("stat_min").cast("double") if numeric else F.col("stat_min")
+    hi = F.col("stat_max").cast("double") if numeric else F.col("stat_max")
+    return chunks_df.filter(F.col("column") == column).agg(
+        F.min(lo).alias("min_value"), F.max(hi).alias("max_value")
+    )
+
+
 def prune_by_point(chunks_df: DataFrame, column: str, value) -> DataFrame:
     """Bloom-filter point-lookup pruning: keep only chunk groups whose
     stat_bloom for `column` might contain `value` (plus, conservatively,

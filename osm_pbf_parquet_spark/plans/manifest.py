@@ -305,3 +305,42 @@ def read_encoded(
         F.broadcast(committed), ["partition_id", "run_id"], "left_semi"
     )
     return decode_dataframe(chunks, schema)
+
+
+def read_incremental(
+    spark: SparkSession,
+    out_dir: str,
+    schema,
+    since: float,
+    until: float | None = None,
+    snapshot_id: str | None = None,
+) -> DataFrame:
+    """Incremental read: decode ONLY partitions whose current manifest
+    row committed in (since, until] — the changed-data feed a
+    downstream pipeline consumes instead of rescanning the table.
+
+    Semantics are partition-granular refresh (the store's write unit):
+    a partition appears iff its LATEST visible commit falls in the
+    window, and it arrives whole — new appends, re-crawled merges and
+    compaction rewrites all surface exactly once. At 100 TB the win is
+    structural: a daily consumer decodes the handful of partitions
+    that changed, not 10^12 rows; the manifest (thousands of rows)
+    is the only thing fully scanned. Compare Iceberg's incremental
+    snapshot scan — same metadata-driven shape.
+
+    Pass until to replay a historical window (e.g. re-run yesterday's
+    failed downstream batch); default is "now" (everything since).
+    """
+    manifest = read_manifest(spark, out_dir, as_of=until)
+    if manifest is None:
+        raise FileNotFoundError(f"no manifest under {out_dir}")
+    committed = manifest.filter(
+        (F.col("status") == "done") & (F.col("committed_at") > since)
+    )
+    if snapshot_id is not None:
+        committed = committed.filter(F.col("snapshot_id") == snapshot_id)
+    committed = committed.select("partition_id", "run_id")
+    chunks = spark.read.parquet(chunks_dir(out_dir)).join(
+        F.broadcast(committed), ["partition_id", "run_id"], "left_semi"
+    )
+    return decode_dataframe(chunks, schema)

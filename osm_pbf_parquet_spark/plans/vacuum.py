@@ -1,0 +1,161 @@
+"""Vacuum: physical GC of superseded and orphan chunk files.
+
+The store is append-only — compaction and merge SUPERSEDE manifest
+rows (last-wins per (snapshot, partition)) but never delete bytes, so
+a long-lived 100 TB table accumulates dead chunk files forever.
+Vacuum reclaims them the way Iceberg's expire_snapshots + orphan-file
+removal does, using only the store's own metadata:
+
+* a chunk parquet FILE is garbage when none of the (partition_id,
+  run_id) pairs inside it is visible in the current committed view —
+  covers both superseded rewrites and orphans from crashed runs
+  (which never got a manifest row at all);
+* the per-file pair set comes from a column-pruned scan of exactly
+  two small metadata columns plus input_file_name() — payload bytes
+  are never read, so vacuum cost is O(metadata), not O(table);
+* retention: files younger than `older_than_s` are kept regardless
+  (in-flight writers that have written chunks but not yet committed
+  look like orphans; readers may hold older snapshots), and manifest
+  commits newer than the horizon keep their superseded predecessors'
+  time-travel window intact by default — pass older_than_s=0 only on
+  a quiesced store (tests do);
+* crash-safe: deletion is the last step and idempotent — a vacuum
+  that dies mid-delete leaves some garbage files for the next run;
+  a vacuum record (one manifest-style parquet part) is committed
+  FIRST, recording the horizon so readers can detect that time
+  travel before it is no longer served.
+
+Reference parity: the reference never rewrites, so it needs no GC
+(src/sink.rs:75-94 writes each file once); vacuum exists because this
+engine adds compaction/merge on top.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from .manifest import chunks_dir, read_manifest
+
+VACUUM_SCHEMA = pa.schema(
+    [
+        ("vacuum_id", pa.string()),
+        ("vacuumed_at", pa.float64()),
+        ("horizon", pa.float64()),
+        ("files_deleted", pa.int64()),
+        ("bytes_reclaimed", pa.int64()),
+    ]
+)
+
+
+def _vacuum_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "vacuum")
+
+
+def vacuum(
+    spark: SparkSession,
+    out_dir: str,
+    older_than_s: float = 24 * 3600.0,
+    dry_run: bool = False,
+) -> dict:
+    """Delete chunk files with no visible (partition_id, run_id) pair.
+
+    Returns {files_deleted, bytes_reclaimed, files_kept, horizon}.
+    dry_run reports without deleting (and commits no record).
+    """
+    manifest = read_manifest(spark, out_dir)
+    if manifest is None:
+        raise FileNotFoundError(f"no manifest under {out_dir}")
+    now = time.time()
+    horizon = now - older_than_s
+    visible = (
+        manifest.filter(F.col("status") == "done")
+        .select("partition_id", "run_id")
+        .distinct()
+    )
+    cdir = chunks_dir(out_dir)
+    # column-pruned metadata scan: 2 small columns + file provenance;
+    # a file lives iff ANY of its (pid, run_id) pairs is visible
+    file_rows = (
+        spark.read.parquet(cdir)
+        .select(F.input_file_name().alias("file"), "partition_id", "run_id")
+        .distinct()
+        .join(
+            F.broadcast(visible.withColumn("__vis__", F.lit(1))),
+            ["partition_id", "run_id"],
+            "left_outer",
+        )
+        .groupBy("file")
+        .agg(F.max(F.coalesce("__vis__", F.lit(0))).alias("live"))
+        .collect()  # one row per FILE — thousands, not rows; driver-safe
+    )
+    deleted = 0
+    reclaimed = 0
+    kept = 0
+    victims: list[str] = []
+    for r in file_rows:
+        path = r["file"]
+        if path.startswith("file:"):
+            path = path[len("file:"):]
+        if r["live"]:
+            kept += 1
+            continue
+        try:
+            mtime = os.path.getmtime(path)
+        except OSError:
+            continue  # already gone (concurrent vacuum) — idempotent
+        if mtime > horizon:
+            kept += 1  # young orphan: may be an in-flight writer
+            continue
+        victims.append(path)
+    victim_bytes = 0
+    for path in victims:
+        try:
+            victim_bytes += os.path.getsize(path)
+        except OSError:
+            pass
+    if not dry_run and victims:
+        # commit the vacuum record BEFORE deleting: readers can see
+        # that time travel older than `horizon` is no longer served
+        vdir = _vacuum_dir(out_dir)
+        os.makedirs(vdir, exist_ok=True)
+        vid = uuid.uuid4().hex[:12]
+        rec = pa.Table.from_pylist(
+            [
+                {
+                    "vacuum_id": vid,
+                    "vacuumed_at": now,
+                    "horizon": horizon,
+                    "files_deleted": len(victims),
+                    "bytes_reclaimed": victim_bytes,
+                }
+            ],
+            schema=VACUUM_SCHEMA,
+        )
+        tmp = os.path.join(vdir, f".tmp-{vid}")
+        final = os.path.join(vdir, f"part-{vid}.parquet")
+        pq.write_table(rec, tmp)
+        os.rename(tmp, final)
+    if not dry_run:
+        for path in victims:
+            try:
+                sz = os.path.getsize(path)
+                os.remove(path)
+                deleted += 1
+                reclaimed += sz
+            except OSError:
+                pass  # concurrent vacuum won the race — fine
+    return {
+        "files_deleted": deleted,
+        "bytes_reclaimed": reclaimed,
+        "files_kept": kept,
+        "horizon": horizon,
+        "dry_run": dry_run,
+        "candidates": len(victims),
+    }

@@ -9,4 +9,5 @@ each micro-batch via foreachBatch, giving incremental ingest the
 reference never implemented.
 """
 
+from .dedup_stream import content_dedup_stream, dedup_stream  # noqa: F401
 from .encode_stream import encode_stream, merge_stream  # noqa: F401

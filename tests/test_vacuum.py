@@ -1,0 +1,107 @@
+"""Vacuum GC + metadata-only aggregates over the chunk store."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from osm_pbf_parquet_spark.operators.encode import encode_dataframe
+from osm_pbf_parquet_spark.operators.pruning import store_count, store_minmax
+from osm_pbf_parquet_spark.plans.compact import compact_partitions
+from osm_pbf_parquet_spark.plans.manifest import (
+    chunks_dir,
+    encode_job,
+    read_encoded,
+)
+from osm_pbf_parquet_spark.plans.vacuum import vacuum
+
+
+def _chunk_files(out_dir: str) -> set[str]:
+    cdir = chunks_dir(out_dir)
+    found = set()
+    for root, _, files in os.walk(cdir):
+        for f in files:
+            if f.endswith(".parquet"):
+                found.add(os.path.join(root, f))
+    return found
+
+
+def test_vacuum_reclaims_superseded_chunks(spark, sf_dir, tmp_path):
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "store")
+    encode_job(spark, src, out, key_col="doc_id", num_partitions=4,
+               target_chunk_bytes=16 << 10)
+    before = _chunk_files(out)
+    # compaction supersedes every partition → the original files die
+    res = compact_partitions(spark, out, min_chunks=2)
+    assert res["compacted_partitions"] > 0
+    stats = vacuum(spark, out, older_than_s=0.0)
+    assert stats["files_deleted"] > 0
+    assert stats["bytes_reclaimed"] > 0
+    after = _chunk_files(out)
+    assert after < before | after  # something removed, nothing added
+    # the committed view still decodes identically
+    decoded = read_encoded(spark, out, src.schema)
+    assert decoded.count() == src.count()
+    a = {r["doc_id"] for r in src.select("doc_id").collect()}
+    b = {r["doc_id"] for r in decoded.select("doc_id").collect()}
+    assert a == b
+    # vacuum record committed
+    assert any(
+        f.endswith(".parquet") for f in os.listdir(os.path.join(out, "vacuum"))
+    )
+
+
+def test_vacuum_keeps_live_and_young_files(spark, sf_dir, tmp_path):
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "store2")
+    encode_job(spark, src, out, key_col="doc_id", num_partitions=4)
+    before = _chunk_files(out)
+    # nothing superseded → nothing deleted even at horizon 0
+    stats = vacuum(spark, out, older_than_s=0.0)
+    assert stats["files_deleted"] == 0
+    assert _chunk_files(out) == before
+    # superseded BUT young (default 24h retention) → kept
+    compact_partitions(spark, out, min_chunks=2)
+    mid = _chunk_files(out)
+    stats = vacuum(spark, out)  # default older_than_s = 24h
+    assert stats["files_deleted"] == 0
+    assert _chunk_files(out) == mid
+
+
+def test_vacuum_dry_run_deletes_nothing(spark, sf_dir, tmp_path):
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "store3")
+    encode_job(spark, src, out, key_col="doc_id", num_partitions=4,
+               target_chunk_bytes=16 << 10)
+    compact_partitions(spark, out, min_chunks=2)
+    before = _chunk_files(out)
+    stats = vacuum(spark, out, older_than_s=0.0, dry_run=True)
+    assert stats["candidates"] > 0
+    assert stats["files_deleted"] == 0
+    assert _chunk_files(out) == before
+    assert not os.path.isdir(os.path.join(out, "vacuum"))
+
+
+def test_store_count_and_minmax_from_metadata(spark, sf_dir):
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    chunks = encode_dataframe(
+        src, key_col="doc_id", num_partitions=4, target_chunk_bytes=32 << 10
+    ).cache()
+    try:
+        n = store_count(chunks).collect()[0]["n"]
+        assert n == src.count()
+        mm = store_minmax(chunks, "n_chars").collect()[0]
+        exp = src.agg(
+            F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi")
+        ).collect()[0]
+        assert mm["min_value"] == float(exp["lo"])
+        assert mm["max_value"] == float(exp["hi"])
+        # string column, lexicographic
+        ms = store_minmax(chunks, "lang", numeric=False).collect()[0]
+        es = src.agg(F.min("lang").alias("lo"), F.max("lang").alias("hi")).collect()[0]
+        assert ms["min_value"] == es["lo"]
+        assert ms["max_value"] == es["hi"]
+    finally:
+        chunks.unpersist()
