@@ -248,6 +248,10 @@ def main() -> int:
     scaling = None
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
         sys.path.insert(0, os.path.join(REPO, "tools"))
+        # cluster-faithful levels: cap each level's WHOLE process tree
+        # (JVM aux threads + python workers) to exactly N host CPUs —
+        # unpinned local[N] lets small-N levels borrow free host cores
+        os.environ.setdefault("SCALING_PIN", "1")
         import bench_scaling
 
         try:
@@ -256,15 +260,15 @@ def main() -> int:
             # (subprocess timeout on this overcommitted VM) must not
             # discard the already-measured suite timings
             scaling = {"error": f"{type(e).__name__}: {e}"}
-        # attach the most noise-robust recorded measurement (4
-        # alternating rounds on an idle box) alongside the live one:
-        # this host's 2-round live numbers swing 0.52-0.85 on the same
+        # attach the most noise-robust recorded measurement (5
+        # paired-median rounds on an idle box) alongside the live one:
+        # this host's 2-round live numbers swing 0.5-0.9 on the same
         # code purely with hypervisor load — the recorded run is the
         # honest steady-state figure, clearly labeled as recorded
-        ref_path = os.path.join(REPO, "tools", "scaling_4round.json")
+        ref_path = os.path.join(REPO, "tools", "scaling_recorded.json")
         if os.path.exists(ref_path):
             with open(ref_path) as fh:
-                scaling["recorded_4round"] = json.load(fh)
+                scaling["recorded"] = json.load(fh)
 
     # The grading driver keeps only the stdout TAIL and parses the LAST
     # line (round 2's single giant line was head-truncated → parsed:
@@ -279,14 +283,17 @@ def main() -> int:
         if "error" in scaling:
             scaling_summary = {"error": scaling["error"]}
         else:
+            rec = scaling.get("recorded", {})
             scaling_summary = {
-                "raw": scaling.get("pairs"),
+                "paired_median": scaling.get("paired_median"),
+                "best_leg": scaling.get("pairs"),
                 "kernel_ceiling": scaling.get("kernel_pairs"),
                 "normalized": scaling.get("normalized_pairs"),
-                "best": scaling.get("value"),
-                "recorded_4round_raw": (
-                    scaling.get("recorded_4round", {}).get("pairs")
+                "headline": scaling.get("value"),
+                "recorded_paired_median": rec.get(
+                    "paired_median", rec.get("pairs")
                 ),
+                "recorded_normalized": rec.get("normalized_pairs"),
                 "detail": "bench_scaling_report.json",
             }
 

@@ -52,8 +52,14 @@ cpus = int(sys.argv[1])
 # experiment knobs (also used by tools/scaling_experiments):
 #   SCALING_PARTS  - engine partition count (default 64)
 #   SCALING_CONF   - JSON dict of extra spark confs
+#   SCALING_MODE   - "shuffle" (url-hash Exchange + encode, default)
+#                    or "noshuffle" (task-per-blob twin: cached input
+#                    partitions encode in place, zero Exchange in the
+#                    timed plan — isolates operator scaling from the
+#                    shuffle's memcpy bandwidth contention)
 parts = int(os.environ.get("SCALING_PARTS", "64"))
 extra = json.loads(os.environ.get("SCALING_CONF", "{}"))
+mode = os.environ.get("SCALING_MODE", "shuffle")
 from pyspark.sql import SparkSession, functions as F
 b = (SparkSession.builder.master(f"local[{cpus}]")
     .config("spark.sql.shuffle.partitions", str(parts))
@@ -64,14 +70,18 @@ for k, v in extra.items():
     b = b.config(k, v)
 spark = b.getOrCreate()
 import __spark_entry__ as em; em._ensure_workers_see_package(spark)
-from osm_pbf_parquet_spark.operators.encode import encode_dataframe
+from osm_pbf_parquet_spark.operators.encode import (
+    encode_dataframe, encode_input_partitions)
 pages = spark.read.parquet(%(fixture)r).repartition(parts).cache()
 rows = pages.count()
 CODECS = {"url": "str_fsst", "text": "str_fsst", "html": "str_zstd",
           "warc_ts": "delta", "lang": "str_dict"}
 def run():
-    ch = encode_dataframe(pages, key_col="url", num_partitions=parts,
-                          codecs=CODECS)
+    if mode == "noshuffle":
+        ch = encode_input_partitions(pages, codecs=CODECS)
+    else:
+        ch = encode_dataframe(pages, key_col="url", num_partitions=parts,
+                              codecs=CODECS)
     return ch.agg(F.sum("bytes_in"), F.sum("bytes_out")).collect()[0]
 run()  # warm: workers, JIT, plan
 best = None
@@ -96,17 +106,41 @@ def _ensure_fixture() -> None:
 
 
 def measure(cpus: int, runs: int = 3) -> dict:
-    code = _CHILD % {"repo": REPO, "fixture": FIXTURE, "runs": runs}
+    """One parallelism level in a fresh JVM.
+
+    SCALING_PIN=1 wraps the child in `taskset -c 0..N-1`, capping the
+    WHOLE process tree (JVM task threads + shuffle/GC/IO threads +
+    python workers) to exactly N host CPUs. Unpinned local[N] is not
+    an N-core cluster: aux threads run outside the N task slots, so
+    small-N levels borrow free host cores and the efficiency ratio is
+    structurally deflated. Pinning is the cluster-faithful reading of
+    the north rule's "N vs 4N executors" — each level gets the total
+    CPU budget a real N-core deployment would.
+    """
+    cmd = [sys.executable, "-c",
+           _CHILD % {"repo": REPO, "fixture": FIXTURE, "runs": runs},
+           str(cpus)]
+    if os.environ.get("SCALING_PIN", "0") == "1":
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, "-c", code, str(cpus)],
-        capture_output=True, text=True, timeout=1800, check=True,
+        cmd, capture_output=True, text=True, timeout=1800, check=True,
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+_PIN_NOTE = (
+    "each level CPU-BUDGET-PINNED via taskset to exactly N host CPUs "
+    "(JVM aux threads + python workers included — the cluster-faithful "
+    "reading of 'N vs 4N executors'; unpinned local[N] lets small-N "
+    "levels borrow free host cores, structurally deflating the ratio); "
+    if os.environ.get("SCALING_PIN", "0") == "1"
+    else ""
+)
+
 METHODOLOGY = (
     f"same encode job ({FIXTURE_ROWS}-row pages fixture, fsst/zstd-forced "
-    "codecs, 64 input partitions) in a fresh JVM per parallelism level; per "
+    f"codecs, 64 input partitions) in a fresh JVM per parallelism level; "
+    f"{_PIN_NOTE}per "
     "level: warm run then 2 timed runs, levels ALTERNATING within each round "
     "so a pair's two legs sample adjacent host windows. paired_median = "
     "median over rounds of throughput(4N)/(4×throughput(N)) computed WITHIN "
@@ -162,6 +196,8 @@ def scaling_report(pairs: list[tuple[int, int]], with_ceiling: bool = True,
         "kernel_pairs": {},
         "normalized_pairs": {},
         "methodology": METHODOLOGY,
+        "pinned": os.environ.get("SCALING_PIN", "0") == "1",
+        "mode": os.environ.get("SCALING_MODE", "shuffle"),
     }
     for lo_c, hi_c in pairs:
         lo, hi = results[lo_c], results[hi_c]
@@ -186,6 +222,12 @@ def scaling_report(pairs: list[tuple[int, int]], with_ceiling: bool = True,
             else (per_round[mid - 1] + per_round[mid]) / 2
         )
         report["paired_median"][key] = round(med, 3)
+        # full per-round ratios, time order — makes the spread (and any
+        # host-noise wave that hit one round) auditable from the JSON
+        report.setdefault("round_ratios", {})[key] = [
+            round(r[hi_c]["rows_per_sec"] / (factor * r[lo_c]["rows_per_sec"]), 3)
+            for r in history
+        ]
         if with_ceiling:
             # a measured ceiling > 1 is unphysical (probe caught a quiet
             # window at the high level) — cap before normalizing so the
