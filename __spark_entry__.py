@@ -155,6 +155,7 @@ _EXTRA_QUERIES = (
     "store_count_meta",       # new in r3; metadata-only count (window full)
     "store_minmax_meta",      # new in r3; metadata-only min/max (window full)
     "vacuum_decode",          # new in r3; GC lifecycle round-trip (window full)
+    "rt_rowfilter_decode",    # new in r3; worker-side pushdown (window full)
 )
 
 
@@ -428,9 +429,13 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             target_chunk_bytes=16 << 10, bloom_cols=["doc_id"],
         )
         kept = prune_by_point(chunks, "doc_id", 123)
-        return decode_dataframe(kept, docs.schema).filter(
-            F.col("doc_id") == 123
-        )
+        # row_filter: the exact predicate ALSO runs inside the Arrow
+        # worker, so the one surviving group ships a single row across
+        # the Python→JVM boundary; the DataFrame-side filter stays as
+        # the semantic gate
+        return decode_dataframe(
+            kept, docs.schema, row_filter=[("doc_id", "==", 123)]
+        ).filter(F.col("doc_id") == 123)
 
     q["rt_bloom_point"] = rt_bloom_point
 
@@ -1088,6 +1093,32 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["vacuum_decode"] = vacuum_decode_q
 
+    def rt_rowfilter_decode_q(s, d):
+        """Worker-side predicate pushdown: decode with row_filter
+        conjuncts applied INSIDE the Arrow worker (encode.py
+        make_decode_fn) — groups that match nothing never decode
+        their remaining columns, non-matching rows never cross the
+        Python→JVM boundary. The filter is exact, so the result must
+        equal the oracle's plain WHERE."""
+        _utc(s)
+        _ensure_workers_see_package(s)
+        from osm_pbf_parquet_spark.operators.encode import (
+            decode_dataframe,
+            encode_dataframe,
+        )
+
+        docs = _load(s, d, "documents").select("doc_id", "lang", "n_chars")
+        chunks = encode_dataframe(
+            docs, key_col="doc_id", num_partitions=8,
+            target_chunk_bytes=16 << 10,
+        )
+        return decode_dataframe(
+            chunks, docs.schema,
+            row_filter=[("n_chars", ">=", 50), ("n_chars", "<", 200)],
+        )
+
+    q["rt_rowfilter_decode"] = rt_rowfilter_decode_q
+
     def text_quality_filter_q(s, d):
         """Composite quality gate (C4/Gopher-style integer rules):
         which docs survive the pre-training filter."""
@@ -1541,6 +1572,10 @@ def _all_oracle_sql() -> dict[str, str]:
     """
     o["vacuum_decode"] = """
         SELECT doc_id, text, lang, n_chars FROM documents
+    """
+    o["rt_rowfilter_decode"] = """
+        SELECT doc_id, lang, n_chars FROM documents
+        WHERE n_chars >= 50 AND n_chars < 200
     """
 
     o["text_quality_filter"] = (

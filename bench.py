@@ -216,7 +216,10 @@ def main() -> int:
     def bloom_lookup():
         kept = prune_by_point(doc_chunks, "doc_id", target_doc)
         return (
-            decode_dataframe(kept, docs.schema)
+            decode_dataframe(
+                kept, docs.schema,
+                row_filter=[("doc_id", "==", target_doc)],
+            )
             .filter(F.col("doc_id") == target_doc)
             .collect()
         )

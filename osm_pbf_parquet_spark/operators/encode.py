@@ -329,8 +329,31 @@ def verify_checksum(payload: bytes, checksum: str | None, ctx: str = "") -> None
         )
 
 
-def make_decode_fn(field_names: list[str]):
+#: row_filter comparison ops (SQL WHERE semantics; null → not selected)
+_FILTER_OPS = {
+    "==": "equal",
+    "!=": "not_equal",
+    "<": "less",
+    "<=": "less_equal",
+    ">": "greater",
+    ">=": "greater_equal",
+}
+
+
+def make_decode_fn(field_names: list[str], row_filter=None):
     """Inverse transform: chunk rows → original-schema record batches.
+
+    row_filter — optional list of (column, op, literal) conjuncts with
+    op in ==/!=/</<=/>/>= — is applied INSIDE the Arrow worker:
+    Catalyst cannot push predicates through mapInArrow, so without
+    this a selective scan decodes and ships every row across the
+    Python→JVM boundary just for Spark to drop them. With it, the
+    filter column(s) decode FIRST; a group whose mask is empty is
+    skipped before any other column is decoded, and surviving groups
+    ship only matching rows. Null comparisons select nothing (SQL
+    WHERE). The caller should still re-apply the exact predicate
+    DataFrame-side — this is a transfer/CPU optimization, never the
+    semantic gate (same contract as zone-map/Bloom pruning).
 
     The chunk-group key includes run_id (when present) so chunks from
     different committed runs/snapshots sharing a partition_id — the
@@ -345,8 +368,18 @@ def make_decode_fn(field_names: list[str]):
     the stored checksum before decode.
     """
     expected = len(field_names)
+    if row_filter:
+        for col, op, _ in row_filter:
+            if op not in _FILTER_OPS:
+                raise ValueError(f"row_filter op {op!r} not in {list(_FILTER_OPS)}")
+            if col not in field_names:
+                raise ValueError(
+                    f"row_filter column {col!r} not in decoded schema {field_names}"
+                )
 
-    def _emit(key: tuple, by_idx: dict[int, tuple]) -> pa.RecordBatch:
+    def _emit(key: tuple, by_idx: dict[int, tuple]) -> pa.RecordBatch | None:
+        import pyarrow.compute as pc
+
         n_rows = {e[3] for e in by_idx.values()}
         if len(n_rows) != 1:
             raise ValueError(f"inconsistent n_rows {n_rows} in chunk group {key}")
@@ -360,10 +393,27 @@ def make_decode_fn(field_names: list[str]):
                 f"{field_names} — filter the chunk feed to match the schema "
                 "(pruning.decode_columns does both together)"
             )
-        arrays = [
-            decode_array(*by_idx[idx][:3]) for idx in sorted(by_idx)
-        ]
-        return pa.record_batch(arrays, names=field_names)
+        decoded: dict[int, pa.Array] = {}
+        if row_filter:
+            name_to_idx = {by_idx[idx][4]: idx for idx in by_idx}
+            mask = None
+            for col, op, val in row_filter:
+                idx = name_to_idx[col]
+                if idx not in decoded:
+                    decoded[idx] = decode_array(*by_idx[idx][:3])
+                m = getattr(pc, _FILTER_OPS[op])(decoded[idx], val)
+                mask = m if mask is None else pc.and_kleene(mask, m)
+            mask = pc.fill_null(mask, False)  # SQL WHERE: null → drop
+            if not pc.any(mask).as_py():
+                return None  # whole group filtered: nothing else decodes
+        arrays = []
+        for idx in sorted(by_idx):
+            arr = decoded.get(idx)
+            if arr is None:
+                arr = decode_array(*by_idx[idx][:3])
+            arrays.append(arr)
+        rb = pa.record_batch(arrays, names=field_names)
+        return rb.filter(mask) if row_filter else rb
 
     def decode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         groups: dict[tuple, dict[int, tuple]] = {}
@@ -405,8 +455,10 @@ def make_decode_fn(field_names: list[str]):
                         "colliding runs; decode via plans.manifest.read_encoded"
                     )
                 if len(by_idx) == expected:
-                    yield _emit(key, groups.pop(key))
+                    rb = _emit(key, groups.pop(key))
                     emitted.add(key)
+                    if rb is not None:
+                        yield rb
         for key in sorted(groups):
             # leftovers can only be groups with missing cells — a
             # column-filtered feed must go through pruning.decode_columns
@@ -420,15 +472,26 @@ def make_decode_fn(field_names: list[str]):
 
 
 def decode_dataframe(
-    chunks_df: DataFrame, schema: T.StructType, num_partitions: int | None = None
+    chunks_df: DataFrame,
+    schema: T.StructType,
+    num_partitions: int | None = None,
+    row_filter=None,
 ) -> DataFrame:
     """Decode chunk rows back to the source schema, bit-identically.
 
     Chunks of one partition_id are co-located by a repartition on
     partition_id so each task can reassemble complete row groups.
+
+    row_filter (see make_decode_fn) pushes simple conjuncts inside the
+    Arrow worker: fully-filtered chunk groups skip decoding their
+    remaining columns and non-matching rows never cross the
+    Python→JVM boundary. Re-apply the exact predicate on the result —
+    the worker-side filter is an optimization, not the semantic gate.
     """
     n = num_partitions or chunks_df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32"
     )
     co_located = chunks_df.repartition(int(n), "partition_id")
-    return co_located.mapInArrow(make_decode_fn([f.name for f in schema]), schema)
+    return co_located.mapInArrow(
+        make_decode_fn([f.name for f in schema], row_filter=row_filter), schema
+    )
