@@ -243,11 +243,14 @@ def main() -> int:
 
     # --- two-cluster-size scaling evidence (north_rule): same job at
     # N and 4N cores in fresh JVMs, raw + kernel-normalized efficiency,
-    # methodology embedded so the number is self-describing. The 8→32
-    # pair on the 1M-row compute-dominated fixture is the canonical
-    # N→4N evidence; the standalone tool also measures 2→8. The VM
-    # exposes 32 vCPUs over ~13-16 effective cores, so raw 8→32 lives
-    # under the measured kernel ceiling. SPARK_GRAFT_SCALING=0 skips.
+    # methodology embedded so the number is self-describing. The live
+    # leg measures the CRITERION pair 2→8 (both levels inside this
+    # VM's ~13-16 effective cores), CPU-budget-pinned; the recorded
+    # reference (tools/scaling_recorded.json, 7-round idle-host run)
+    # also carries 8→32, which is environment-capped — the VM exposes
+    # 32 vCPUs over ~13-16 effective cores, so even the Spark-free
+    # kernel probe scales only 0.70-0.85 there. SPARK_GRAFT_SCALING=0
+    # skips the live leg.
     scaling = None
     if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
         sys.path.insert(0, os.path.join(REPO, "tools"))
@@ -258,7 +261,7 @@ def main() -> int:
         import bench_scaling
 
         try:
-            scaling = bench_scaling.scaling_report([(8, 32)])
+            scaling = bench_scaling.scaling_report([(2, 8)])
         except Exception as e:  # noqa: BLE001 — a failed scaling leg
             # (subprocess timeout on this overcommitted VM) must not
             # discard the already-measured suite timings
