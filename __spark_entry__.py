@@ -156,6 +156,7 @@ _EXTRA_QUERIES = (
     "store_minmax_meta",      # new in r3; metadata-only min/max (window full)
     "vacuum_decode",          # new in r3; GC lifecycle round-trip (window full)
     "rt_rowfilter_decode",    # new in r3; worker-side pushdown (window full)
+    "clean_corpus",           # new in r3; composed cleaning pipeline (window full)
 )
 
 
@@ -1119,6 +1120,25 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rt_rowfilter_decode"] = rt_rowfilter_decode_q
 
+    def clean_corpus_q(s, d):
+        """The composed pre-training cleaning pipeline, end-to-end:
+        quality gate (C4/Gopher-style integer rules) → known-language
+        filter → exact dedup keeping the min-id representative per
+        distinct text. Each stage is individually graded elsewhere;
+        this row proves the COMPOSITION (the order every production
+        pipeline runs: cheap row-local gates first so the dedup
+        shuffle moves only survivors)."""
+        from osm_pbf_parquet_spark.functions.text import quality_pass
+        from osm_pbf_parquet_spark.operators.dedup import dedup_exact
+
+        docs = _load(s, d, "documents")
+        gated = docs.filter(
+            quality_pass(F.col("text")) & F.col("lang").isNotNull()
+        )
+        return dedup_exact(gated)
+
+    q["clean_corpus"] = clean_corpus_q
+
     def text_quality_filter_q(s, d):
         """Composite quality gate (C4/Gopher-style integer rules):
         which docs survive the pre-training filter."""
@@ -1576,6 +1596,11 @@ def _all_oracle_sql() -> dict[str, str]:
     o["rt_rowfilter_decode"] = """
         SELECT doc_id, lang, n_chars FROM documents
         WHERE n_chars >= 50 AND n_chars < 200
+    """
+    o["clean_corpus"] = f"""
+        SELECT min(doc_id) AS doc_id FROM documents
+        WHERE {sql_quality_pass('text')} AND lang IS NOT NULL
+        GROUP BY text
     """
 
     o["text_quality_filter"] = (
