@@ -245,6 +245,9 @@ def main() -> int:
     """CLI wrapper around scaling_report — ONE methodology for both the
     per-round bench JSON and the BASELINE.md table."""
     pairs = [(2, 8)] if "--quick" in sys.argv else [(2, 8), (8, 32)]
+    if "--pair" in sys.argv:  # e.g. --pair 8,32 — measure ONE pair
+        lo, hi = sys.argv[sys.argv.index("--pair") + 1].split(",")
+        pairs = [(int(lo), int(hi))]
     rounds = 1 if "--one-round" in sys.argv else 2
     if "--rounds" in sys.argv:  # more rounds → best-leg converges to the
         rounds = int(sys.argv[sys.argv.index("--rounds") + 1])  # quiet-host truth
