@@ -171,6 +171,34 @@ def store_minmax(
     )
 
 
+def store_report(chunks_df: DataFrame) -> DataFrame:
+    """Operability view of a chunk store from metadata alone: one row
+    per (column, codec) with chunk count, rows, bytes in/out and the
+    compression ratio. The first thing an operator of a 100 TB store
+    asks ("which codec is each column actually using, and what is it
+    buying?") answered without touching a payload byte — the parquet
+    scan prunes to five small metadata columns.
+    """
+    return (
+        chunks_df.groupBy("column", "codec")
+        .agg(
+            F.count("*").alias("chunks"),
+            F.sum("n_rows").cast("long").alias("rows"),
+            F.sum("bytes_in").cast("long").alias("bytes_in"),
+            F.sum("bytes_out").cast("long").alias("bytes_out"),
+        )
+        .withColumn(
+            "ratio",
+            F.round(
+                F.col("bytes_out")
+                / F.greatest(F.col("bytes_in"), F.lit(1)),
+                4,
+            ),
+        )
+        .orderBy("column", "codec")
+    )
+
+
 def prune_by_point(chunks_df: DataFrame, column: str, value) -> DataFrame:
     """Bloom-filter point-lookup pruning: keep only chunk groups whose
     stat_bloom for `column` might contain `value` (plus, conservatively,

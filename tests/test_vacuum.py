@@ -84,6 +84,28 @@ def test_vacuum_dry_run_deletes_nothing(spark, sf_dir, tmp_path):
     assert not os.path.isdir(os.path.join(out, "vacuum"))
 
 
+def test_store_report_sums_match_store(spark, sf_dir):
+    from osm_pbf_parquet_spark.operators.pruning import store_report
+
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    chunks = encode_dataframe(
+        src, key_col="doc_id", num_partitions=4, target_chunk_bytes=32 << 10
+    ).cache()
+    try:
+        rep = store_report(chunks).collect()
+        assert {r["column"] for r in rep} == set(src.columns)
+        tot = chunks.agg(
+            F.sum("bytes_in").alias("bi"), F.sum("bytes_out").alias("bo")
+        ).collect()[0]
+        assert sum(r["bytes_in"] for r in rep) == tot["bi"]
+        assert sum(r["bytes_out"] for r in rep) == tot["bo"]
+        for r in rep:
+            assert r["chunks"] > 0 and r["rows"] > 0
+            assert 0 < r["ratio"]
+    finally:
+        chunks.unpersist()
+
+
 def test_store_count_and_minmax_from_metadata(spark, sf_dir):
     src = spark.read.parquet(f"{sf_dir}/documents.parquet")
     chunks = encode_dataframe(
