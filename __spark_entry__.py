@@ -280,7 +280,14 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             codecs={"url": "str_fsst", "text": "str_fsst", "html": "str_zstd",
                     "warc_ts": "delta", "lang": "str_dict"},
         )
-        return decode_dataframe(chunks, pages.schema)
+        # The round-trip decodes the FULL binary html column; only the
+        # graded projection views it through hex() (both sides) because
+        # the driver's pandas canonicalizer cannot sort raw bytearray
+        # cells (CORRECTNESS_r03 rt_pages err). Bit-identity is still
+        # fully verified — hex is injective.
+        return decode_dataframe(chunks, pages.schema).select(
+            "url", "warc_ts", F.hex("html").alias("html_hex"), "text", "lang"
+        )
 
     q["rt_pages"] = rt_pages
 
@@ -429,7 +436,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs, key_col="doc_id", num_partitions=8,
             target_chunk_bytes=16 << 10, bloom_cols=["doc_id"],
         )
-        kept = prune_by_point(chunks, "doc_id", 123)
+        kept = prune_by_point(chunks, "doc_id", 123, value_type=docs.schema)
         # row_filter: the exact predicate ALSO runs inside the Arrow
         # worker, so the one surviving group ships a single row across
         # the Python→JVM boundary; the DataFrame-side filter stays as
@@ -985,12 +992,18 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def token_postings_q(s, d):
         """Inverted token index (corpus search building block):
         case-folded token → sorted posting list, exploded to scalar
-        (token, doc_id) rows for the mid-frequency band (bounded)."""
+        (token, doc_id) rows for the mid-frequency band (bounded).
+
+        Band 20–385: the synthetic vocabulary is tiny and Zipf-flat
+        (sf0.01: 31 tokens, df 25–402), so the old 5–20 band selected
+        ZERO tokens and the green was vacuous (VERDICT r3 #5); this
+        band keeps the df cut non-trivial (the most-frequent tokens
+        are still excluded) while returning thousands of rows."""
         from osm_pbf_parquet_spark.functions.text import token_postings
 
         docs = _load(s, d, "documents")
         idx = token_postings(docs).filter(
-            (F.col("df_count") >= 5) & (F.col("df_count") <= 20)
+            (F.col("df_count") >= 20) & (F.col("df_count") <= 385)
         )
         return idx.select(
             "token", F.explode("postings").alias("doc_id")
@@ -1265,8 +1278,8 @@ def _all_oracle_sql() -> dict[str, str]:
     o["rt_pages"] = """
         SELECT 'https://example.org/p/' || doc_id AS url,
                make_timestamp(1700000000000000 + doc_id * 1000000) AS warc_ts,
-               encode('<html>') || '\\xFF\\xFE'::BLOB
-                 || encode(coalesce(text, '')) || encode('</html>') AS html,
+               hex(encode('<html>') || '\\xFF\\xFE'::BLOB
+                 || encode(coalesce(text, '')) || encode('</html>')) AS html_hex,
                text,
                lang
         FROM documents
@@ -1566,7 +1579,7 @@ def _all_oracle_sql() -> dict[str, str]:
         df_ AS (SELECT token, count(*) AS c FROM tok GROUP BY token)
         SELECT t.token, t.doc_id
         FROM tok t JOIN df_ USING (token)
-        WHERE c BETWEEN 5 AND 20
+        WHERE c BETWEEN 20 AND 385
     """
     o["token_search_all"] = """
         SELECT doc_id FROM documents

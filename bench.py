@@ -214,7 +214,8 @@ def main() -> int:
     target_doc = docs.select("doc_id").first()["doc_id"]
 
     def bloom_lookup():
-        kept = prune_by_point(doc_chunks, "doc_id", target_doc)
+        kept = prune_by_point(doc_chunks, "doc_id", target_doc,
+                              value_type=docs.schema)
         return (
             decode_dataframe(
                 kept, docs.schema,

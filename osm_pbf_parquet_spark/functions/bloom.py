@@ -59,10 +59,13 @@ def _poly_hash(lens: np.ndarray, flat: np.ndarray, base: np.uint64) -> np.ndarra
     pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
     max_len = int(lens.max())
     with np.errstate(over="ignore"):
-        powers = np.empty(max_len, dtype=np.uint64)
-        powers[0] = np.uint64(1)
-        for i in range(1, max_len):  # O(max string length), not O(values)
-            powers[i] = powers[i - 1] * base
+        # vectorized power table: uint64 cumprod wraps mod 2^64 exactly
+        # like the sequential multiply (r3 advice: the Python loop here
+        # made long-text bloom columns a per-chunk megaiteration)
+        powers = np.concatenate((
+            [np.uint64(1)],
+            np.cumprod(np.full(max_len - 1, base, dtype=np.uint64))
+        )) if max_len > 1 else np.ones(1, dtype=np.uint64)
         terms = flat.astype(np.uint64) * powers[pos]
     # reduceat needs non-empty segments: empty strings hash via the
     # sentinel fill then get patched from the segment-sum positions

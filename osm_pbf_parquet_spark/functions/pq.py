@@ -81,31 +81,45 @@ def pq_encode(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """(id, codes: binary[m]) — one GEMM-shaped argmin per subspace per
-    Arrow batch."""
+    Arrow batch. mapInArrow end to end: the list column flattens
+    zero-copy into the (n, dim) matrix and the code bytes emit as ONE
+    buffer-backed BinaryArray — no per-row Python anywhere (r3 advice:
+    the old genexp sliced codes.tobytes() per row)."""
+    import pyarrow as pa
+
     book = [[list(map(float, c)) for c in sub] for sub in codebook]
     out_schema = T.StructType(
         [df.schema[id_col], T.StructField("codes", T.BinaryType())]
     )
 
     def fn(batches):
-        import pandas as pd
-
         B = np.array(book)  # (m, k, ds)
         m, k, ds = B.shape
         cn2 = (B**2).sum(axis=2)  # (m, k)
-        for pdf in batches:
-            X = _normalize(np.array(pdf[vec_col].tolist(), dtype=np.float64))
-            n = len(X)
+        for batch in batches:
+            ids = batch.column(0)
+            vec = batch.column(1)
+            n = len(vec)
+            if n == 0:
+                continue
+            if vec.null_count:
+                raise ValueError("pq_encode: null embedding")
+            flat = vec.flatten().to_numpy(zero_copy_only=False)
+            X = _normalize(flat.astype(np.float64).reshape(n, -1))
             codes = np.empty((n, m), dtype=np.uint8)
             for j in range(m):
                 S = X[:, j * ds : (j + 1) * ds]
                 # argmin ||s-c||² = argmin (‖c‖² - 2 s·c)
                 codes[:, j] = np.argmin(cn2[j] - 2.0 * (S @ B[j].T), axis=1)
-            yield pd.DataFrame(
-                {id_col: pdf[id_col], "codes": list(codes.tobytes()[i * m : (i + 1) * m] for i in range(n))}
+            offsets = np.arange(0, (n + 1) * m, m, dtype=np.int32)
+            codes_arr = pa.BinaryArray.from_buffers(
+                pa.binary(), n,
+                [None, pa.py_buffer(offsets.tobytes()),
+                 pa.py_buffer(codes.tobytes())],
             )
+            yield pa.record_batch([ids, codes_arr], names=[id_col, "codes"])
 
-    return df.select(id_col, vec_col).mapInPandas(fn, out_schema)
+    return df.select(id_col, vec_col).mapInArrow(fn, out_schema)
 
 
 def pq_topk(

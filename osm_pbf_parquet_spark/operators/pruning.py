@@ -199,7 +199,9 @@ def store_report(chunks_df: DataFrame) -> DataFrame:
     )
 
 
-def prune_by_point(chunks_df: DataFrame, column: str, value) -> DataFrame:
+def prune_by_point(
+    chunks_df: DataFrame, column: str, value, value_type=None
+) -> DataFrame:
     """Bloom-filter point-lookup pruning: keep only chunk groups whose
     stat_bloom for `column` might contain `value` (plus, conservatively,
     groups that carry no filter).
@@ -212,12 +214,50 @@ def prune_by_point(chunks_df: DataFrame, column: str, value) -> DataFrame:
     A Bloom "no" is definitive (no false negatives); a "yes" merely
     decodes one extra group, so the exact predicate must still be
     re-applied after decode.
+
+    ``value_type`` is the STORED column's type — the Spark StructType
+    of the encoded table (the column is looked up by name) or a
+    pyarrow DataType. It is REQUIRED for numeric/temporal probes: the
+    build side hashed the column's own type family (int64 view vs
+    float64 bits), so an int literal probed as-inferred against a
+    float column would hash differently and return a definitive-
+    looking "no" — a silent false negative, wrong results. The probe
+    literal is checked-cast to the stored type (a lossy literal, e.g.
+    3.5 against an int column, raises). String/binary probes are
+    unambiguous and may omit it.
     """
     import pyarrow as pa
 
     from ..functions.bloom import bloom_might_contain, bloom_probe_positions
 
-    h1, h2 = bloom_probe_positions(value, pa.array([value]).type)
+    if value_type is None:
+        inferred = pa.array([value]).type
+        if not (
+            pa.types.is_string(inferred)
+            or pa.types.is_large_string(inferred)
+            or pa.types.is_binary(inferred)
+            or pa.types.is_large_binary(inferred)
+        ):
+            raise ValueError(
+                f"prune_by_point({column!r}, {value!r}): numeric/temporal "
+                "probes must pass value_type (the table schema or an "
+                "arrow type) — hashing the literal as-inferred against a "
+                "column of a different type family would silently prune "
+                "matching chunks (false negative)"
+            )
+        target = inferred
+    elif isinstance(value_type, T.StructType):
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        target = to_arrow_type(value_type[column].dataType)
+    elif isinstance(value_type, T.DataType):
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        target = to_arrow_type(value_type)
+    else:
+        target = value_type
+    probe = pa.array([value]).cast(target)  # checked: lossy literal raises
+    h1, h2 = bloom_probe_positions(probe[0].as_py(), target)
 
     @F.pandas_udf(T.BooleanType())
     def might(blobs: pd.Series) -> pd.Series:

@@ -142,3 +142,42 @@ def test_compaction_rebuilds_blooms(spark, pages_path, tmp_path):
         (F.col("column") == "url") & F.col("stat_bloom").isNotNull()
     ).count()
     assert with_bloom > 0
+
+
+def test_numeric_probe_coerces_to_stored_type(spark):
+    """r3 advice: an int literal probed against a FLOAT column must hash
+    the stored column's type family — as-inferred hashing would return a
+    definitive 'no' and silently prune matching rows."""
+    import pyspark.sql.types as T
+
+    df = spark.createDataFrame(
+        [(float(i), i) for i in range(200)],
+        T.StructType([
+            T.StructField("v", T.DoubleType()),
+            T.StructField("k", T.LongType()),
+        ]),
+    )
+    chunks = encode_dataframe(
+        df, key_col="k", num_partitions=4,
+        target_chunk_bytes=4 << 10, bloom_cols=["v"],
+    ).cache()
+    # int literal 3, stored column double: schema-driven coercion
+    kept = prune_by_point(chunks, "v", 3, value_type=df.schema)
+    rows = (
+        decode_dataframe(kept, df.schema).filter(F.col("v") == 3.0).collect()
+    )
+    assert len(rows) == 1 and rows[0]["k"] == 3
+
+    # ambiguous numeric probe without a type is an error, not a guess
+    import pytest
+
+    with pytest.raises(ValueError, match="value_type"):
+        prune_by_point(chunks, "v", 3)
+
+    # lossy literal against an int column raises instead of mis-hashing
+    chunks_k = encode_dataframe(
+        df, key_col="k", num_partitions=4,
+        target_chunk_bytes=4 << 10, bloom_cols=["k"],
+    ).cache()
+    with pytest.raises(Exception):
+        prune_by_point(chunks_k, "k", 3.5, value_type=df.schema)
