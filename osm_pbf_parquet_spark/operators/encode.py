@@ -76,6 +76,16 @@ CHUNKS_SPARK_SCHEMA = T.StructType(
     ]
 )
 
+#: chunk rows as persisted by the store (run_id stamped at commit time).
+#: Store reads use THIS schema explicitly: schema inference over a dir
+#: mixing files written before/after a metadata-column addition (e.g.
+#: stat_bloom) could infer the old file's schema and silently drop the
+#: new column (r3 advice) — an explicit schema reads missing columns
+#: as NULLs instead, which every consumer already treats as "no stat".
+CHUNKS_STORE_SPARK_SCHEMA = T.StructType(
+    list(CHUNKS_SPARK_SCHEMA.fields) + [T.StructField("run_id", T.StringType())]
+)
+
 
 def with_partition_id(
     df: DataFrame, key_col: str, num_partitions: int, pid_expr=None

@@ -28,6 +28,7 @@ from ..operators.encode import CHUNKS_SPARK_SCHEMA, _encode_group, verify_checks
 from .manifest import (
     chunks_dir,
     commit_summary,
+    read_chunks,
     read_manifest,
     summarize_chunks,
 )
@@ -119,7 +120,7 @@ def compact_partitions(
         return {"compacted_partitions": 0}
 
     cdir = chunks_dir(out_dir)
-    visible = spark.read.parquet(cdir).join(
+    visible = read_chunks(spark, out_dir).join(
         F.broadcast(targets), ["partition_id", "run_id"], "left_semi"
     )
     n = num_partitions or int(
@@ -162,7 +163,7 @@ def compact_partitions(
         "append"
     ).parquet(cdir)
 
-    written = spark.read.parquet(cdir).filter(F.col("run_id") == run_id)
+    written = read_chunks(spark, out_dir).filter(F.col("run_id") == run_id)
     rows = commit_summary(
         summarize_chunks(written).collect(), out_dir, snapshot_id, run_id
     )

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.encode import (
+    CHUNKS_STORE_SPARK_SCHEMA,
     PID_COL,
     decode_dataframe,
     encode_dataframe,
@@ -60,6 +61,72 @@ def _manifest_dir(out_dir: str) -> str:
 
 def chunks_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "chunks")
+
+
+def read_chunks(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Chunk-store scan with the EXPLICIT store schema: inference over
+    a dir mixing pre-/post-metadata-column files (e.g. stat_bloom) can
+    pick the old file's schema and drop the column; explicit schema
+    reads it as NULL where absent — what every consumer expects."""
+    return spark.read.schema(CHUNKS_STORE_SPARK_SCHEMA).parquet(
+        chunks_dir(out_dir)
+    )
+
+
+STORE_META_FILE = "store_meta.json"
+STORE_FORMAT_VERSION = 2  # v2 = chunk schema with stat_bloom
+
+
+def read_store_meta(out_dir: str) -> dict | None:
+    path = os.path.join(out_dir, STORE_META_FILE)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def write_store_meta(out_dir: str, meta: dict) -> None:
+    """First-commit-wins store identity (temp+rename, never rewritten):
+    records the routing contract every later writer must repeat."""
+    path = os.path.join(out_dir, STORE_META_FILE)
+    if os.path.exists(path):
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, sort_keys=True)
+    os.rename(tmp, path)
+
+
+def check_store_routing(
+    out_dir: str, key_col: str, num_partitions: int, custom_pid: bool = False
+) -> None:
+    """Validate a writer's routing params against the store's recorded
+    contract (r3 advice: a merge_job with a different num_partitions
+    silently routes change keys to different pids — untouched
+    partitions keep stale rows). Raises on mismatch; silently passes
+    for pre-metadata stores (nothing recorded to check)."""
+    meta = read_store_meta(out_dir)
+    if meta is None:
+        return
+    problems = []
+    if meta.get("key_col") != key_col:
+        problems.append(f"key_col {key_col!r} != stored {meta.get('key_col')!r}")
+    if meta.get("num_partitions") != num_partitions:
+        problems.append(
+            f"num_partitions {num_partitions} != stored "
+            f"{meta.get('num_partitions')}"
+        )
+    if bool(meta.get("custom_pid")) != custom_pid:
+        problems.append(
+            f"custom_pid {custom_pid} != stored {meta.get('custom_pid')}"
+        )
+    if problems:
+        raise ValueError(
+            f"store routing mismatch for {out_dir}: {'; '.join(problems)} — "
+            "rows would route to different partitions than the original "
+            "encode, leaving stale/duplicate rows in untouched partitions"
+        )
 
 
 def commit_manifest(rows: list[dict], out_dir: str, run_id: str) -> str:
@@ -211,6 +278,19 @@ def encode_job(
         from ..config import derive_chunk_target
 
         target_chunk_bytes = derive_chunk_target(spark)
+    # routing contract: first commit records it, every later writer
+    # (resume, merge, stream epoch) must repeat it exactly
+    custom_pid = pid_expr is not None or PID_COL in df.columns
+    check_store_routing(out_dir, key_col, num_partitions, custom_pid)
+    write_store_meta(
+        out_dir,
+        {
+            "format_version": STORE_FORMAT_VERSION,
+            "key_col": key_col,
+            "num_partitions": num_partitions,
+            "custom_pid": custom_pid,
+        },
+    )
     # X5 parity: global progress counter (reference src/util.rs:17-18)
     progress = spark.sparkContext.accumulator(0)
     # a pre-attached PID_COL (e.g. partitioning.salted_pids) is
@@ -260,7 +340,7 @@ def encode_job(
     ).parquet(cdir)
 
     # manifest rows derived from the durable chunks of THIS run
-    written = spark.read.parquet(cdir).filter(F.col("run_id") == run_id)
+    written = read_chunks(spark, out_dir).filter(F.col("run_id") == run_id)
     rows = commit_summary(
         summarize_chunks(written).collect(), out_dir, snapshot_id, run_id
     )
@@ -301,7 +381,7 @@ def read_encoded(
     if snapshot_id is not None:
         committed = committed.filter(F.col("snapshot_id") == snapshot_id)
     committed = committed.select("partition_id", "run_id")
-    chunks = spark.read.parquet(chunks_dir(out_dir)).join(
+    chunks = read_chunks(spark, out_dir).join(
         F.broadcast(committed), ["partition_id", "run_id"], "left_semi"
     )
     return decode_dataframe(chunks, schema)
@@ -340,7 +420,7 @@ def read_incremental(
     if snapshot_id is not None:
         committed = committed.filter(F.col("snapshot_id") == snapshot_id)
     committed = committed.select("partition_id", "run_id")
-    chunks = spark.read.parquet(chunks_dir(out_dir)).join(
+    chunks = read_chunks(spark, out_dir).join(
         F.broadcast(committed), ["partition_id", "run_id"], "left_semi"
     )
     return decode_dataframe(chunks, schema)

@@ -32,10 +32,12 @@ from pyspark.sql import functions as F
 
 from ..operators.encode import PID_COL, decode_dataframe, with_partition_id
 from .manifest import (
+    check_store_routing,
     chunks_dir,
     commit_manifest,
     commit_summary,
     encode_dataframe,
+    read_chunks,
     read_manifest,
     summarize_chunks,
 )
@@ -67,10 +69,30 @@ def merge_job(
     if updates is None and deletes is None:
         return {"merged_partitions": 0}
     unique_col = unique_col or key_col
+    # the change set must route to pids EXACTLY like the original
+    # encode — validate against the store's recorded contract instead
+    # of trusting the caller to repeat it (r3 advice)
+    check_store_routing(out_dir, key_col, num_partitions)
     if target_chunk_bytes is None:
         from ..config import derive_chunk_target
 
         target_chunk_bytes = derive_chunk_target(spark)
+    if updates is not None and deletes is not None:
+        # a key in BOTH sets would silently resolve to the upsert (the
+        # delete is anti-joined away then the update row unioned back);
+        # there is no principled order inside one call, so refuse —
+        # merge_stream reduces each batch to the LAST op per key first
+        clash = (
+            updates.select(unique_col)
+            .join(deletes.select(unique_col), unique_col, "left_semi")
+            .take(1)
+        )
+        if clash:
+            raise ValueError(
+                f"merge_job: key {clash[0][0]!r} appears in BOTH updates "
+                "and deletes — reduce the change set to one op per key "
+                "first (merge_stream does this by batch order)"
+            )
 
     # route changes to partitions exactly like the original encode
     upd = (
@@ -116,7 +138,7 @@ def merge_job(
         # side pid list is bounded by the change set, not the table
         existing_pids = {r[0] for r in targets.select("partition_id").collect()}
         if existing_pids:
-            current = spark.read.parquet(chunks_dir(out_dir)).join(
+            current = read_chunks(spark, out_dir).join(
                 F.broadcast(targets), ["partition_id", "run_id"], "left_semi"
             )
             decoded = decode_dataframe(current, schema)
@@ -145,7 +167,7 @@ def merge_job(
         ).withColumn("run_id", F.lit(run_id))
         cdir = chunks_dir(out_dir)
         chunks.write.mode("append").parquet(cdir)
-        written = spark.read.parquet(cdir).filter(F.col("run_id") == run_id)
+        written = read_chunks(spark, out_dir).filter(F.col("run_id") == run_id)
         rows = commit_summary(
             summarize_chunks(written).collect(), out_dir, snapshot_id, run_id
         )

@@ -41,7 +41,7 @@ import pyarrow.parquet as pq
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from .manifest import chunks_dir, read_manifest
+from .manifest import chunks_dir, read_chunks, read_manifest
 
 VACUUM_SCHEMA = pa.schema(
     [
@@ -83,7 +83,7 @@ def vacuum(
     # column-pruned metadata scan: 2 small columns + file provenance;
     # a file lives iff ANY of its (pid, run_id) pairs is visible
     file_rows = (
-        spark.read.parquet(cdir)
+        read_chunks(spark, out_dir)
         .select(F.input_file_name().alias("file"), "partition_id", "run_id")
         .distinct()
         .join(

@@ -59,6 +59,7 @@ def merge_stream(
     schema,
     key_col: str,
     op_col: str = "op",
+    seq_col: str | None = None,
     num_partitions: int = 32,
     codecs: dict[str, str] | None = None,
     snapshot_id: str = "snap-0",
@@ -70,12 +71,25 @@ def merge_stream(
     readers always see a consistent committed view (last-wins
     manifest, same visibility rule as every other writer).
 
+    Each micro-batch is reduced to the LAST op per key BEFORE the
+    merge (r3 advice: merge_job refuses a key in both its update and
+    delete sets, because inside one call the upsert would silently
+    win — an upsert followed by a delete of the same key in one epoch
+    must delete, not resurrect). Order within a batch comes from
+    ``seq_col`` (an event-time / Kafka-offset column — pass it
+    whenever the source provides one); without it, source arrival
+    order stands in (monotonically_increasing_id over the batch) —
+    correct for single-partition feeds, best-effort across partitions
+    of an unordered source, which is the strongest claim ANY consumer
+    can make about cross-partition order.
+
     Replayed epochs re-merge the same change set; merge_job is
     idempotent for a replay because applying identical upserts/deletes
     twice reaches the same final rows (the second commit supersedes
     with identical content).
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
 
     from ..plans.merge import merge_job
 
@@ -85,7 +99,17 @@ def merge_stream(
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        batch_df = batch_df.cache()
+        order = (
+            F.col(seq_col) if seq_col else F.monotonically_increasing_id()
+        )
+        w = Window.partitionBy(key_col).orderBy(F.desc("__seq__"))
+        batch_df = (
+            batch_df.withColumn("__seq__", order)
+            .withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") == 1)
+            .drop("__seq__", "__rn__")
+            .cache()
+        )
         try:
             ups = batch_df.filter(F.col(op_col) == "upsert").select(*data_cols)
             dels = batch_df.filter(F.col(op_col) == "delete").select(key_col)

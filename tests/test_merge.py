@@ -45,8 +45,14 @@ def test_upsert_and_delete(spark, pages_path, tmp_path):
         .withColumn("url", F.concat(F.lit("https://new.example/"), F.col("url")))
     )
     updates = recrawl.unionByName(fresh)
-    # delete: takedown 40 other urls
-    doomed = src.orderBy(F.desc("url")).limit(40).select("url")
+    # delete: takedown 40 OTHER urls (merge_job refuses overlapping
+    # update/delete key sets, so make "other" explicit)
+    doomed = (
+        src.select("url")
+        .join(updates.select("url"), "url", "left_anti")
+        .orderBy(F.desc("url"))
+        .limit(40)
+    )
 
     stats = merge_job(
         spark, out, src.schema, updates=updates, deletes=doomed,
@@ -115,3 +121,44 @@ def test_merge_is_partition_scoped(spark, pages_path, tmp_path):
     }
     changed = [p for p in before if after[p] != before[p]]
     assert len(changed) == 1, f"merge touched {len(changed)} partitions"
+
+
+def test_merge_rejects_key_in_both_update_and_delete(spark, pages_path, tmp_path):
+    """r3 advice: a key in both sets would silently resolve to the
+    upsert (delete ignored) — merge_job must refuse."""
+    import pytest
+
+    out = str(tmp_path / "store")
+    src = spark.read.parquet(pages_path)
+    encode_job(spark, src, out, key_col="url", num_partitions=N_PARTS)
+    both = src.limit(5)
+    with pytest.raises(ValueError, match="BOTH updates and deletes"):
+        merge_job(
+            spark, out, src.schema,
+            updates=both.withColumn("text", F.lit("x")),
+            deletes=both.select("url"),
+            key_col="url", num_partitions=N_PARTS,
+        )
+
+
+def test_merge_validates_store_routing(spark, pages_path, tmp_path):
+    """r3 advice: a merge with mismatched num_partitions routes change
+    keys to different pids — stale rows survive in untouched
+    partitions. The store records its routing contract at first commit
+    and later writers are validated against it."""
+    import pytest
+
+    out = str(tmp_path / "store")
+    src = spark.read.parquet(pages_path)
+    encode_job(spark, src, out, key_col="url", num_partitions=N_PARTS)
+    upd = src.limit(3).withColumn("text", F.lit("y"))
+    with pytest.raises(ValueError, match="num_partitions"):
+        merge_job(spark, out, src.schema, updates=upd,
+                  key_col="url", num_partitions=N_PARTS * 2)
+    with pytest.raises(ValueError, match="key_col"):
+        merge_job(spark, out, src.schema, updates=upd,
+                  key_col="text", num_partitions=N_PARTS)
+    # resume with mismatched routing is refused too
+    with pytest.raises(ValueError, match="routing mismatch"):
+        encode_job(spark, src, out, key_col="url",
+                   num_partitions=N_PARTS * 2)

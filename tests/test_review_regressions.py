@@ -204,3 +204,45 @@ def test_decode_narrowed_schema_needs_filtered_feed(spark):
     narrow = T.StructType([df.schema["v"]])
     with _pytest.raises(Exception, match="columns|colliding"):
         decode_dataframe(chunks, narrow, num_partitions=1).collect()
+
+
+def test_read_chunks_tolerates_pre_bloom_files(spark, tmp_path):
+    """r3 advice: chunk dirs can mix files written before a metadata
+    column existed (e.g. stat_bloom); schema inference could pick the
+    old file's schema and drop the column. read_chunks reads with the
+    explicit store schema: absent columns come back as NULLs."""
+    from pyspark.sql import functions as F
+
+    from osm_pbf_parquet_spark.plans.manifest import (
+        chunks_dir,
+        encode_job,
+        read_chunks,
+        read_encoded,
+    )
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    out = str(tmp_path / "store")
+    encode_job(spark, df, out, key_col="k", num_partitions=2)
+    # simulate a pre-stat_bloom store file: rewrite one chunk file
+    # without the stat_bloom column
+    import glob
+
+    import pyarrow.parquet as pq
+
+    f = sorted(glob.glob(f"{chunks_dir(out)}/*.parquet"))[0]
+    tbl = pq.read_table(f)
+    pq.write_table(tbl.drop_columns(["stat_bloom"]), f)
+    # drop the Hadoop checksum sidecar invalidated by the rewrite
+    import os
+
+    crc = os.path.join(os.path.dirname(f), f".{os.path.basename(f)}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    chunks = read_chunks(spark, out)
+    assert "stat_bloom" in chunks.columns
+    assert chunks.filter(F.col("stat_bloom").isNotNull()).count() == 0
+    dec = read_encoded(spark, out, df.schema)
+    assert dec.count() == 100

@@ -53,7 +53,8 @@ def test_merge_stream_cdc_apply(spark, pages_path, tmp_path):
         .withColumn("op", F.lit("upsert"))
     )
     dels = (
-        src.orderBy(F.desc("url")).limit(30)
+        src.join(ups.select("url"), "url", "left_anti")
+        .orderBy(F.desc("url")).limit(30)
         .withColumn("op", F.lit("delete"))
     )
     feed_dir = str(tmp_path / "feed")
@@ -83,3 +84,39 @@ def test_merge_stream_cdc_apply(spark, pages_path, tmp_path):
         F.expr(" AND ".join(f"a.{c} <=> b.{c}" for c in cols))
     ).count()
     assert ok == expected.count()
+
+
+def test_merge_stream_upsert_then_delete_same_key(spark, pages_path, tmp_path):
+    """An upsert followed by a delete of the SAME key inside one
+    micro-batch must delete (last op per key wins), not resurrect the
+    row (r3 advice: merge_job alone would let the upsert win)."""
+    from osm_pbf_parquet_spark.plans.manifest import encode_job, read_encoded
+    from osm_pbf_parquet_spark.streaming.encode_stream import merge_stream
+
+    src = spark.read.parquet(pages_path)
+    out = str(tmp_path / "store")
+    encode_job(spark, src, out, key_col="url", num_partitions=4)
+
+    victim = src.orderBy("url").limit(1)
+    # one feed file: seq 1 = upsert (amended text), seq 2 = delete
+    feed = (
+        victim.withColumn("op", F.lit("upsert"))
+        .withColumn("seq", F.lit(1))
+        .unionByName(
+            victim.withColumn("op", F.lit("delete")).withColumn("seq", F.lit(2))
+        )
+    )
+    feed_dir = str(tmp_path / "feed")
+    feed.coalesce(1).write.parquet(feed_dir)
+
+    stream = spark.readStream.schema(feed.schema).parquet(feed_dir)
+    q = merge_stream(
+        stream, out, str(tmp_path / "ckpt"), src.schema,
+        key_col="url", seq_col="seq", num_partitions=4,
+    )
+    q.awaitTermination(180)
+
+    dec = read_encoded(spark, out, src.schema)
+    gone = victim.select("url").collect()[0]["url"]
+    assert dec.filter(F.col("url") == gone).count() == 0
+    assert dec.count() == src.count() - 1
