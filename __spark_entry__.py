@@ -154,9 +154,15 @@ _EXTRA_QUERIES = (
 
     "store_count_meta",       # new in r3; metadata-only count (window full)
     "store_minmax_meta",      # new in r3; metadata-only min/max (window full)
-    "vacuum_decode",          # new in r3; GC lifecycle round-trip (window full)
-    "rt_rowfilter_decode",    # new in r3; worker-side pushdown (window full)
     "clean_corpus",           # new in r3; composed cleaning pipeline (window full)
+
+    # round-4 swaps (VERDICT r3 #7): vacuum_decode + rt_rowfilter_decode
+    # PROMOTED into the graded window (store-GC and pushdown paths were
+    # locally-green only), rt_osm_pbf added (real PBF ingestion);
+    # demoted in exchange — each capability stays graded via a sibling:
+    "codec_rle_linenumber",   # RLE kernel inside rt_*_auto selector rows; r03-green
+    "codec_xor_value",        # float family graded via codec_alp_price + rt_events_auto; r03-green
+    "tpch_q3_top10",          # join+agg graded via v2/v3 joins + tpch_q1; top-k via similarity_topk; r03-green
 )
 
 
@@ -241,6 +247,71 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return decode_dataframe(chunks, src.schema)
 
     q["rt_framed_source"] = rt_framed_source
+
+    def rt_osm_pbf(s, d):
+        """Real OSM PBF ingestion (S4/S5 completed — reference
+        src/pbf.rs:45-91 process_blobs, :175-191 element demux, S6
+        dense delta chains): a genuine .osm.pbf synthesized
+        deterministically from `documents` (protobuf varint framing,
+        DenseNodes zigzag-delta id/lat/lon/timestamp chains, string
+        table, DenseInfo, ways' delta refs, relations' delta memids)
+        is block-parallel decoded (sources/pbf.py, no protobuf
+        library) and projected to scalars; the oracle restates the
+        identical derivation in SQL over documents, so every decoded
+        field — delta chains included — is value-checked."""
+        _utc(s)
+        _ensure_workers_see_package(s)
+        from osm_pbf_parquet_spark.sources.pbf import (
+            osm_pbf_fixture,
+            read_osm_pbf,
+        )
+
+        path = osm_pbf_fixture(d)
+        osm = read_osm_pbf(s, path)
+        nn = F.col("nds").isNotNull()
+        mm = F.col("members").isNotNull()
+        return osm.select(
+            F.col("type").alias("el_type"),
+            "id",
+            F.when(
+                F.col("lat").isNotNull(),
+                F.round(F.col("lat") * 1e7).cast("long"),
+            ).alias("lat_e7"),
+            F.when(
+                F.col("lon").isNotNull(),
+                F.round(F.col("lon") * 1e7).cast("long"),
+            ).alias("lon_e7"),
+            F.unix_millis(F.col("timestamp").cast("timestamp")).alias("ms"),
+            F.col("uid").cast("long").alias("uid"),
+            F.col("user").alias("usr"),
+            F.col("version").cast("long").alias("version"),
+            "changeset",
+            "visible",
+            F.element_at("tags", "lang").alias("lang_tag"),
+            F.when(nn, F.size("nds").cast("long")).alias("n_refs"),
+            F.when(
+                nn,
+                F.aggregate(
+                    "nds", F.lit(0).cast("long"),
+                    lambda acc, x: acc + x["ref"],
+                ),
+            ).alias("refs_sum"),
+            F.when(
+                mm,
+                F.array_join(
+                    F.transform(
+                        "members",
+                        lambda m: F.concat_ws(
+                            ":", m["type"], m["ref"].cast("string"),
+                            F.coalesce(m["role"], F.lit("")),
+                        ),
+                    ),
+                    "|",
+                ),
+            ).alias("members_str"),
+        )
+
+    q["rt_osm_pbf"] = rt_osm_pbf
 
     def rt_pages(s, d):
         """North-rule input shape (BASELINE.json input_hint): a Common-
@@ -1275,6 +1346,41 @@ def _all_oracle_sql() -> dict[str, str]:
              LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
     """
     o["rt_framed_source"] = "SELECT doc_id, text, lang, source, n_chars FROM documents"
+    o["rt_osm_pbf"] = """
+        SELECT 'node' AS el_type, doc_id AS id,
+               (doc_id*1234567) % 1800000000 - 900000000 AS lat_e7,
+               (doc_id*7654321) % 3600000000 - 1800000000 AS lon_e7,
+               1700000000000 + doc_id*1000 AS ms,
+               doc_id % 97 AS uid,
+               'u' || (doc_id % 97) AS usr,
+               1 + doc_id % 7 AS version,
+               doc_id*3 + 1 AS changeset,
+               doc_id % 13 <> 0 AS visible,
+               lang AS lang_tag,
+               CAST(NULL AS BIGINT) AS n_refs,
+               CAST(NULL AS BIGINT) AS refs_sum,
+               CAST(NULL AS VARCHAR) AS members_str
+        FROM documents
+        UNION ALL
+        SELECT 'way', 10000000 + doc_id,
+               CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+               1700000000000 + doc_id*1000,
+               doc_id % 97, 'u' || (doc_id % 97), 1 + doc_id % 7,
+               doc_id*3 + 1, TRUE, lang,
+               CAST(3 AS BIGINT), CAST(3*doc_id + 20 AS BIGINT),
+               CAST(NULL AS VARCHAR)
+        FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT 'relation', 20000000 + doc_id,
+               CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+               1700000000000 + doc_id*1000,
+               doc_id % 97, 'u' || (doc_id % 97), 1 + doc_id % 7,
+               doc_id*3 + 1, TRUE, lang,
+               CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+               'node:' || doc_id || ':outer|way:' || (10000000 + doc_id)
+                 || ':inner'
+        FROM documents WHERE doc_id % 10 = 0
+    """
     o["rt_pages"] = """
         SELECT 'https://example.org/p/' || doc_id AS url,
                make_timestamp(1700000000000000 + doc_id * 1000000) AS warc_ts,

@@ -62,3 +62,20 @@ class EncodeConfig:
         if self.target_chunk_bytes is not None:
             return self.target_chunk_bytes
         return derive_chunk_target(spark)
+
+
+def derive_num_partitions(spark, factor: int = 8, floor: int = 32) -> int:
+    """Default engine-partition count: ≥ factor × available cores.
+
+    The r3 task-granularity sweep (BENCH_r03, 133→194 MB/s monotone in
+    task count at local[32]) showed coarse partitioning starves wide
+    clusters: with N ≈ cores a single slow task serializes the tail,
+    while ≳8× cores keeps every slot busy and lets AQE rebalance. At
+    1000 executors × 8 cores this yields ≥ 64k partitions — the right
+    granularity for a 100 TB scan (each partition ~1.5 GB). Callers
+    that need pid-stable resume across differently-sized clusters
+    should pin num_partitions explicitly (or rely on store_meta, which
+    encode_job records and reuses).
+    """
+    cores = spark.sparkContext.defaultParallelism or 4
+    return max(floor, factor * cores)

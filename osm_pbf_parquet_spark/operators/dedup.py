@@ -310,53 +310,101 @@ def embedding_lsh_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    n_planes: int = 8,
+    n_planes: int = 16,
+    bands: int = 4,
     min_cos: float = 0.8,
     dim: int | None = None,
+    max_bucket: int | None = 256,
+    seed: int = 7,
 ) -> DataFrame:
-    """Cosine near-dup candidates via random-hyperplane LSH buckets,
-    then exact cosine inside each bucket (the 100 TB-scale path: the
-    cross join is confined to same-signature buckets)."""
+    """Cosine near-dup candidates via BANDED random-hyperplane LSH,
+    then exact cosine on the candidate pairs.
+
+    Banded like its minhash/simhash siblings (r3 verdict: the single-
+    table 8-plane version fixed the bucket universe at 2⁸=256, an
+    O((n/256)²) cartesian blow-up at corpus scale): each of `bands`
+    independent hyperplane tables signs the vector with `n_planes`
+    bits, a pair is a candidate if it collides in ANY band, and exact
+    cosine (two id-joins back to the vectors — shuffle O(candidates))
+    is the gate. Bucket universe per band is 2^n_planes (65k at the
+    default 16; size n_planes ≳ log2(corpus) at scale), and
+    ``max_bucket`` drops degenerate buckets (boilerplate/zero-vector
+    clusters) whose O(bucket²) fan-out a downstream exact check would
+    reject anyway — the same guard the minhash/simhash paths carry.
+
+    Recall: p(bit agrees) = 1 − θ/π; p(candidate) =
+    1 − (1 − p^n_planes)^bands — near-identical vectors (θ→0, the
+    dedup regime) collide in every band with probability → 1, while
+    unrelated vectors almost never clear 16 agreeing bits in any band.
+
+    Buckets are built with ONE groupBy (collect ids per (band, sig),
+    JVM-side in-bucket pair generation) — no self-join of the table.
+    """
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    planes = _hyperplanes(n_planes, dim)
-    sig = None
-    for i, p in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in p])
-        dot = F.aggregate(
-            F.zip_with(F.col(vec_col), arr, lambda a, b: a.cast("double") * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bit = F.when(dot >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, i)
-        sig = term if sig is None else sig.bitwiseXOR(term)
-    bucketed = df.select(id_col, vec_col).withColumn("bucket", sig)
-    a, b = bucketed.alias("a"), bucketed.alias("b")
+    src = df.select(id_col, vec_col)
+
+    def band_sig(b: int) -> F.Column:
+        planes = _hyperplanes(n_planes, dim, seed=seed + 1000 * b)
+        sig = None
+        for i, p in enumerate(planes):
+            arr = F.array(*[F.lit(float(x)) for x in p])
+            dot = F.aggregate(
+                F.zip_with(F.col(vec_col), arr,
+                           lambda a, x: a.cast("double") * x),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bit = F.when(dot >= 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            term = F.shiftleft(bit, i)
+            sig = term if sig is None else sig.bitwiseXOR(term)
+        return sig
+
+    banded = src.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), band_sig(b).alias("bh"))
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.bh")
+    buckets = (
+        banded.groupBy("band", "bh")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket)
+    pair_gen = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "y -> named_struct('vec_a', x, 'vec_b', y))))"
+    )
+    cand = (
+        buckets.select(F.explode(pair_gen).alias("p"))
+        .select("p.vec_a", "p.vec_b")
+        .distinct()
+    )
+    # exact cosine gate: join the (bounded) candidate set back to the
+    # vectors — never the table to itself
+    va = src.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("__va__"))
+    vb = src.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("__vb__"))
     dot = F.aggregate(
-        F.zip_with(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"),
+        F.zip_with(F.col("__va__"), F.col("__vb__"),
                    lambda x, y: x.cast("double") * y),
         F.lit(0.0), lambda acc, v: acc + v,
     )
-    norm = lambda side: F.sqrt(  # noqa: E731
+    norm = lambda c: F.sqrt(  # noqa: E731
         F.aggregate(
-            F.col(f"{side}.{vec_col}"),
-            F.lit(0.0),
-            lambda acc, v: acc + v.cast("double") * v,
+            F.col(c), F.lit(0.0), lambda acc, v: acc + v.cast("double") * v
         )
     )
-    cos = dot / (norm("a") * norm("b"))
+    cos = dot / (norm("__va__") * norm("__vb__"))
     return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("vec_a"),
-            F.col(f"b.{id_col}").alias("vec_b"),
-            cos.alias("cos"),
-        )
-        .filter(F.col("cos") >= min_cos)
+        cand.join(va, "vec_a").join(vb, "vec_b")
+        .filter(cos >= min_cos)
         .select("vec_a", "vec_b")
     )

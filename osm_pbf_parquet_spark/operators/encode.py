@@ -251,7 +251,7 @@ def make_encode_fn(
 def encode_dataframe(
     df: DataFrame,
     key_col: str = "url",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
     codecs: dict[str, str] | None = None,
     target_chunk_bytes: int | None = None,
     pid_expr=None,
@@ -268,6 +268,12 @@ def encode_dataframe(
     If df already carries PID_COL (e.g. from partitioning.salted_pids)
     it is used as-is; otherwise pid = pmod(xxhash64(key_col), N).
 
+    num_partitions=None derives ≥ 8× cores (config.derive_num_partitions
+    — the r3 sweep's task-granularity lesson as the default, not a
+    footnote). Pin it explicitly when pids must stay stable across
+    differently-sized clusters (resumable stores record it in
+    store_meta and encode_job reuses that).
+
     sort_cols clusters rows WITHIN each engine partition before the
     chunk cut (sortWithinPartitions — no extra shuffle, just a per-task
     sort merged into the exchange's read side). Sorted input makes the
@@ -280,6 +286,10 @@ def encode_dataframe(
         from ..config import derive_chunk_target
 
         target_chunk_bytes = derive_chunk_target(df.sparkSession)
+    if num_partitions is None:
+        from ..config import derive_num_partitions
+
+        num_partitions = derive_num_partitions(df.sparkSession)
     if PID_COL in df.columns:
         with_pid = df
     else:

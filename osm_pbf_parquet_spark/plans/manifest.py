@@ -251,7 +251,7 @@ def encode_job(
     df: DataFrame,
     out_dir: str,
     key_col: str = "url",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
     snapshot_id: str = "snap-0",
     codecs: dict[str, str] | None = None,
     target_chunk_bytes: int | None = None,
@@ -278,6 +278,17 @@ def encode_job(
         from ..config import derive_chunk_target
 
         target_chunk_bytes = derive_chunk_target(spark)
+    if num_partitions is None:
+        # an existing store's recorded routing wins (pid-stable resume
+        # even on a differently-sized cluster); a fresh store derives
+        # ≥ 8× cores (the r3 task-granularity default)
+        meta = read_store_meta(out_dir)
+        if meta is not None and "num_partitions" in meta:
+            num_partitions = int(meta["num_partitions"])
+        else:
+            from ..config import derive_num_partitions
+
+            num_partitions = derive_num_partitions(spark)
     # routing contract: first commit records it, every later writer
     # (resume, merge, stream epoch) must repeat it exactly
     custom_pid = pid_expr is not None or PID_COL in df.columns

@@ -51,7 +51,7 @@ def merge_job(
     deletes: DataFrame | None = None,
     key_col: str = "url",
     unique_col: str | None = None,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
     snapshot_id: str = "snap-0",
     codecs: dict[str, str] | None = None,
     target_chunk_bytes: int | None = None,
@@ -71,7 +71,19 @@ def merge_job(
     unique_col = unique_col or key_col
     # the change set must route to pids EXACTLY like the original
     # encode — validate against the store's recorded contract instead
-    # of trusting the caller to repeat it (r3 advice)
+    # of trusting the caller to repeat it (r3 advice); num_partitions
+    # left None resolves FROM that contract
+    if num_partitions is None:
+        from .manifest import read_store_meta
+
+        meta = read_store_meta(out_dir)
+        if meta is None or "num_partitions" not in meta:
+            raise ValueError(
+                f"merge_job: num_partitions not given and {out_dir} has "
+                "no store_meta.json recording it — pass the value the "
+                "original encode used"
+            )
+        num_partitions = int(meta["num_partitions"])
     check_store_routing(out_dir, key_col, num_partitions)
     if target_chunk_bytes is None:
         from ..config import derive_chunk_target

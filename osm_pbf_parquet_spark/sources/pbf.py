@@ -1,0 +1,1092 @@
+"""Real OSM PBF ingestion — varint/protobuf-lite blob parsing.
+
+The reference's native input is the public OSM PBF format (reference
+src/pbf.rs:45-91 `process_blobs` walks the framed BlobHeader/Blob
+stream; :175-191 demuxes Node/DenseNode/Way/Relation): a sequence of
+[4-byte big-endian length][BlobHeader proto][Blob proto] file blocks,
+each Blob holding a zlib-compressed protobuf `PrimitiveBlock` with a
+string table and delta-encoded packed-varint element arrays. Round 3
+only reproduced the framing SHAPE over Arrow IPC payloads
+(sources/framed.py); this module completes S4/S5 parity by decoding
+the actual protobuf wire format, from scratch, with no protobuf
+library:
+
+* `scan_osm_blobs` — header-only frame index (offset, size, type) per
+  blob, no payload reads: the same O(#blocks) index pass as
+  framed.scan_frames; validates the OSMHeader's required_features and
+  fails loudly on unsupported ones (X6 fail-fast parity).
+* `read_osm_pbf` — task-per-blob fan-out via mapInArrow (the
+  reference's unit of parallelism, src/pbf.rs:64-89); inside each
+  task the packed hot arrays (ids, lats, lons, timestamps, refs,
+  memids) decode VECTORIZED in numpy — one pass finds varint
+  boundaries, reduceat folds the 7-bit groups, cumsum materializes
+  the delta chains — so Python-level iteration is O(#messages)
+  (framing only), never O(#values).
+* `write_osm_pbf` — fixture/egress-duty writer emitting genuine PBF
+  (DenseNodes + DenseInfo with zigzag deltas, string table with the
+  sid-0 sentinel, ways/relations with delta refs/memids), so the
+  reader is tested against independently-constructed wire bytes and a
+  user can also EXPORT a table as .osm.pbf.
+
+Output schema = the unified 12-column element schema + `type`
+(reference src/osm_arrow.rs:44-95; same shape sources/osm_elements.py
+generates), feeding the normalize_* P1–P7 projections and the chunk
+encoder directly. Lat/lon apply granularity/offset exactly as the
+spec defines (1e-9 * (offset + granularity * value)); timestamps are
+date_granularity-scaled epoch milliseconds.
+
+Empty tag sets surface as EMPTY maps (the wire cannot distinguish
+"no tags" from "empty tags"); `element_at`/`[]` lookups behave
+identically to NULL maps.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+FRAME_HEADER = struct.Struct(">I")
+MAX_BLOB_BYTES = 64 << 20  # spec: blobs SHOULD be <16 MB, MUST be <32 MB
+SUPPORTED_FEATURES = {"OsmSchema-V0.6", "DenseNodes"}
+_MEMBER_TYPES = ("node", "way", "relation")
+_U64_MASK = (1 << 64) - 1
+
+
+def unified_osm_schema() -> pa.Schema:
+    """The reference's 12-column schema + type (src/osm_arrow.rs:44-95)."""
+    return pa.schema(
+        [
+            ("id", pa.int64()),
+            ("type", pa.string()),
+            ("tags", pa.map_(pa.string(), pa.string())),
+            ("lat", pa.float64()),
+            ("lon", pa.float64()),
+            ("nds", pa.list_(pa.struct([("ref", pa.int64())]))),
+            (
+                "members",
+                pa.list_(
+                    pa.struct(
+                        [
+                            ("type", pa.string()),
+                            ("ref", pa.int64()),
+                            ("role", pa.string()),
+                        ]
+                    )
+                ),
+            ),
+            ("changeset", pa.int64()),
+            ("timestamp", pa.timestamp("ms")),
+            ("uid", pa.int32()),
+            ("user", pa.string()),
+            ("version", pa.int32()),
+            ("visible", pa.bool_()),
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# protobuf wire primitives
+# ---------------------------------------------------------------------------
+
+def _uvarint(buf: bytes, pos: int) -> tuple[int, int]:
+    """One base-128 varint (message-framing duty only; packed value
+    arrays go through the vectorized numpy path)."""
+    val = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        val |= (b & 0x7F) << shift
+        if not b & 0x80:
+            # Python ints never wrap: mask to the uint64 lane the wire
+            # format defines (scalar twin of the numpy kernels)
+            return val & _U64_MASK, pos
+        shift += 7
+        if shift > 63:
+            raise ValueError("varint longer than 10 bytes — corrupt PBF")
+
+
+def _iter_fields(buf: bytes) -> Iterator[tuple[int, int, int | bytes]]:
+    """Walk a protobuf message's (field_no, wire_type, value) triples.
+    wire_type 0 yields the varint value; 2 yields the raw bytes."""
+    pos, end = 0, len(buf)
+    while pos < end:
+        tag, pos = _uvarint(buf, pos)
+        fno, wt = tag >> 3, tag & 7
+        if wt == 0:
+            v, pos = _uvarint(buf, pos)
+            yield fno, 0, v
+        elif wt == 2:
+            ln, pos = _uvarint(buf, pos)
+            if pos + ln > end:
+                raise ValueError(f"field {fno} overruns message — corrupt PBF")
+            yield fno, 2, buf[pos : pos + ln]
+            pos += ln
+        elif wt == 5:
+            yield fno, 5, buf[pos : pos + 4]
+            pos += 4
+        elif wt == 1:
+            yield fno, 1, buf[pos : pos + 8]
+            pos += 8
+        else:
+            raise ValueError(f"unsupported wire type {wt} — corrupt PBF")
+
+
+def _unpack_uvarints(buf: bytes) -> np.ndarray:
+    """Vectorized packed-varint decode → uint64 array. One numpy pass:
+    continuation bits mark group boundaries, reduceat folds each
+    group's shifted 7-bit limbs (max shift 63 for a 10-byte varint —
+    in-lane for uint64; overflow wraps mod 2^64 exactly like protobuf).
+    """
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    cont = (b & 0x80) != 0
+    if cont[-1]:
+        raise ValueError("packed field ends mid-varint — corrupt PBF")
+    ends = np.nonzero(~cont)[0]
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lens = ends - starts + 1
+    if int(lens.max()) > 10:
+        raise ValueError("varint longer than 10 bytes — corrupt PBF")
+    pos = np.arange(b.size, dtype=np.int64) - np.repeat(starts, lens)
+    with np.errstate(over="ignore"):
+        limbs = (b & 0x7F).astype(np.uint64) << (7 * pos).astype(np.uint64)
+        return np.add.reduceat(limbs, starts)
+
+
+def _zigzag_decode(u: np.ndarray) -> np.ndarray:
+    return ((u >> np.uint64(1)) ^ (np.uint64(0) - (u & np.uint64(1)))).view(
+        np.int64
+    )
+
+
+def _packed_sint_delta(buf: bytes) -> np.ndarray:
+    """packed sint64 with per-element delta coding → absolute int64
+    (the DenseNodes/way-refs S6 hot path: unpack → zigzag → cumsum)."""
+    return np.cumsum(_zigzag_decode(_unpack_uvarints(buf)))
+
+
+def _enc_uvarint(v: int) -> bytes:
+    v &= _U64_MASK
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _enc_zigzag(v: int) -> bytes:
+    return _enc_uvarint(((v << 1) ^ (v >> 63)) & _U64_MASK)
+
+
+def _field_key(fno: int, wt: int) -> bytes:
+    return _enc_uvarint((fno << 3) | wt)
+
+
+def _len_field(fno: int, payload: bytes) -> bytes:
+    return _field_key(fno, 2) + _enc_uvarint(len(payload)) + payload
+
+
+def _varint_field(fno: int, v: int) -> bytes:
+    return _field_key(fno, 0) + _enc_uvarint(v)
+
+
+def _packed_field(fno: int, vals, zigzag: bool = False) -> bytes:
+    enc = _enc_zigzag if zigzag else _enc_uvarint
+    return _len_field(fno, b"".join(enc(int(v)) for v in vals))
+
+
+def _packed_delta_field(fno: int, vals) -> bytes:
+    out, prev = [], 0
+    for v in vals:
+        out.append(_enc_zigzag(int(v) - prev))
+        prev = int(v)
+    return _len_field(fno, b"".join(out))
+
+
+# ---------------------------------------------------------------------------
+# PrimitiveBlock parsing (read path)
+# ---------------------------------------------------------------------------
+
+def _parse_stringtable(buf: bytes) -> pa.Array:
+    strings = [v.decode("utf-8", errors="replace") for f, w, v in
+               _iter_fields(buf) if f == 1 and w == 2]
+    return pa.array(strings, type=pa.string())
+
+
+def _parse_info(buf: bytes) -> dict:
+    out = {"version": None, "timestamp": None, "changeset": None,
+           "uid": None, "user_sid": None, "visible": None}
+    for f, w, v in _iter_fields(buf):
+        if w != 0:
+            continue
+        if f == 1:
+            out["version"] = np.int64(v).astype(np.int32).item()
+        elif f == 2:
+            out["timestamp"] = np.uint64(v).view(np.int64).item()
+        elif f == 3:
+            out["changeset"] = np.uint64(v).view(np.int64).item()
+        elif f == 4:
+            out["uid"] = np.int64(v).astype(np.int32).item()
+        elif f == 5:
+            out["user_sid"] = int(v)
+        elif f == 6:
+            out["visible"] = bool(v)
+    return out
+
+
+class _Columns:
+    """Per-blob unified-schema column accumulators (the Spark twin of
+    the reference's OSMArrowBuilder, src/osm_arrow.rs:98-265 — but
+    fed whole vectors, not rows)."""
+
+    def __init__(self) -> None:
+        self.ids: list[np.ndarray] = []
+        self.types: list[str] = []          # one per SEGMENT
+        self.seg_lens: list[int] = []
+        self.tag_offsets: list[np.ndarray] = []
+        self.tag_keys: list[pa.Array] = []
+        self.tag_vals: list[pa.Array] = []
+        self.lat: list[np.ndarray | None] = []
+        self.lon: list[np.ndarray | None] = []
+        self.nds_offsets: list[np.ndarray | None] = []
+        self.nds_refs: list[np.ndarray] = []
+        self.mem_offsets: list[np.ndarray | None] = []
+        self.mem_types: list[np.ndarray] = []
+        self.mem_refs: list[np.ndarray] = []
+        self.mem_roles: list[pa.Array] = []
+        self.changeset: list = []
+        self.ts_ms: list = []
+        self.uid: list = []
+        self.user: list = []
+        self.version: list = []
+        self.visible: list = []
+
+
+def _concat_offsets(segments: list[np.ndarray], lens: list[int]) -> np.ndarray:
+    """Stitch per-segment list offsets into one running offset array."""
+    total = sum(lens)
+    out = np.zeros(total + 1, dtype=np.int64)
+    pos, base = 1, 0
+    for seg in segments:
+        out[pos : pos + len(seg) - 1] = seg[1:] + base
+        base += seg[-1]
+        pos += len(seg) - 1
+    return out
+
+
+def _parse_dense(buf: bytes, st: pa.Array, gran: int, lat_off: int,
+                 lon_off: int, dgran: int, cols: _Columns) -> None:
+    ids = lats = lons = kv = None
+    info_buf = None
+    for f, w, v in _iter_fields(buf):
+        if f == 1:
+            ids = _packed_sint_delta(v)
+        elif f == 5:
+            info_buf = v
+        elif f == 8:
+            lats = _packed_sint_delta(v)
+        elif f == 9:
+            lons = _packed_sint_delta(v)
+        elif f == 10:
+            kv = _unpack_uvarints(v).astype(np.int64)
+    if ids is None or len(ids) == 0:
+        return
+    n = len(ids)
+    cols.ids.append(ids)
+    cols.types.append("node")
+    cols.seg_lens.append(n)
+    cols.lat.append(1e-9 * (lat_off + gran * lats.astype(np.float64)))
+    cols.lon.append(1e-9 * (lon_off + gran * lons.astype(np.float64)))
+    # keys_vals: (k, v)* pairs per node, 0-terminated; sid 0 is the
+    # empty-string sentinel so nonzero values ARE the flattened pairs
+    if kv is None or kv.size == 0:
+        cols.tag_offsets.append(np.zeros(n + 1, dtype=np.int64))
+        cols.tag_keys.append(pa.array([], type=pa.string()))
+        cols.tag_vals.append(pa.array([], type=pa.string()))
+    else:
+        zpos = np.nonzero(kv == 0)[0]
+        if len(zpos) != n:
+            raise ValueError(
+                f"keys_vals has {len(zpos)} delimiters for {n} nodes — "
+                "corrupt PBF"
+            )
+        starts = np.empty_like(zpos)
+        starts[0] = 0
+        starts[1:] = zpos[:-1] + 1
+        counts = (zpos - starts) // 2
+        flat = kv[kv != 0]
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        cols.tag_offsets.append(offsets)
+        cols.tag_keys.append(st.take(pa.array(flat[0::2])))
+        cols.tag_vals.append(st.take(pa.array(flat[1::2])))
+    cols.nds_offsets.append(None)
+    cols.mem_offsets.append(None)
+    if info_buf is not None:
+        versions = timestamps = changesets = uids = user_sids = None
+        visibles = None
+        for f, w, v in _iter_fields(info_buf):
+            if f == 1:
+                versions = _unpack_uvarints(v).view(np.int64).astype(np.int32)
+            elif f == 2:
+                timestamps = _packed_sint_delta(v)
+            elif f == 3:
+                changesets = _packed_sint_delta(v)
+            elif f == 4:
+                uids = _packed_sint_delta(v).astype(np.int32)
+            elif f == 5:
+                user_sids = _packed_sint_delta(v)
+            elif f == 6:
+                visibles = _unpack_uvarints(v) != 0
+        cols.changeset.append(changesets)
+        cols.ts_ms.append(
+            timestamps * dgran if timestamps is not None else None
+        )
+        cols.uid.append(uids)
+        cols.user.append(
+            st.take(pa.array(user_sids)) if user_sids is not None else None
+        )
+        cols.version.append(versions)
+        cols.visible.append(
+            visibles if visibles is not None else np.ones(n, dtype=bool)
+        )
+    else:
+        for sink in (cols.changeset, cols.ts_ms, cols.uid, cols.user,
+                     cols.version, cols.visible):
+            sink.append(None)
+
+
+def _parse_way_like(msgs: list[bytes], kind: str, st: pa.Array,
+                    dgran: int, cols: _Columns) -> None:
+    """Ways and relations share everything except the ref/member
+    fields; one pass accumulates a whole group as a segment."""
+    n = len(msgs)
+    ids = np.empty(n, dtype=np.int64)
+    tag_counts = np.empty(n, dtype=np.int64)
+    keys_parts, vals_parts = [], []
+    ref_counts = np.empty(n, dtype=np.int64)
+    refs_parts: list[np.ndarray] = []
+    mtype_parts: list[np.ndarray] = []
+    role_parts: list[np.ndarray] = []
+    infos: list[dict | None] = []
+    for i, msg in enumerate(msgs):
+        keys = vals = None
+        refs = np.empty(0, dtype=np.int64)
+        roles = memids = mtypes = None
+        info = None
+        for f, w, v in _iter_fields(msg):
+            if f == 1:
+                ids[i] = np.uint64(v).view(np.int64)
+            elif f == 2:
+                keys = _unpack_uvarints(v)
+            elif f == 3:
+                vals = _unpack_uvarints(v)
+            elif f == 4:
+                info = _parse_info(v)
+            elif f == 8 and kind == "way":
+                refs = _packed_sint_delta(v)
+            elif f == 8 and kind == "relation":
+                roles = _unpack_uvarints(v)
+            elif f == 9 and kind == "relation":
+                memids = _packed_sint_delta(v)
+            elif f == 10 and kind == "relation":
+                mtypes = _unpack_uvarints(v).astype(np.int64)
+        nk = 0 if keys is None else len(keys)
+        tag_counts[i] = nk
+        if nk:
+            keys_parts.append(keys)
+            vals_parts.append(vals)
+        if kind == "way":
+            ref_counts[i] = len(refs)
+            if len(refs):
+                refs_parts.append(refs)
+        else:
+            nm = 0 if memids is None else len(memids)
+            ref_counts[i] = nm
+            if nm:
+                refs_parts.append(memids)
+                mtype_parts.append(mtypes)
+                role_parts.append(roles)
+        infos.append(info)
+    cols.ids.append(ids)
+    cols.types.append(kind)
+    cols.seg_lens.append(n)
+    tag_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(tag_counts, out=tag_offsets[1:])
+    cols.tag_offsets.append(tag_offsets)
+    flat_keys = (
+        np.concatenate(keys_parts) if keys_parts
+        else np.empty(0, dtype=np.uint64)
+    )
+    flat_vals = (
+        np.concatenate(vals_parts) if vals_parts
+        else np.empty(0, dtype=np.uint64)
+    )
+    cols.tag_keys.append(st.take(pa.array(flat_keys.astype(np.int64))))
+    cols.tag_vals.append(st.take(pa.array(flat_vals.astype(np.int64))))
+    cols.lat.append(None)
+    cols.lon.append(None)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(ref_counts, out=offsets[1:])
+    flat_refs = (
+        np.concatenate(refs_parts) if refs_parts
+        else np.empty(0, dtype=np.int64)
+    )
+    if kind == "way":
+        cols.nds_offsets.append(offsets)
+        cols.nds_refs.append(flat_refs)
+        cols.mem_offsets.append(None)
+    else:
+        cols.nds_offsets.append(None)
+        cols.mem_offsets.append(offsets)
+        cols.mem_refs.append(flat_refs)
+        cols.mem_types.append(
+            np.concatenate(mtype_parts) if mtype_parts
+            else np.empty(0, dtype=np.int64)
+        )
+        cols.mem_roles.append(
+            st.take(pa.array(
+                np.concatenate(role_parts).astype(np.int64) if role_parts
+                else np.empty(0, dtype=np.int64)
+            ))
+        )
+    # info scalars (per element, nullable)
+    cols.changeset.append([i["changeset"] if i else None for i in infos])
+    cols.ts_ms.append(
+        [i["timestamp"] * dgran if i and i["timestamp"] is not None else None
+         for i in infos]
+    )
+    cols.uid.append([i["uid"] if i else None for i in infos])
+    users = st.to_pylist()
+    cols.user.append(
+        [users[i["user_sid"]] if i and i["user_sid"] is not None else None
+         for i in infos]
+    )
+    cols.version.append([i["version"] if i else None for i in infos])
+    cols.visible.append(
+        [(i["visible"] if i["visible"] is not None else True) if i else None
+         for i in infos]
+    )
+
+
+def _parse_plain_nodes(msgs: list[bytes], st: pa.Array, gran: int,
+                       lat_off: int, lon_off: int, dgran: int,
+                       cols: _Columns) -> None:
+    """Non-dense Node groups (rare in the wild; spec-complete)."""
+    n = len(msgs)
+    ids = np.empty(n, dtype=np.int64)
+    lats = np.empty(n, dtype=np.int64)
+    lons = np.empty(n, dtype=np.int64)
+    tag_counts = np.empty(n, dtype=np.int64)
+    keys_parts, vals_parts, infos = [], [], []
+    for i, msg in enumerate(msgs):
+        keys = vals = None
+        info = None
+        for f, w, v in _iter_fields(msg):
+            if f == 1:
+                ids[i] = _zigzag_decode(np.array([v], dtype=np.uint64))[0]
+            elif f == 2:
+                keys = _unpack_uvarints(v)
+            elif f == 3:
+                vals = _unpack_uvarints(v)
+            elif f == 4:
+                info = _parse_info(v)
+            elif f == 8:
+                lats[i] = _zigzag_decode(np.array([v], dtype=np.uint64))[0]
+            elif f == 9:
+                lons[i] = _zigzag_decode(np.array([v], dtype=np.uint64))[0]
+        nk = 0 if keys is None else len(keys)
+        tag_counts[i] = nk
+        if nk:
+            keys_parts.append(keys)
+            vals_parts.append(vals)
+        infos.append(info)
+    cols.ids.append(ids)
+    cols.types.append("node")
+    cols.seg_lens.append(n)
+    cols.lat.append(1e-9 * (lat_off + gran * lats.astype(np.float64)))
+    cols.lon.append(1e-9 * (lon_off + gran * lons.astype(np.float64)))
+    tag_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(tag_counts, out=tag_offsets[1:])
+    cols.tag_offsets.append(tag_offsets)
+    flat_k = (np.concatenate(keys_parts) if keys_parts
+              else np.empty(0, dtype=np.uint64))
+    flat_v = (np.concatenate(vals_parts) if vals_parts
+              else np.empty(0, dtype=np.uint64))
+    cols.tag_keys.append(st.take(pa.array(flat_k.astype(np.int64))))
+    cols.tag_vals.append(st.take(pa.array(flat_v.astype(np.int64))))
+    cols.nds_offsets.append(None)
+    cols.mem_offsets.append(None)
+    users = st.to_pylist()
+    cols.changeset.append([i["changeset"] if i else None for i in infos])
+    cols.ts_ms.append(
+        [i["timestamp"] * dgran if i and i["timestamp"] is not None else None
+         for i in infos]
+    )
+    cols.uid.append([i["uid"] if i else None for i in infos])
+    cols.user.append(
+        [users[i["user_sid"]] if i and i["user_sid"] is not None else None
+         for i in infos]
+    )
+    cols.version.append([i["version"] if i else None for i in infos])
+    cols.visible.append(
+        [(i["visible"] if i["visible"] is not None else True) if i else None
+         for i in infos]
+    )
+
+
+def _seg_array(seg, n: int, typ: pa.DataType) -> pa.Array:
+    if seg is None:
+        return pa.nulls(n, typ)
+    if isinstance(seg, pa.Array):
+        return seg.cast(typ) if seg.type != typ else seg
+    return pa.array(seg, type=typ)
+
+
+def _finish_table(cols: _Columns) -> pa.Table:
+    schema = unified_osm_schema()
+    lens = cols.seg_lens
+    n = sum(lens)
+    type_arr = pa.array(np.repeat(np.array(cols.types), lens))
+    tags = pa.MapArray.from_arrays(
+        pa.array(_concat_offsets(cols.tag_offsets, lens), type=pa.int32()),
+        pa.concat_arrays([a.cast(pa.string()) for a in cols.tag_keys]),
+        pa.concat_arrays([a.cast(pa.string()) for a in cols.tag_vals]),
+    )
+    lat_parts = [
+        _seg_array(s, ln, pa.float64()) for s, ln in zip(cols.lat, lens)
+    ]
+    lon_parts = [
+        _seg_array(s, ln, pa.float64()) for s, ln in zip(cols.lon, lens)
+    ]
+    nds_type = schema.field("nds").type
+    mem_type = schema.field("members").type
+    nds_parts, mem_parts = [], []
+    way_i = rel_i = 0
+    for seg_i, ln in enumerate(lens):
+        noff = cols.nds_offsets[seg_i]
+        if noff is None:
+            nds_parts.append(pa.nulls(ln, nds_type))
+        else:
+            refs = pa.array(cols.nds_refs[way_i], type=pa.int64())
+            nds_parts.append(
+                pa.ListArray.from_arrays(
+                    pa.array(noff, type=pa.int32()),
+                    pa.StructArray.from_arrays([refs], ["ref"]),
+                ).cast(nds_type)
+            )
+            way_i += 1
+        moff = cols.mem_offsets[seg_i]
+        if moff is None:
+            mem_parts.append(pa.nulls(ln, mem_type))
+        else:
+            mt = pa.array(_MEMBER_TYPES, type=pa.string()).take(
+                pa.array(cols.mem_types[rel_i])
+            )
+            mem_parts.append(
+                pa.ListArray.from_arrays(
+                    pa.array(moff, type=pa.int32()),
+                    pa.StructArray.from_arrays(
+                        [
+                            mt,
+                            pa.array(cols.mem_refs[rel_i], type=pa.int64()),
+                            cols.mem_roles[rel_i].cast(pa.string()),
+                        ],
+                        ["type", "ref", "role"],
+                    ),
+                ).cast(mem_type)
+            )
+            rel_i += 1
+    arrays = [
+        pa.concat_arrays([
+            _seg_array(s, ln, pa.int64()) for s, ln in zip(cols.ids, lens)
+        ]),
+        type_arr,
+        tags,
+        pa.concat_arrays(lat_parts),
+        pa.concat_arrays(lon_parts),
+        pa.concat_arrays(nds_parts),
+        pa.concat_arrays(mem_parts),
+        pa.concat_arrays([
+            _seg_array(s, ln, pa.int64())
+            for s, ln in zip(cols.changeset, lens)
+        ]),
+        pa.concat_arrays([
+            _seg_array(s, ln, pa.timestamp("ms"))
+            for s, ln in zip(cols.ts_ms, lens)
+        ]),
+        pa.concat_arrays([
+            _seg_array(s, ln, pa.int32()) for s, ln in zip(cols.uid, lens)
+        ]),
+        pa.concat_arrays([
+            _seg_array(s, ln, pa.string()) for s, ln in zip(cols.user, lens)
+        ]),
+        pa.concat_arrays([
+            _seg_array(s, ln, pa.int32()) for s, ln in zip(cols.version, lens)
+        ]),
+        pa.concat_arrays([
+            _seg_array(s, ln, pa.bool_()) for s, ln in zip(cols.visible, lens)
+        ]),
+    ]
+    assert all(len(a) == n for a in arrays)
+    return pa.table(dict(zip(schema.names, arrays)), schema=schema)
+
+
+def parse_primitive_block(raw: bytes) -> pa.Table:
+    """One decompressed PrimitiveBlock → unified-schema Arrow table."""
+    st_buf = None
+    groups: list[bytes] = []
+    gran, dgran, lat_off, lon_off = 100, 1000, 0, 0
+    for f, w, v in _iter_fields(raw):
+        if f == 1:
+            st_buf = v
+        elif f == 2:
+            groups.append(v)
+        elif f == 17:
+            gran = int(v)
+        elif f == 18:
+            dgran = int(v)
+        elif f == 19:
+            lat_off = np.uint64(v).view(np.int64).item()
+        elif f == 20:
+            lon_off = np.uint64(v).view(np.int64).item()
+    st = (
+        _parse_stringtable(st_buf) if st_buf is not None
+        else pa.array([], type=pa.string())
+    )
+    cols = _Columns()
+    for g in groups:
+        plain_nodes: list[bytes] = []
+        ways: list[bytes] = []
+        rels: list[bytes] = []
+        dense = None
+        for f, w, v in _iter_fields(g):
+            if f == 1:
+                plain_nodes.append(v)
+            elif f == 2:
+                dense = v
+            elif f == 3:
+                ways.append(v)
+            elif f == 4:
+                rels.append(v)
+        if plain_nodes:
+            _parse_plain_nodes(plain_nodes, st, gran, lat_off, lon_off,
+                               dgran, cols)
+        if dense is not None:
+            _parse_dense(dense, st, gran, lat_off, lon_off, dgran, cols)
+        if ways:
+            _parse_way_like(ways, "way", st, dgran, cols)
+        if rels:
+            _parse_way_like(rels, "relation", st, dgran, cols)
+    return _finish_table(cols)
+
+
+# ---------------------------------------------------------------------------
+# file level: scan + block-parallel read
+# ---------------------------------------------------------------------------
+
+def _parse_blob_header(buf: bytes) -> tuple[str, int]:
+    btype, datasize = "", -1
+    for f, w, v in _iter_fields(buf):
+        if f == 1 and w == 2:
+            btype = v.decode("utf-8")
+        elif f == 3 and w == 0:
+            datasize = int(v)
+    if not btype or datasize < 0:
+        raise ValueError("BlobHeader missing type/datasize — corrupt PBF")
+    return btype, datasize
+
+
+def _blob_payload(blob: bytes) -> bytes:
+    raw = zdata = None
+    raw_size = None
+    for f, w, v in _iter_fields(blob):
+        if f == 1 and w == 2:
+            raw = v
+        elif f == 2 and w == 0:
+            raw_size = int(v)
+        elif f == 3 and w == 2:
+            zdata = v
+    if zdata is not None:
+        out = zlib.decompress(zdata)
+        if raw_size is not None and len(out) != raw_size:
+            raise ValueError(
+                f"blob inflated to {len(out)} bytes, header said {raw_size}"
+                " — corrupt PBF"
+            )
+        return out
+    if raw is not None:
+        return raw
+    raise ValueError("blob has neither raw nor zlib_data — unsupported codec")
+
+
+def _check_header_block(raw: bytes) -> None:
+    for f, w, v in _iter_fields(raw):
+        if f == 4 and w == 2:
+            feat = v.decode("utf-8")
+            if feat not in SUPPORTED_FEATURES:
+                raise ValueError(
+                    f"PBF requires unsupported feature {feat!r} "
+                    f"(supported: {sorted(SUPPORTED_FEATURES)})"
+                )
+
+
+def scan_osm_blobs(path: str) -> list[tuple[int, int]]:
+    """Index of OSMData blobs [(payload_offset, payload_len)] — reads
+    only the tiny BlobHeaders (seek past payloads), validates the
+    OSMHeader's required_features. Raises on truncation/corruption
+    (reference panics on corrupt blobs — X6)."""
+    idx: list[tuple[int, int]] = []
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        off = 0
+        while off < size:
+            hdr = f.read(4)
+            if len(hdr) < 4:
+                raise ValueError(f"truncated blob header length at {off}")
+            (hlen,) = FRAME_HEADER.unpack(hdr)
+            if hlen > 64 << 10:
+                raise ValueError(f"BlobHeader of {hlen} bytes at {off} — corrupt")
+            btype, datasize = _parse_blob_header(f.read(hlen))
+            data_off = off + 4 + hlen
+            if datasize > MAX_BLOB_BYTES or data_off + datasize > size:
+                raise ValueError(
+                    f"blob at {off}: datasize {datasize} exceeds file"
+                )
+            if btype == "OSMHeader":
+                _check_header_block(_blob_payload(f.read(datasize)))
+            else:
+                if btype == "OSMData":
+                    idx.append((data_off, datasize))
+                f.seek(datasize, 1)  # unknown blob types: skip per spec
+            off = data_off + datasize
+    return idx
+
+
+def decode_osm_blob(path: str, offset: int, length: int) -> pa.Table:
+    """Read + inflate + parse ONE blob (the per-task unit — reference
+    src/pbf.rs:64-89)."""
+    with open(path, "rb") as f:
+        f.seek(offset)
+        blob = f.read(length)
+    if len(blob) != length:
+        raise ValueError(f"short read at offset {offset}")
+    return parse_primitive_block(_blob_payload(blob))
+
+
+def read_osm_pbf(spark, path: str, num_partitions: int | None = None):
+    """.osm.pbf → unified-schema DataFrame, block-parallel (zero
+    shuffle; each task seeks/inflates/parses only its own blobs)."""
+    from pyspark.sql import types as T
+
+    idx = scan_osm_blobs(path)
+    if not idx:
+        raise ValueError(f"no OSMData blobs in {path}")
+    n = num_partitions or min(
+        len(idx), int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    )
+    index_df = spark.createDataFrame(
+        [(path, o, ln) for o, ln in idx],
+        "path string, offset long, length long",
+    ).repartition(n)
+    spark_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("type", T.StringType()),
+            T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
+            T.StructField("lat", T.DoubleType()),
+            T.StructField("lon", T.DoubleType()),
+            T.StructField(
+                "nds",
+                T.ArrayType(T.StructType([T.StructField("ref", T.LongType())])),
+            ),
+            T.StructField(
+                "members",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("type", T.StringType()),
+                            T.StructField("ref", T.LongType()),
+                            T.StructField("role", T.StringType()),
+                        ]
+                    )
+                ),
+            ),
+            T.StructField("changeset", T.LongType()),
+            T.StructField("timestamp", T.TimestampNTZType()),
+            T.StructField("uid", T.IntegerType()),
+            T.StructField("user", T.StringType()),
+            T.StructField("version", T.IntegerType()),
+            T.StructField("visible", T.BooleanType()),
+        ]
+    )
+
+    def decode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            paths = batch.column("path")
+            offs = batch.column("offset")
+            lens = batch.column("length")
+            for i in range(batch.num_rows):
+                tbl = decode_osm_blob(
+                    paths[i].as_py(), offs[i].as_py(), lens[i].as_py()
+                )
+                # Spark's Arrow bridge carries TimestampNTZ as µs
+                tbl = tbl.set_column(
+                    tbl.schema.get_field_index("timestamp"),
+                    "timestamp",
+                    tbl.column("timestamp").cast(pa.timestamp("us")),
+                )
+                yield from tbl.to_batches()
+
+    return index_df.mapInArrow(decode_fn, spark_schema)
+
+
+# ---------------------------------------------------------------------------
+# writer (fixture/egress duty)
+# ---------------------------------------------------------------------------
+
+GRANULARITY = 100       # nano-degrees per unit → 1e-7 deg resolution
+DATE_GRANULARITY = 1000  # ms per unit → second resolution
+
+
+class _StringTable:
+    """sid 0 is reserved for "" (the DenseNodes keys_vals sentinel)."""
+
+    def __init__(self) -> None:
+        self._sids: dict[str, int] = {"": 0}
+
+    def sid(self, s: str) -> int:
+        return self._sids.setdefault(s, len(self._sids))
+
+    def message(self) -> bytes:
+        return b"".join(
+            _len_field(1, s.encode("utf-8")) for s in self._sids
+        )
+
+
+def _info_msg(st: _StringTable, el: dict) -> bytes:
+    out = [_varint_field(1, el.get("version", 1))]
+    ts = el.get("ts_ms")
+    if ts is not None:
+        if ts % DATE_GRANULARITY:
+            raise ValueError(f"ts_ms {ts} not a multiple of {DATE_GRANULARITY}")
+        out.append(_varint_field(2, ts // DATE_GRANULARITY))
+    if el.get("changeset") is not None:
+        out.append(_varint_field(3, el["changeset"]))
+    if el.get("uid") is not None:
+        out.append(_varint_field(4, el["uid"]))
+    if el.get("user") is not None:
+        out.append(_varint_field(5, st.sid(el["user"])))
+    out.append(_varint_field(6, 1 if el.get("visible", True) else 0))
+    return b"".join(out)
+
+
+def _dense_group(st: _StringTable, nodes: list[dict]) -> bytes:
+    ids = [n["id"] for n in nodes]
+    lats = [n["lat_units"] for n in nodes]
+    lons = [n["lon_units"] for n in nodes]
+    kv: list[int] = []
+    for nd in nodes:
+        for k, v in (nd.get("tags") or {}).items():
+            kv.append(st.sid(k))
+            kv.append(st.sid(v))
+        kv.append(0)
+    dense = [
+        _packed_delta_field(1, ids),
+        _len_field(5, b"".join([
+            _packed_field(1, [n.get("version", 1) for n in nodes]),
+            _packed_delta_field(2, [
+                (n["ts_ms"] // DATE_GRANULARITY) for n in nodes
+            ]),
+            _packed_delta_field(3, [n.get("changeset", 0) for n in nodes]),
+            _packed_delta_field(4, [n.get("uid", 0) for n in nodes]),
+            _packed_delta_field(5, [
+                st.sid(n.get("user", "")) for n in nodes
+            ]),
+            _packed_field(6, [
+                1 if n.get("visible", True) else 0 for n in nodes
+            ]),
+        ])),
+        _packed_delta_field(8, lats),
+        _packed_delta_field(9, lons),
+        _packed_field(10, kv),
+    ]
+    # PrimitiveGroup content: field 2 = DenseNodes
+    return _len_field(2, b"".join(dense))
+
+
+def _ways_group(st: _StringTable, ways: list[dict]) -> bytes:
+    # PrimitiveGroup content: repeated field 3 = Way
+    return b"".join(_len_field(3, _way_msg(st, w)) for w in ways)
+
+
+def _rels_group(st: _StringTable, rels: list[dict]) -> bytes:
+    # PrimitiveGroup content: repeated field 4 = Relation
+    return b"".join(_len_field(4, _rel_msg(st, r)) for r in rels)
+
+
+def _way_msg(st: _StringTable, w: dict) -> bytes:
+    tags = w.get("tags") or {}
+    return b"".join([
+        _varint_field(1, w["id"]),
+        _packed_field(2, [st.sid(k) for k in tags]),
+        _packed_field(3, [st.sid(v) for v in tags.values()]),
+        _len_field(4, _info_msg(st, w)),
+        _packed_delta_field(8, w["refs"]),
+    ])
+
+
+def _rel_msg(st: _StringTable, r: dict) -> bytes:
+    tags = r.get("tags") or {}
+    members = r.get("members") or []
+    return b"".join([
+        _varint_field(1, r["id"]),
+        _packed_field(2, [st.sid(k) for k in tags]),
+        _packed_field(3, [st.sid(v) for v in tags.values()]),
+        _len_field(4, _info_msg(st, r)),
+        _packed_field(8, [st.sid(role or "") for _t, _ref, role in members]),
+        _packed_delta_field(9, [ref for _t, ref, _role in members]),
+        _packed_field(10, [t for t, _ref, _role in members]),
+    ])
+
+
+def _write_block(f, groups_fn, zlevel: int) -> None:
+    """One PrimitiveBlock file block: stringtable built WHILE encoding
+    groups (groups_fn takes the table and returns each PrimitiveGroup's
+    CONTENT bytes, wrapped here as block field 2)."""
+    st = _StringTable()
+    group_bytes = groups_fn(st)
+    block = b"".join([
+        _len_field(1, st.message()),
+        *[_len_field(2, g) for g in group_bytes],
+        _varint_field(17, GRANULARITY),
+        _varint_field(18, DATE_GRANULARITY),
+    ])
+    z = zlib.compress(block, zlevel)
+    blob = (
+        _varint_field(2, len(block)) + _len_field(3, z)
+    )
+    header = (
+        _len_field(1, b"OSMData") + _varint_field(3, len(blob))
+    )
+    f.write(FRAME_HEADER.pack(len(header)))
+    f.write(header)
+    f.write(blob)
+
+
+def write_osm_pbf(
+    path: str,
+    nodes: list[dict],
+    ways: list[dict] | None = None,
+    relations: list[dict] | None = None,
+    nodes_per_block: int = 8000,
+    zlevel: int = 6,
+) -> int:
+    """Emit a genuine .osm.pbf (OSMHeader + DenseNodes/Way/Relation
+    OSMData blobs). Node dicts carry lat_units/lon_units in 1e-7-degree
+    integer units (GRANULARITY=100 nano-deg); ts_ms must be
+    second-aligned (DATE_GRANULARITY). Returns #blobs. Temp+rename so
+    readers never see a half-written file."""
+    ways = ways or []
+    relations = relations or []
+    tmp = f"{path}.tmp-{os.getpid()}"
+    n_blobs = 0
+    with open(tmp, "wb") as f:
+        header_block = b"".join([
+            _len_field(4, b"OsmSchema-V0.6"),
+            _len_field(4, b"DenseNodes"),
+            _len_field(16, b"osm_pbf_parquet_spark"),  # writingprogram
+        ])
+        z = zlib.compress(header_block, zlevel)
+        blob = _varint_field(2, len(header_block)) + _len_field(3, z)
+        header = _len_field(1, b"OSMHeader") + _varint_field(3, len(blob))
+        f.write(FRAME_HEADER.pack(len(header)))
+        f.write(header)
+        f.write(blob)
+        for off in range(0, len(nodes), nodes_per_block):
+            chunk = nodes[off : off + nodes_per_block]
+            _write_block(f, lambda st, c=chunk: [_dense_group(st, c)], zlevel)
+            n_blobs += 1
+        for off in range(0, len(ways), nodes_per_block):
+            chunk = ways[off : off + nodes_per_block]
+            _write_block(f, lambda st, c=chunk: [_ways_group(st, c)], zlevel)
+            n_blobs += 1
+        for off in range(0, len(relations), nodes_per_block):
+            chunk = relations[off : off + nodes_per_block]
+            _write_block(f, lambda st, c=chunk: [_rels_group(st, c)], zlevel)
+            n_blobs += 1
+    os.replace(tmp, path)
+    return n_blobs
+
+
+def osm_pbf_fixture(sf_dir: str, nodes_per_block: int = 2000) -> str:
+    """Deterministic .osm.pbf derived from the documents table (the
+    rt_osm_pbf contract fixture — the DuckDB oracle restates the same
+    derivation in SQL over `documents`), cached in /tmp."""
+    import pyarrow.parquet as pq
+
+    key = f"{sf_dir.strip('/').replace('/', '_')}_{nodes_per_block}"
+    path = f"/tmp/osm_{key}.osm.pbf"
+    if os.path.exists(path):
+        return path
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    ).sort_by("doc_id")
+    doc_ids = docs.column("doc_id").to_pylist()
+    langs = docs.column("lang").to_pylist()
+    nodes, ways, rels = [], [], []
+    for did, lang in zip(doc_ids, langs):
+        nodes.append({
+            "id": did,
+            "lat_units": (did * 1234567) % 1_800_000_000 - 900_000_000,
+            "lon_units": (did * 7654321) % 3_600_000_000 - 1_800_000_000,
+            "tags": {"lang": lang} if lang is not None else {},
+            "ts_ms": 1_700_000_000_000 + did * 1000,
+            "changeset": did * 3 + 1,
+            "uid": did % 97,
+            "user": f"u{did % 97}",
+            "version": 1 + did % 7,
+            "visible": did % 13 != 0,
+        })
+        if did % 5 == 0:
+            ways.append({
+                "id": 10_000_000 + did,
+                "tags": {"lang": lang} if lang is not None else {},
+                "refs": [did, did + 7, did + 13],
+                "ts_ms": 1_700_000_000_000 + did * 1000,
+                "changeset": did * 3 + 1,
+                "uid": did % 97,
+                "user": f"u{did % 97}",
+                "version": 1 + did % 7,
+                "visible": True,
+            })
+        if did % 10 == 0:
+            rels.append({
+                "id": 20_000_000 + did,
+                "tags": {"lang": lang} if lang is not None else {},
+                "members": [(0, did, "outer"), (1, 10_000_000 + did, "inner")],
+                "ts_ms": 1_700_000_000_000 + did * 1000,
+                "changeset": did * 3 + 1,
+                "uid": did % 97,
+                "user": f"u{did % 97}",
+                "version": 1 + did % 7,
+                "visible": True,
+            })
+    tmp_marker = f"{path}.build-{os.getpid()}"
+    write_osm_pbf(tmp_marker, nodes, ways, rels,
+                  nodes_per_block=nodes_per_block)
+    os.replace(tmp_marker, path)
+    return path

@@ -1,0 +1,235 @@
+"""Real OSM PBF wire-format source (sources/pbf.py).
+
+Contract parity: reference src/pbf.rs:45-91 (framed blob walk),
+:175-191 (element demux), osmpbf-crate delta decode (S6). The writer
+and reader are independent implementations of the public spec, so the
+round-trip tests cross-check both directions.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from osm_pbf_parquet_spark.sources import pbf
+
+
+def _nodes(n=50):
+    return [
+        {
+            "id": i * 3 + 1,
+            "lat_units": (i * 1234567) % 1_800_000_000 - 900_000_000,
+            "lon_units": (i * 7654321) % 3_600_000_000 - 1_800_000_000,
+            "tags": {"name": f"n{i}", "ref": str(i)} if i % 3 else {},
+            "ts_ms": 1_700_000_000_000 + i * 1000,
+            "changeset": i * 7,
+            "uid": i % 11,
+            "user": f"u{i % 11}",
+            "version": 1 + i % 5,
+            "visible": i % 9 != 0,
+        }
+        for i in range(n)
+    ]
+
+
+def _ways(n=10):
+    return [
+        {
+            "id": 1_000_000 + i,
+            "tags": {"highway": "residential"},
+            "refs": [i, i + 5, i + 11, i + 2],
+            "ts_ms": 1_700_000_000_000 + i * 1000,
+            "changeset": i,
+            "uid": i % 7,
+            "user": f"w{i % 7}",
+            "version": 1,
+            "visible": True,
+        }
+        for i in range(n)
+    ]
+
+
+def _rels(n=5):
+    return [
+        {
+            "id": 2_000_000 + i,
+            "tags": {},
+            "members": [(0, i, "outer"), (1, 1_000_000 + i, ""), (2, 42, "x")],
+            "ts_ms": 1_700_000_000_000 + i * 1000,
+            "changeset": i,
+            "uid": 1,
+            "user": "r",
+            "version": 2,
+            "visible": True,
+        }
+        for i in range(n)
+    ]
+
+
+def test_varint_vectorized_matches_scalar():
+    rng = np.random.default_rng(5)
+    vals = np.concatenate([
+        rng.integers(0, 1 << 20, 100),
+        rng.integers(0, 1 << 62, 100),
+        [0, 1, 127, 128, (1 << 64) - 1],
+    ]).astype(np.uint64)
+    buf = b"".join(pbf._enc_uvarint(int(v)) for v in vals)
+    out = pbf._unpack_uvarints(buf)
+    assert np.array_equal(out, vals)
+
+
+def test_zigzag_roundtrip():
+    vals = np.array(
+        [0, -1, 1, -2, 2, 2**62, -(2**62), -(2**63), 2**63 - 1], dtype=np.int64
+    )
+    buf = b"".join(pbf._enc_zigzag(int(v)) for v in vals)
+    out = pbf._zigzag_decode(pbf._unpack_uvarints(buf))
+    assert np.array_equal(out, vals)
+
+
+def test_write_read_roundtrip(tmp_path):
+    path = str(tmp_path / "t.osm.pbf")
+    nodes, ways, rels = _nodes(), _ways(), _rels()
+    n_blobs = pbf.write_osm_pbf(path, nodes, ways, rels, nodes_per_block=20)
+    assert n_blobs == 3 + 1 + 1  # 50/20 node blobs + ways + rels
+    idx = pbf.scan_osm_blobs(path)
+    assert len(idx) == n_blobs
+    tbl = pa.concat_tables(
+        [pbf.decode_osm_blob(path, o, ln) for o, ln in idx]
+    )
+    assert tbl.num_rows == len(nodes) + len(ways) + len(rels)
+    rows = {(r["type"], r["id"]): r for r in tbl.to_pylist()}
+    for nd in nodes:
+        r = rows[("node", nd["id"])]
+        assert round(r["lat"] * 1e7) == nd["lat_units"]
+        assert round(r["lon"] * 1e7) == nd["lon_units"]
+        assert dict(r["tags"]) == nd["tags"]
+        assert r["changeset"] == nd["changeset"]
+        assert r["uid"] == nd["uid"]
+        assert r["user"] == nd["user"]
+        assert r["version"] == nd["version"]
+        assert r["visible"] == nd["visible"]
+        assert int(r["timestamp"].timestamp() * 1000) == nd["ts_ms"]
+        assert r["nds"] is None and r["members"] is None
+    for w in _ways():
+        r = rows[("way", w["id"])]
+        assert [x["ref"] for x in r["nds"]] == w["refs"]
+        assert r["lat"] is None and r["lon"] is None
+        assert dict(r["tags"]) == w["tags"]
+    for rel in _rels():
+        r = rows[("relation", rel["id"])]
+        got = [(m["type"], m["ref"], m["role"]) for m in r["members"]]
+        want = [
+            (("node", "way", "relation")[t], ref, role)
+            for t, ref, role in rel["members"]
+        ]
+        assert got == want
+
+
+def test_plain_node_group_parses(tmp_path):
+    """Non-dense Node groups (spec-complete even though our writer and
+    most real writers emit DenseNodes)."""
+    st = pbf._StringTable()
+    node_msg = b"".join([
+        pbf._field_key(1, 0) + pbf._enc_zigzag(77),
+        pbf._packed_field(2, [st.sid("k")]),
+        pbf._packed_field(3, [st.sid("v")]),
+        pbf._field_key(8, 0) + pbf._enc_zigzag(123_000_000),
+        pbf._field_key(9, 0) + pbf._enc_zigzag(-45_000_000),
+    ])
+    group = pbf._len_field(1, node_msg)
+    block = b"".join([
+        pbf._len_field(1, st.message()),
+        pbf._len_field(2, group),
+        pbf._varint_field(17, 100),
+    ])
+    tbl = pbf.parse_primitive_block(block)
+    r = tbl.to_pylist()[0]
+    assert r["id"] == 77 and r["type"] == "node"
+    assert round(r["lat"] * 1e7) == 123_000_000
+    assert round(r["lon"] * 1e7) == -45_000_000
+    assert dict(r["tags"]) == {"k": "v"}
+    assert r["timestamp"] is None and r["user"] is None
+
+
+def test_corrupt_and_unsupported_fail_fast(tmp_path):
+    path = str(tmp_path / "t.osm.pbf")
+    pbf.write_osm_pbf(path, _nodes(5))
+    # truncation: chop the last blob
+    data = open(path, "rb").read()
+    bad = str(tmp_path / "bad.osm.pbf")
+    open(bad, "wb").write(data[:-3])
+    with pytest.raises(ValueError, match="exceeds file|truncated"):
+        pbf.scan_osm_blobs(bad)
+    # corrupt zlib payload inside a blob
+    idx = pbf.scan_osm_blobs(path)
+    off, ln = idx[0]
+    mangled = bytearray(data)
+    mangled[off + ln - 1] ^= 0xFF
+    bad2 = str(tmp_path / "bad2.osm.pbf")
+    open(bad2, "wb").write(bytes(mangled))
+    with pytest.raises(Exception):
+        pbf.decode_osm_blob(bad2, off, ln)
+    # unsupported required feature in the header
+    hdr_block = pbf._len_field(4, b"HistoricalInformation")
+    z = zlib.compress(hdr_block)
+    blob = pbf._varint_field(2, len(hdr_block)) + pbf._len_field(3, z)
+    header = pbf._len_field(1, b"OSMHeader") + pbf._varint_field(3, len(blob))
+    bad3 = str(tmp_path / "bad3.osm.pbf")
+    with open(bad3, "wb") as f:
+        f.write(struct.pack(">I", len(header)))
+        f.write(header)
+        f.write(blob)
+    with pytest.raises(ValueError, match="unsupported feature"):
+        pbf.scan_osm_blobs(bad3)
+
+
+def test_spark_read_block_parallel(spark, tmp_path):
+    """read_osm_pbf: task-per-blob fan-out, unified schema, and the
+    decoded rows feed encode/decode bit-identically."""
+    from pyspark.sql import functions as F
+
+    from osm_pbf_parquet_spark.operators.encode import (
+        decode_dataframe,
+        encode_dataframe,
+    )
+
+    path = str(tmp_path / "t.osm.pbf")
+    nodes, ways, rels = _nodes(200), _ways(40), _rels(10)
+    pbf.write_osm_pbf(path, nodes, ways, rels, nodes_per_block=50)
+    df = spark.read.parquet  # noqa: F841  (fixture warm)
+    osm = pbf.read_osm_pbf(spark, path)
+    assert osm.count() == 250
+    # the only Exchange moves the 24-byte-per-blob INDEX rows (task
+    # fan-out), never decoded element data: every Exchange in the plan
+    # carries exactly the index columns
+    plan = osm._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange" in line:
+            # the exchanged child is the driver-built index scan, not
+            # the decoded elements (mapInArrow runs ABOVE the exchange)
+            rest = "\n".join(lines[i:])
+            assert "Scan ExistingRDD[path" in rest
+            assert "MapInArrow" not in rest
+    # per-type invariants survive Spark's bridge
+    agg = osm.groupBy("type").count().collect()
+    assert {r["type"]: r["count"] for r in agg} == {
+        "node": 200, "way": 40, "relation": 10
+    }
+    # chunk-store round trip of the ingested table (S4/S5 → §2.8)
+    chunks = encode_dataframe(osm, key_col="id", num_partitions=4)
+    dec = decode_dataframe(chunks, osm.schema)
+    assert dec.count() == 250
+    a = osm.orderBy("type", "id").collect()
+    b = dec.orderBy("type", "id").collect()
+    assert a == b
+    # spot-check a delta-decoded chain against the writer's input
+    w = osm.filter(
+        (F.col("type") == "way") & (F.col("id") == 1_000_000)
+    ).collect()[0]
+    assert [x["ref"] for x in w["nds"]] == ways[0]["refs"]

@@ -50,14 +50,17 @@ import json, os, sys, time
 sys.path.insert(0, %(repo)r)
 cpus = int(sys.argv[1])
 # experiment knobs (also used by tools/scaling_experiments):
-#   SCALING_PARTS  - engine partition count (default 64)
+#   SCALING_PARTS  - engine partition count (default: the engine's own
+#                    derive_num_partitions = 8x cores, the r3 sweep's
+#                    task-granularity lesson promoted to the default —
+#                    each level measures the config a user gets)
 #   SCALING_CONF   - JSON dict of extra spark confs
 #   SCALING_MODE   - "shuffle" (url-hash Exchange + encode, default)
 #                    or "noshuffle" (task-per-blob twin: cached input
 #                    partitions encode in place, zero Exchange in the
 #                    timed plan — isolates operator scaling from the
 #                    shuffle's memcpy bandwidth contention)
-parts = int(os.environ.get("SCALING_PARTS", "64"))
+parts = int(os.environ.get("SCALING_PARTS", "0")) or 8 * cpus
 extra = json.loads(os.environ.get("SCALING_CONF", "{}"))
 mode = os.environ.get("SCALING_MODE", "shuffle")
 from pyspark.sql import SparkSession, functions as F
