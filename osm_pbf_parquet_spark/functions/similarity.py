@@ -197,3 +197,124 @@ def sql_cosine_topk(table: str, query_vec: list[float], k: int,
         ORDER BY cos_sim DESC, {id_col}
         LIMIT {k}
     """
+
+
+def ivf_build_store(
+    spark,
+    df: DataFrame,
+    out_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    target_chunk_bytes: int | None = None,
+):
+    """Persisted IVF index: the cell-assigned table encoded through the
+    chunk store PARTITIONED BY CELL (pid = cell id), centroids in a
+    JSON sidecar. The scale path the in-memory `.cache()` of ivf_index
+    cannot be (r3 verdict): at 10^12 vectors the assigned table must
+    live on disk, laid out so a probe reads only its cells — here a
+    probe's chunk scan filters partition_id ∈ probed cells, so the
+    parquet scan prunes every other cell's chunk rows (payload bytes
+    of unprobed cells are never read). Build cost is one assignment
+    pass + one encode; amortized over every query.
+
+    Returns the centroid matrix (also persisted)."""
+    import json
+    import os
+
+    import numpy as np
+
+    from ..operators.encode import PID_COL
+    from ..plans.manifest import encode_job
+
+    cents = kmeans_centroids(df, vec_col, id_col, n_centroids)
+    assigned = ivf_assign(df, cents, vec_col, id_col)
+    with_pid = assigned.withColumn(PID_COL, F.col("cell").cast("long"))
+    encode_job(
+        spark, with_pid, out_dir, key_col=id_col,
+        num_partitions=len(cents), target_chunk_bytes=target_chunk_bytes,
+    )
+    from ..plans.fsutil import has_scheme, write_bytes
+
+    payload = json.dumps(
+        [[float(x) for x in c] for c in np.asarray(cents)]
+    ).encode()
+    path = f"{out_dir.rstrip('/')}/ivf_centroids.json"
+    if has_scheme(out_dir):
+        write_bytes(spark, path, payload)
+    else:
+        os.makedirs(out_dir, exist_ok=True)
+        tmp = f"{path}.tmp-{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, path)
+    return cents
+
+
+def ivf_store_spark_schema(df: DataFrame, vec_col: str = "embedding",
+                           id_col: str = "vec_id"):
+    """Stored-row schema of a persisted IVF store built from `df`."""
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [df.schema[id_col], T.StructField("cell", T.IntegerType()),
+         df.schema[vec_col]]
+    )
+
+
+def ivf_probe_chunks(spark, out_dir: str, query_vec: list[float],
+                     n_probe: int):
+    """(probed cell ids, committed chunk rows pruned to those cells).
+    Exposed separately so tests can assert the scan's partition set."""
+    import json
+    import os
+
+    import numpy as np
+
+    from ..plans.manifest import read_chunks, read_manifest
+
+    from ..plans.fsutil import has_scheme, read_bytes
+
+    cpath = f"{out_dir.rstrip('/')}/ivf_centroids.json"
+    if has_scheme(out_dir):
+        cents = np.array(json.loads(read_bytes(spark, cpath).decode()),
+                         dtype=np.float64)
+    else:
+        with open(cpath) as f:
+            cents = np.array(json.load(f), dtype=np.float64)
+    q = np.array(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    order = np.argsort(-(cents @ qn))
+    probe = [int(c) for c in order[: min(n_probe, len(cents))]]
+    manifest = read_manifest(spark, out_dir)
+    committed = manifest.filter(F.col("status") == "done").select(
+        "partition_id", "run_id"
+    )
+    chunks = (
+        read_chunks(spark, out_dir)
+        .filter(F.col("partition_id").isin(probe))
+        .join(F.broadcast(committed), ["partition_id", "run_id"], "left_semi")
+    )
+    return probe, chunks
+
+
+def ivf_search_store(
+    spark,
+    out_dir: str,
+    query_vec: list[float],
+    schema,
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k against a persisted IVF store: rank cells by
+    the sidecar centroids, decode ONLY the probed cells' chunks
+    (partition_id pushdown into the chunks-parquet scan), exact cosine
+    + TakeOrderedAndProject on the survivors. `schema` is the stored
+    (id, cell, vec) Spark schema."""
+    from ..operators.encode import decode_dataframe
+
+    _probe, chunks = ivf_probe_chunks(spark, out_dir, query_vec, n_probe)
+    decoded = decode_dataframe(chunks, schema)
+    return cosine_topk(decoded, query_vec, k, vec_col, id_col)

@@ -165,7 +165,8 @@ def compact_partitions(
 
     written = read_chunks(spark, out_dir).filter(F.col("run_id") == run_id)
     rows = commit_summary(
-        summarize_chunks(written).collect(), out_dir, snapshot_id, run_id
+        summarize_chunks(written).collect(), out_dir, snapshot_id, run_id,
+        spark,
     )
     return {
         "compacted_partitions": len(rows),

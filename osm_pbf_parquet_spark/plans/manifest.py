@@ -77,18 +77,36 @@ STORE_META_FILE = "store_meta.json"
 STORE_FORMAT_VERSION = 2  # v2 = chunk schema with stat_bloom
 
 
-def read_store_meta(out_dir: str) -> dict | None:
-    path = os.path.join(out_dir, STORE_META_FILE)
+def read_store_meta(out_dir: str, spark: SparkSession | None = None) -> dict | None:
+    from .fsutil import exists, has_scheme, read_bytes
+
+    path = f"{out_dir.rstrip('/')}/{STORE_META_FILE}"
+    if has_scheme(out_dir):
+        if spark is None:
+            raise ValueError("URI store paths need the spark session")
+        if not exists(spark, path):
+            return None
+        return json.loads(read_bytes(spark, path).decode())
     if not os.path.exists(path):
         return None
     with open(path) as f:
         return json.load(f)
 
 
-def write_store_meta(out_dir: str, meta: dict) -> None:
+def write_store_meta(
+    out_dir: str, meta: dict, spark: SparkSession | None = None
+) -> None:
     """First-commit-wins store identity (temp+rename, never rewritten):
     records the routing contract every later writer must repeat."""
-    path = os.path.join(out_dir, STORE_META_FILE)
+    from .fsutil import exists, has_scheme, write_bytes
+
+    path = f"{out_dir.rstrip('/')}/{STORE_META_FILE}"
+    if has_scheme(out_dir):
+        if spark is None:
+            raise ValueError("URI store paths need the spark session")
+        if not exists(spark, path):
+            write_bytes(spark, path, json.dumps(meta, sort_keys=True).encode())
+        return
     if os.path.exists(path):
         return
     os.makedirs(out_dir, exist_ok=True)
@@ -99,14 +117,15 @@ def write_store_meta(out_dir: str, meta: dict) -> None:
 
 
 def check_store_routing(
-    out_dir: str, key_col: str, num_partitions: int, custom_pid: bool = False
+    out_dir: str, key_col: str, num_partitions: int,
+    custom_pid: bool = False, spark: SparkSession | None = None,
 ) -> None:
     """Validate a writer's routing params against the store's recorded
     contract (r3 advice: a merge_job with a different num_partitions
     silently routes change keys to different pids — untouched
     partitions keep stale rows). Raises on mismatch; silently passes
     for pre-metadata stores (nothing recorded to check)."""
-    meta = read_store_meta(out_dir)
+    meta = read_store_meta(out_dir, spark)
     if meta is None:
         return
     problems = []
@@ -129,13 +148,30 @@ def check_store_routing(
         )
 
 
-def commit_manifest(rows: list[dict], out_dir: str, run_id: str) -> str:
-    """Atomic append: one parquet part per run, temp + rename."""
+def commit_manifest(
+    rows: list[dict], out_dir: str, run_id: str,
+    spark: SparkSession | None = None,
+) -> str:
+    """Atomic append: one parquet part per run, temp + rename. URI
+    stores serialize the part in memory and write it through the
+    Hadoop FS (fsutil) — same rename-last visibility rule."""
+    from .fsutil import has_scheme, write_bytes
+
+    tbl = pa.Table.from_pylist(rows, schema=MANIFEST_ARROW_SCHEMA)
+    if has_scheme(out_dir):
+        if spark is None:
+            raise ValueError("URI store paths need the spark session")
+        import io
+
+        buf = io.BytesIO()
+        pq.write_table(tbl, buf)
+        final = f"{out_dir.rstrip('/')}/manifest/part-{run_id}.parquet"
+        write_bytes(spark, final, buf.getvalue())
+        return final
     mdir = _manifest_dir(out_dir)
     os.makedirs(mdir, exist_ok=True)
     final = os.path.join(mdir, f"part-{run_id}.parquet")
     tmp = os.path.join(mdir, f".tmp-{run_id}-{os.getpid()}")
-    tbl = pa.Table.from_pylist(rows, schema=MANIFEST_ARROW_SCHEMA)
     pq.write_table(tbl, tmp)
     os.rename(tmp, final)
     return final
@@ -155,12 +191,22 @@ def read_manifest(
     as_of (unix seconds) time-travels: commits after the horizon are
     invisible, so last-wins resolves to whatever was current then.
     """
+    from .fsutil import has_scheme
+
     mdir = _manifest_dir(out_dir)
-    if not os.path.isdir(mdir) or not any(
-        f.endswith(".parquet") for f in os.listdir(mdir)
-    ):
-        return None
-    raw = spark.read.parquet(mdir)
+    if has_scheme(out_dir):
+        from pyspark.errors import AnalysisException
+
+        try:
+            raw = spark.read.parquet(mdir)
+        except AnalysisException:
+            return None  # no manifest dir yet on the remote FS
+    else:
+        if not os.path.isdir(mdir) or not any(
+            f.endswith(".parquet") for f in os.listdir(mdir)
+        ):
+            return None
+        raw = spark.read.parquet(mdir)
     if as_of is not None:
         # no eager emptiness probe: an as_of before the first commit is
         # a legitimate "nothing visible yet" — it flows through as an
@@ -221,7 +267,8 @@ def summarize_chunks(written: DataFrame) -> DataFrame:
     return per_pid.join(rows_per_pid, "partition_id")
 
 
-def commit_summary(agg_rows, out_dir: str, snapshot_id: str, run_id: str) -> list[dict]:
+def commit_summary(agg_rows, out_dir: str, snapshot_id: str, run_id: str,
+                   spark: SparkSession | None = None) -> list[dict]:
     """Build + atomically commit manifest rows from summarize_chunks
     output — shared by encode_job and compact_partitions."""
     now = time.time()
@@ -242,7 +289,7 @@ def commit_summary(agg_rows, out_dir: str, snapshot_id: str, run_id: str) -> lis
         for r in agg_rows
     ]
     if rows:
-        commit_manifest(rows, out_dir, run_id)
+        commit_manifest(rows, out_dir, run_id, spark)
     return rows
 
 
@@ -282,7 +329,7 @@ def encode_job(
         # an existing store's recorded routing wins (pid-stable resume
         # even on a differently-sized cluster); a fresh store derives
         # ≥ 8× cores (the r3 task-granularity default)
-        meta = read_store_meta(out_dir)
+        meta = read_store_meta(out_dir, spark)
         if meta is not None and "num_partitions" in meta:
             num_partitions = int(meta["num_partitions"])
         else:
@@ -292,7 +339,7 @@ def encode_job(
     # routing contract: first commit records it, every later writer
     # (resume, merge, stream epoch) must repeat it exactly
     custom_pid = pid_expr is not None or PID_COL in df.columns
-    check_store_routing(out_dir, key_col, num_partitions, custom_pid)
+    check_store_routing(out_dir, key_col, num_partitions, custom_pid, spark)
     write_store_meta(
         out_dir,
         {
@@ -301,6 +348,7 @@ def encode_job(
             "num_partitions": num_partitions,
             "custom_pid": custom_pid,
         },
+        spark,
     )
     # X5 parity: global progress counter (reference src/util.rs:17-18)
     progress = spark.sparkContext.accumulator(0)
@@ -353,7 +401,8 @@ def encode_job(
     # manifest rows derived from the durable chunks of THIS run
     written = read_chunks(spark, out_dir).filter(F.col("run_id") == run_id)
     rows = commit_summary(
-        summarize_chunks(written).collect(), out_dir, snapshot_id, run_id
+        summarize_chunks(written).collect(), out_dir, snapshot_id, run_id,
+        spark,
     )
     return {
         "run_id": run_id,

@@ -76,7 +76,7 @@ def merge_job(
     if num_partitions is None:
         from .manifest import read_store_meta
 
-        meta = read_store_meta(out_dir)
+        meta = read_store_meta(out_dir, spark)
         if meta is None or "num_partitions" not in meta:
             raise ValueError(
                 f"merge_job: num_partitions not given and {out_dir} has "
@@ -84,7 +84,7 @@ def merge_job(
                 "original encode used"
             )
         num_partitions = int(meta["num_partitions"])
-    check_store_routing(out_dir, key_col, num_partitions)
+    check_store_routing(out_dir, key_col, num_partitions, spark=spark)
     if target_chunk_bytes is None:
         from ..config import derive_chunk_target
 
@@ -181,7 +181,8 @@ def merge_job(
         chunks.write.mode("append").parquet(cdir)
         written = read_chunks(spark, out_dir).filter(F.col("run_id") == run_id)
         rows = commit_summary(
-            summarize_chunks(written).collect(), out_dir, snapshot_id, run_id
+            summarize_chunks(written).collect(), out_dir, snapshot_id, run_id,
+            spark,
         )
         committed_pids = {r["partition_id"] for r in rows}
         stats["merged_partitions"] = len(rows)
@@ -206,7 +207,7 @@ def merge_job(
             }
             for pid in empty
         ]
-        commit_manifest(tomb, out_dir, f"{run_id}-tomb")
+        commit_manifest(tomb, out_dir, f"{run_id}-tomb", spark)
         stats["merged_partitions"] += len(tomb)
 
     if updates is not None:

@@ -95,36 +95,44 @@ def vacuum(
         .agg(F.max(F.coalesce("__vis__", F.lit(0))).alias("live"))
         .collect()  # one row per FILE — thousands, not rows; driver-safe
     )
+    from .fsutil import has_scheme
+
+    uri_store = has_scheme(out_dir)
+
+    def _stat(path):
+        """(mtime_s, size) via local stat or the Hadoop FS (URI stores:
+        same metadata round-trip an object-store HEAD costs)."""
+        if uri_store:
+            from .fsutil import _fs_and_path
+
+            fs, p, _ = _fs_and_path(spark, path)
+            st = fs.getFileStatus(p)
+            return st.getModificationTime() / 1000.0, st.getLen()
+        lp = path[len("file:"):] if path.startswith("file:") else path
+        return os.path.getmtime(lp), os.path.getsize(lp)
+
     deleted = 0
     reclaimed = 0
     kept = 0
     victims: list[str] = []
+    victim_bytes = 0
     for r in file_rows:
         path = r["file"]
-        if path.startswith("file:"):
-            path = path[len("file:"):]
         if r["live"]:
             kept += 1
             continue
         try:
-            mtime = os.path.getmtime(path)
-        except OSError:
-            continue  # already gone (concurrent vacuum) — idempotent
+            mtime, sz = _stat(path)
+        except Exception:  # noqa: BLE001 - already gone (concurrent vacuum)
+            continue
         if mtime > horizon:
             kept += 1  # young orphan: may be an in-flight writer
             continue
         victims.append(path)
-    victim_bytes = 0
-    for path in victims:
-        try:
-            victim_bytes += os.path.getsize(path)
-        except OSError:
-            pass
+        victim_bytes += sz
     if not dry_run and victims:
         # commit the vacuum record BEFORE deleting: readers can see
         # that time travel older than `horizon` is no longer served
-        vdir = _vacuum_dir(out_dir)
-        os.makedirs(vdir, exist_ok=True)
         vid = uuid.uuid4().hex[:12]
         rec = pa.Table.from_pylist(
             [
@@ -138,19 +146,43 @@ def vacuum(
             ],
             schema=VACUUM_SCHEMA,
         )
-        tmp = os.path.join(vdir, f".tmp-{vid}")
-        final = os.path.join(vdir, f"part-{vid}.parquet")
-        pq.write_table(rec, tmp)
-        os.rename(tmp, final)
+        if uri_store:
+            import io
+
+            from .fsutil import write_bytes
+
+            buf = io.BytesIO()
+            pq.write_table(rec, buf)
+            write_bytes(
+                spark,
+                f"{out_dir.rstrip('/')}/vacuum/part-{vid}.parquet",
+                buf.getvalue(),
+            )
+        else:
+            vdir = _vacuum_dir(out_dir)
+            os.makedirs(vdir, exist_ok=True)
+            tmp = os.path.join(vdir, f".tmp-{vid}")
+            final = os.path.join(vdir, f"part-{vid}.parquet")
+            pq.write_table(rec, tmp)
+            os.rename(tmp, final)
     if not dry_run:
         for path in victims:
             try:
-                sz = os.path.getsize(path)
-                os.remove(path)
+                _mt, sz = _stat(path)
+                if uri_store:
+                    from .fsutil import _fs_and_path
+
+                    fs, p, _ = _fs_and_path(spark, path)
+                    if not fs.delete(p, False):
+                        continue
+                else:
+                    lp = (path[len("file:"):] if path.startswith("file:")
+                          else path)
+                    os.remove(lp)
                 deleted += 1
                 reclaimed += sz
-            except OSError:
-                pass  # concurrent vacuum won the race — fine
+            except Exception:  # noqa: BLE001 - concurrent vacuum won — fine
+                pass
     return {
         "files_deleted": deleted,
         "bytes_reclaimed": reclaimed,

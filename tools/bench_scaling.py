@@ -142,7 +142,9 @@ _PIN_NOTE = (
 
 METHODOLOGY = (
     f"same encode job ({FIXTURE_ROWS}-row pages fixture, fsst/zstd-forced "
-    f"codecs, 64 input partitions) in a fresh JVM per parallelism level; "
+    f"codecs, task granularity = the engine's own derive_num_partitions "
+    f"default of 8x cores per level — no manual sweep) in a fresh JVM per "
+    f"parallelism level; "
     f"{_PIN_NOTE}per "
     "level: warm run then 2 timed runs, levels ALTERNATING within each round "
     "so a pair's two legs sample adjacent host windows. paired_median = "
