@@ -228,6 +228,27 @@ def main() -> int:
     timed("bloom_lookup", bloom_lookup)
     doc_chunks.unpersist()
 
+    # --- real .osm.pbf ingestion (S4/S5 — the reference's headline op:
+    # 43 MB/s on 6 dedicated cores, README "transcode throughput").
+    # Synthetic 300k-node+30k-way PBF (cached): scan the blob index,
+    # block-parallel decode every element, count. MB/s is compressed
+    # wire bytes — directly comparable to the reference's number.
+    from osm_pbf_parquet_spark.sources.pbf import (
+        read_osm_pbf,
+        synthetic_osm_pbf,
+    )
+
+    pbf_path = synthetic_osm_pbf("/tmp/bench_osm_330k.osm.pbf")
+    pbf_bytes = os.path.getsize(pbf_path)
+
+    def pbf_ingest():
+        return read_osm_pbf(spark, pbf_path).agg(F.count("*")).collect()
+
+    timed("pbf_ingest", pbf_ingest)
+    extras["pbf_mb_per_sec"] = round(
+        pbf_bytes / timings["pbf_ingest"] / 1e6, 1
+    )
+
     from osm_pbf_parquet_spark.functions.pq import pq_encode, pq_topk, pq_train
 
     book = pq_train(emb, m=8, k=16)

@@ -1,0 +1,7 @@
+"""`python -m osm_pbf_parquet_spark` → the turnkey CLI (cli.py)."""
+
+import sys
+
+from .cli import main
+
+sys.exit(main())

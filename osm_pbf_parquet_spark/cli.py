@@ -1,0 +1,283 @@
+"""Turnkey CLI — flag-level parity with the reference's argument
+surface (reference src/util.rs:22-61: --input, --output,
+--compression <zstd level>, --record-batch-target-bytes,
+--file-target-size, --worker-threads) plus this engine's store
+lifecycle verbs. Run it either way:
+
+    spark-submit --py-files engine.zip -m … tools/submit_encode_job.py  (bench path)
+    python -m osm_pbf_parquet_spark encode --input in.parquet --output store/
+    python -m osm_pbf_parquet_spark --help
+
+Under spark-submit the active session is reused; standalone, a
+local[worker_threads] session is built (--worker-threads ↔ the
+reference's flag of the same name, default = all cores like its
+num_cpus::get(), util.rs:53-60).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument(
+        "--worker-threads", type=int, default=0,
+        help="cores for a standalone local[N] session (default: all, "
+        "the reference's num_cpus default); ignored under spark-submit",
+    )
+
+
+def _session(args):
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    n = args.worker_threads or "*"
+    return (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName("osm-pbf-parquet-spark")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+
+def _read_input(spark, path: str, fmt: str):
+    if fmt == "osm-pbf":
+        from .sources.pbf import read_osm_pbf
+
+        return read_osm_pbf(spark, path)
+    if fmt == "framed":
+        from .sources.framed import read_framed
+
+        return read_framed(spark, path)
+    return spark.read.format(fmt).load(path)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="osm_pbf_parquet_spark",
+        description="PySpark-native per-column compression engine "
+        "(chunk store + lineage manifest).",
+    )
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    enc = sub.add_parser(
+        "encode",
+        help="encode a table into a chunk store (resumable, verified)",
+    )
+    enc.add_argument("--input", required=True, help="input path")
+    enc.add_argument(
+        "--input-format", default="parquet",
+        choices=["parquet", "osm-pbf", "framed", "orc", "json", "csv"],
+        help="osm-pbf reads real .osm.pbf via sources/pbf.py",
+    )
+    enc.add_argument("--output", required=True, help="store directory (any Hadoop URI)")
+    enc.add_argument("--key-col", default="url", help="partition-routing key")
+    enc.add_argument(
+        "--partitions", type=int, default=0,
+        help="engine partitions (default: 8 x cores, recorded in "
+        "store_meta and reused on resume)",
+    )
+    enc.add_argument(
+        "--compression", type=int, default=3, metavar="LEVEL",
+        help="zstd level 1-22 (reference --compression default 3, "
+        "util.rs:35-37)",
+    )
+    enc.add_argument(
+        "--record-batch-target-bytes", type=int, default=0,
+        help="chunk byte target (reference flag; default memory/cores/8, "
+        "util.rs:97-101)",
+    )
+    enc.add_argument(
+        "--file-target-size", type=int, default=512 << 20,
+        help="output file rotation bytes (reference --file-target-size, "
+        "~500 MB default)",
+    )
+    enc.add_argument(
+        "--codecs", default=None,
+        help='JSON column->codec override, e.g. \'{"text": "str_fsst"}\'',
+    )
+    enc.add_argument("--sort-cols", default=None,
+                     help="comma list: cluster within partitions (zone maps)")
+    enc.add_argument("--bloom-cols", default=None,
+                     help="comma list: build per-chunk Bloom filters")
+    enc.add_argument("--snapshot-id", default="snap-0")
+    enc.add_argument("--no-verify", action="store_true",
+                     help="skip the decode-back bit-identity check")
+    _add_common(enc)
+
+    dec = sub.add_parser("decode", help="decode a store back to parquet")
+    dec.add_argument("--store", required=True)
+    dec.add_argument("--output", required=True)
+    dec.add_argument("--schema-from", required=True,
+                     help="parquet path whose schema the store was encoded with")
+    dec.add_argument("--columns", default=None, help="comma list to project")
+    dec.add_argument("--as-of", type=float, default=None,
+                     help="time-travel horizon (unix seconds)")
+    _add_common(dec)
+
+    cmp_ = sub.add_parser("compact", help="merge small chunk groups")
+    cmp_.add_argument("--store", required=True)
+    cmp_.add_argument("--min-chunks", type=int, default=2)
+    cmp_.add_argument("--snapshot-id", default="snap-0")
+    _add_common(cmp_)
+
+    vac = sub.add_parser("vacuum", help="GC superseded/orphan chunk files")
+    vac.add_argument("--store", required=True)
+    vac.add_argument("--older-than-s", type=float, default=24 * 3600.0)
+    vac.add_argument("--dry-run", action="store_true")
+    _add_common(vac)
+
+    rep = sub.add_parser("report", help="per-column codec/ratio report")
+    rep.add_argument("--store", required=True)
+    _add_common(rep)
+
+    mrg = sub.add_parser("merge", help="copy-on-write upsert/delete by key")
+    mrg.add_argument("--store", required=True)
+    mrg.add_argument("--schema-from", required=True)
+    mrg.add_argument("--updates", default=None, help="parquet of full rows")
+    mrg.add_argument("--deletes", default=None, help="parquet of key column")
+    mrg.add_argument("--key-col", default="url")
+    _add_common(mrg)
+    return ap
+
+
+def cmd_encode(args) -> int:
+    from pyspark.sql import functions as F
+
+    from .plans.manifest import encode_job, read_encoded
+
+    spark = _session(args)
+    src = _read_input(spark, args.input, args.input_format)
+    t0 = time.time()
+    stats = encode_job(
+        spark, src, args.output,
+        key_col=args.key_col,
+        num_partitions=args.partitions or None,
+        snapshot_id=args.snapshot_id,
+        codecs=json.loads(args.codecs) if args.codecs else None,
+        target_chunk_bytes=args.record_batch_target_bytes or None,
+        zstd_level=args.compression,
+        rotate_bytes=args.file_target_size,
+        sort_cols=args.sort_cols.split(",") if args.sort_cols else None,
+        bloom_cols=args.bloom_cols.split(",") if args.bloom_cols else None,
+    )
+    out = {
+        **{k: stats[k] for k in
+           ("rows", "partitions", "bytes_in", "bytes_out")},
+        "ratio": round(stats["bytes_out"] / max(1, stats["bytes_in"]), 4),
+        "encode_sec": round(time.time() - t0, 2),
+    }
+    rc = 0
+    if not args.no_verify:
+        dec = read_encoded(spark, args.output, src.schema)
+        cols = [c for c in src.columns if c != args.key_col]
+        pred = " AND ".join(f"a.{c} <=> b.{c}" for c in cols) or "TRUE"
+        n_src = src.count()
+        ok = (
+            src.alias("a").join(dec.alias("b"), args.key_col)
+            .filter(F.expr(pred)).count()
+        )
+        out["verified_identical"] = ok == n_src
+        out["verified_rows"] = ok
+        rc = 0 if ok == n_src else 1
+    print(json.dumps(out))
+    return rc
+
+
+def cmd_decode(args) -> int:
+    from .operators.pruning import decode_columns
+    from .plans.manifest import read_chunks, read_manifest
+    from pyspark.sql import functions as F
+
+    spark = _session(args)
+    schema = spark.read.parquet(args.schema_from).schema
+    manifest = read_manifest(spark, args.store, as_of=args.as_of)
+    if manifest is None:
+        raise FileNotFoundError(f"no manifest under {args.store}")
+    committed = manifest.filter(F.col("status") == "done").select(
+        "partition_id", "run_id"
+    )
+    chunks = read_chunks(spark, args.store).join(
+        F.broadcast(committed), ["partition_id", "run_id"], "left_semi"
+    )
+    if args.columns:
+        dec = decode_columns(chunks, schema, args.columns.split(","))
+    else:
+        from .operators.encode import decode_dataframe
+
+        dec = decode_dataframe(chunks, schema)
+    dec.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"rows": spark.read.parquet(args.output).count(),
+                      "output": args.output}))
+    return 0
+
+
+def cmd_compact(args) -> int:
+    from .plans.compact import compact_partitions
+
+    spark = _session(args)
+    stats = compact_partitions(
+        spark, args.store, snapshot_id=args.snapshot_id,
+        min_chunks=args.min_chunks,
+    )
+    print(json.dumps(stats))
+    return 0
+
+
+def cmd_vacuum(args) -> int:
+    from .plans.vacuum import vacuum
+
+    spark = _session(args)
+    stats = vacuum(spark, args.store, older_than_s=args.older_than_s,
+                   dry_run=args.dry_run)
+    print(json.dumps(stats))
+    return 0
+
+
+def cmd_report(args) -> int:
+    from .operators.pruning import store_report
+    from .plans.manifest import read_chunks
+
+    spark = _session(args)
+    for r in store_report(read_chunks(spark, args.store)).collect():
+        print(json.dumps(r.asDict()))
+    return 0
+
+
+def cmd_merge(args) -> int:
+    from .plans.merge import merge_job
+
+    spark = _session(args)
+    schema = spark.read.parquet(args.schema_from).schema
+    stats = merge_job(
+        spark, args.store, schema,
+        updates=spark.read.parquet(args.updates) if args.updates else None,
+        deletes=spark.read.parquet(args.deletes) if args.deletes else None,
+        key_col=args.key_col,
+    )
+    print(json.dumps(stats))
+    return 0
+
+
+_DISPATCH = {
+    "encode": cmd_encode,
+    "decode": cmd_decode,
+    "compact": cmd_compact,
+    "vacuum": cmd_vacuum,
+    "report": cmd_report,
+    "merge": cmd_merge,
+}
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return _DISPATCH[args.cmd](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1090,3 +1090,51 @@ def osm_pbf_fixture(sf_dir: str, nodes_per_block: int = 2000) -> str:
                   nodes_per_block=nodes_per_block)
     os.replace(tmp_marker, path)
     return path
+
+
+def synthetic_osm_pbf(
+    path: str, n_nodes: int = 300_000, nodes_per_block: int = 8000
+) -> str:
+    """Deterministic synthetic .osm.pbf at bench scale (cached):
+    Zipf-ish tag density, delta-friendly id/timestamp chains, 50-user
+    string table — the shape a real planet extract presents. Used by
+    bench.py's pbf_ingest metric (the reference's headline op is
+    exactly this decode, src/pbf.rs:45-91)."""
+    if os.path.exists(path):
+        return path
+    nodes = [
+        {
+            "id": 10 + i * 2,
+            "lat_units": (i * 9871) % 1_800_000_000 - 900_000_000,
+            "lon_units": (i * 12343) % 3_600_000_000 - 1_800_000_000,
+            "tags": (
+                {"highway": "residential", "name": f"n{i % 997}"}
+                if i % 7 == 0 else {}
+            ),
+            "ts_ms": 1_500_000_000_000 + (i % 100_000) * 1000,
+            "changeset": 1 + i // 50,
+            "uid": i % 53,
+            "user": f"mapper{i % 53}",
+            "version": 1 + i % 9,
+            "visible": True,
+        }
+        for i in range(n_nodes)
+    ]
+    ways = [
+        {
+            "id": 5_000_000 + i,
+            "tags": {"highway": "primary"},
+            "refs": [10 + (i * 11 + j) * 2 % (2 * n_nodes) for j in range(8)],
+            "ts_ms": 1_500_000_000_000 + (i % 50_000) * 1000,
+            "changeset": 1 + i // 10,
+            "uid": i % 53,
+            "user": f"mapper{i % 53}",
+            "version": 1,
+            "visible": True,
+        }
+        for i in range(n_nodes // 10)
+    ]
+    tmp = f"{path}.build-{os.getpid()}"
+    write_osm_pbf(tmp, nodes, ways, nodes_per_block=nodes_per_block)
+    os.replace(tmp, path)
+    return path

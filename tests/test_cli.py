@@ -1,0 +1,99 @@
+"""Turnkey CLI (cli.py) — reference argument-surface parity
+(reference src/util.rs:22-61) + store lifecycle verbs."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from osm_pbf_parquet_spark.cli import build_parser, main
+
+
+def test_flag_parity_with_reference():
+    """Every reference CLI flag has a CLI twin (util.rs:22-61:
+    input, output, compression, record_batch_target_bytes,
+    file_target_size, worker_threads)."""
+    ap = build_parser()
+    help_text = ap.format_help()
+    assert "encode" in help_text
+    enc = next(
+        a for a in ap._subparsers._group_actions[0].choices.items()
+        if a[0] == "encode"
+    )[1]
+    enc_help = enc.format_help()
+    for flag in ("--input", "--output", "--compression",
+                 "--record-batch-target-bytes", "--file-target-size",
+                 "--worker-threads"):
+        assert flag in enc_help, flag
+
+
+def test_encode_decode_report_cli(spark, pages_path, tmp_path, capsys):
+    out = str(tmp_path / "store")
+    rc = main([
+        "encode", "--input", pages_path, "--output", out,
+        "--key-col", "url", "--partitions", "4",
+        "--compression", "3",
+        "--codecs", '{"text": "str_fsst"}',
+    ])
+    captured = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and captured["verified_identical"]
+    assert captured["partitions"] == 4
+
+    # resume no-op through the CLI
+    rc = main(["encode", "--input", pages_path, "--output", out,
+               "--key-col", "url", "--partitions", "4"])
+    captured = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and captured["partitions"] == 0
+
+    # report: text column shows the forced codec
+    rc = main(["report", "--store", out])
+    rows = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert rc == 0
+    assert any(r["column"] == "text" and r["codec"] == "str_fsst" for r in rows)
+
+    # decode a projection back to parquet
+    dec_out = str(tmp_path / "decoded")
+    rc = main([
+        "decode", "--store", out, "--output", dec_out,
+        "--schema-from", pages_path, "--columns", "url,lang",
+    ])
+    captured = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert captured["rows"] == spark.read.parquet(pages_path).count()
+    assert set(spark.read.parquet(dec_out).columns) == {"url", "lang"}
+
+
+def test_encode_osm_pbf_input_cli(spark, tmp_path, capsys):
+    """--input-format osm-pbf: a real .osm.pbf encodes into a store
+    through the CLI (the reference's turnkey transcode, one command)."""
+    from osm_pbf_parquet_spark.sources import pbf as pbf_mod
+    from tests.test_pbf import _nodes, _ways
+
+    path = str(tmp_path / "in.osm.pbf")
+    pbf_mod.write_osm_pbf(path, _nodes(100), _ways(10), nodes_per_block=40)
+    out = str(tmp_path / "store")
+    rc = main([
+        "encode", "--input", path, "--input-format", "osm-pbf",
+        "--output", out, "--key-col", "id", "--partitions", "4",
+        "--no-verify",  # id repeats across element types → join not 1:1
+    ])
+    captured = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and captured["rows"] == 110
+
+
+def test_vacuum_dry_run_cli(spark, pages_path, tmp_path, capsys):
+    out = str(tmp_path / "store")
+    main(["encode", "--input", pages_path, "--output", out,
+          "--key-col", "url", "--partitions", "2", "--no-verify"])
+    capsys.readouterr()
+    rc = main(["vacuum", "--store", out, "--older-than-s", "0",
+               "--dry-run"])
+    captured = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and captured["dry_run"] is True
+    assert captured["files_deleted"] == 0  # nothing superseded yet
+
+
+def test_unknown_command_errors():
+    with pytest.raises(SystemExit):
+        main(["transmogrify"])
