@@ -229,17 +229,21 @@ def main() -> int:
     doc_chunks.unpersist()
 
     # --- real .osm.pbf ingestion (S4/S5 — the reference's headline op:
-    # 43 MB/s on 6 dedicated cores, README "transcode throughput").
-    # Synthetic 300k-node+30k-way PBF (cached): scan the blob index,
-    # block-parallel decode every element, count. MB/s is compressed
-    # wire bytes — directly comparable to the reference's number.
+    # 43 MB/s ≈ 4.8M el/s on 6 dedicated cores). Synthetic 1M-node +
+    # 100k-way PBF with realistic wire density (~15 B/element; cached
+    # one-time build): scan the blob index, block-parallel decode every
+    # element, count. MB/s is compressed wire bytes — directly
+    # comparable to the reference's number; el/s is density-neutral.
     from osm_pbf_parquet_spark.sources.pbf import (
         read_osm_pbf,
         synthetic_osm_pbf,
     )
 
-    pbf_path = synthetic_osm_pbf("/tmp/bench_osm_330k.osm.pbf")
+    pbf_path = synthetic_osm_pbf(
+        "/tmp/bench_osm_1p1m.osm.pbf", n_nodes=1_000_000
+    )
     pbf_bytes = os.path.getsize(pbf_path)
+    pbf_rows = 1_100_000
 
     def pbf_ingest():
         return read_osm_pbf(spark, pbf_path).agg(F.count("*")).collect()
@@ -247,6 +251,9 @@ def main() -> int:
     timed("pbf_ingest", pbf_ingest)
     extras["pbf_mb_per_sec"] = round(
         pbf_bytes / timings["pbf_ingest"] / 1e6, 1
+    )
+    extras["pbf_elements_per_sec"] = round(
+        pbf_rows / timings["pbf_ingest"], 0
     )
 
     from osm_pbf_parquet_spark.functions.pq import pq_encode, pq_topk, pq_train

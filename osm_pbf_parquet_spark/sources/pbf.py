@@ -174,6 +174,141 @@ def _packed_sint_delta(buf: bytes) -> np.ndarray:
     return np.cumsum(_zigzag_decode(_unpack_uvarints(buf)))
 
 
+def _unpack_segments(bufs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """Batched packed-varint decode for MANY small buffers (one per
+    way/relation message): numpy's per-call overhead (~70 µs) dwarfs an
+    8-ref buffer, so per-message decode was 10× slower than the parse
+    itself. One concat + ONE vectorized pass instead; per-segment value
+    counts recovered from varint-end positions vs byte boundaries.
+    Returns (counts per buffer, all values uint64 in order)."""
+    if not bufs:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
+    lens = np.array([len(b) for b in bufs], dtype=np.int64)
+    big = b"".join(bufs)
+    b = np.frombuffer(big, dtype=np.uint8)
+    if b.size == 0:
+        return np.zeros(len(bufs), dtype=np.int64), np.empty(0, np.uint64)
+    cont = (b & 0x80) != 0
+    if cont[-1]:
+        raise ValueError("packed field ends mid-varint — corrupt PBF")
+    ends = np.nonzero(~cont)[0]
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    vlens = ends - starts + 1
+    if int(vlens.max()) > 10:
+        raise ValueError("varint longer than 10 bytes — corrupt PBF")
+    pos = np.arange(b.size, dtype=np.int64) - np.repeat(starts, vlens)
+    with np.errstate(over="ignore"):
+        limbs = (b & 0x7F).astype(np.uint64) << (7 * pos).astype(np.uint64)
+        vals = np.add.reduceat(limbs, starts)
+    bounds = np.cumsum(lens)
+    # a varint must END inside its own buffer: ends < bound
+    cum_counts = np.searchsorted(ends, bounds, side="left")
+    counts = np.diff(np.concatenate(([0], cum_counts)))
+    if (np.repeat(bounds - lens, counts) > ends[: int(cum_counts[-1])]).any():
+        raise ValueError("varint spans a message boundary — corrupt PBF")
+    return counts, vals
+
+
+def _batch_infos(
+    info_bufs: list[bytes], st: pa.Array, dgran: int
+) -> dict[str, pa.Array]:
+    """Vectorized Info parsing for a whole way/relation group: every
+    Info field is wire-type-0, so an Info message's varint stream is a
+    strict [tag, value, tag, value…] alternation — ONE batched varint
+    decode + fancy indexing replaces a Python walk per message.
+    Missing info (empty buf) → all-null row; visible defaults true
+    when the message exists (protobuf default)."""
+    n = len(info_bufs)
+    has_info = np.array([len(b) > 0 for b in info_bufs])
+    counts, vals = _unpack_segments(info_bufs)
+    total = int(counts.sum())
+    if total % 2:
+        raise ValueError("Info message with dangling field tag — corrupt PBF")
+    msg_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+    starts = np.cumsum(counts) - counts
+    within = (
+        np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+    )
+    is_val = (within & 1) == 1
+    tags = vals[~is_val]
+    if tags.size and int((tags & np.uint64(7)).max()) != 0:
+        raise ValueError("Info field with non-varint wire type — corrupt PBF")
+    fno = (tags >> np.uint64(3)).astype(np.int64)
+    values = vals[is_val]
+    vmsg = msg_idx[is_val]
+
+    def field(f: int):
+        sel = fno == f
+        return vmsg[sel], values[sel].copy().view(np.int64)
+
+    def int_col(f: int, scale: int = 1) -> pa.Array:
+        idx, v = field(f)
+        out = np.zeros(n, dtype=np.int64)
+        present = np.zeros(n, dtype=bool)
+        out[idx] = v * scale
+        present[idx] = True
+        return pa.array(out, mask=~present)
+
+    uidx, uv = field(5)
+    sids = np.zeros(n, dtype=np.int64)
+    upresent = np.zeros(n, dtype=bool)
+    sids[uidx] = uv
+    upresent[uidx] = True
+    users = st.take(pa.array(sids, mask=~upresent))
+
+    vidx, vv = field(6)
+    vis = np.ones(n, dtype=bool)  # protobuf default: visible=true
+    vis[vidx] = vv != 0
+    return {
+        "version": int_col(1),
+        "ts_ms": int_col(2, dgran),
+        "changeset": int_col(3),
+        "uid": int_col(4),
+        "user": users,
+        "visible": pa.array(vis, mask=~has_info),
+    }
+
+
+def _segmented_delta_decode(raw: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """zigzag + per-SEGMENT delta chains (each way's refs restart at 0):
+    one global cumsum, then subtract each segment's incoming base."""
+    if raw.size == 0:
+        return np.empty(0, dtype=np.int64)
+    d = _zigzag_decode(raw)
+    cum = np.cumsum(d)
+    nz = counts > 0
+    seg_starts = (np.cumsum(counts) - counts)[nz]
+    base = (cum[seg_starts] - d[seg_starts])
+    return cum - np.repeat(base, counts[nz])
+
+
+def _pack_uvarints(vals: np.ndarray) -> bytes:
+    """Vectorized packed-varint ENCODE (the decoder's twin): per-value
+    byte counts from magnitude thresholds, then one scatter of shifted
+    7-bit limbs with continuation bits. O(total bytes) numpy, no
+    per-value Python — keeps fixture synthesis at bench scale."""
+    v = np.ascontiguousarray(vals, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    nb = np.ones(v.size, dtype=np.int64)
+    for k in range(1, 10):
+        nb += (v >= np.uint64(1 << (7 * k))).astype(np.int64)
+    total = int(nb.sum())
+    starts = np.cumsum(nb) - nb
+    pos = np.arange(total, dtype=np.int64) - np.repeat(starts, nb)
+    rep_v = np.repeat(v, nb)
+    limbs = (rep_v >> (7 * pos).astype(np.uint64)) & np.uint64(0x7F)
+    cont = pos < np.repeat(nb, nb) - 1
+    return (limbs.astype(np.uint8) | (cont.astype(np.uint8) << 7)).tobytes()
+
+
+def _zigzag_encode(v: np.ndarray) -> np.ndarray:
+    s = np.ascontiguousarray(v, dtype=np.int64)
+    return ((s << 1) ^ (s >> 63)).view(np.uint64)
+
+
 def _enc_uvarint(v: int) -> bytes:
     v &= _U64_MASK
     out = bytearray()
@@ -203,17 +338,33 @@ def _varint_field(fno: int, v: int) -> bytes:
     return _field_key(fno, 0) + _enc_uvarint(v)
 
 
+_SMALL_PACK = 64  # numpy per-call overhead beats scalar below this
+
+
 def _packed_field(fno: int, vals, zigzag: bool = False) -> bytes:
-    enc = _enc_zigzag if zigzag else _enc_uvarint
-    return _len_field(fno, b"".join(enc(int(v)) for v in vals))
+    if not isinstance(vals, np.ndarray):
+        vals = list(vals)
+        if len(vals) < _SMALL_PACK:  # way/relation tag lists: scalar wins
+            enc = _enc_zigzag if zigzag else _enc_uvarint
+            return _len_field(fno, b"".join(enc(int(v)) for v in vals))
+        vals = np.asarray(vals, dtype=np.int64)
+    u = _zigzag_encode(vals) if zigzag else vals.astype(np.int64).view(np.uint64)
+    return _len_field(fno, _pack_uvarints(u))
 
 
 def _packed_delta_field(fno: int, vals) -> bytes:
-    out, prev = [], 0
-    for v in vals:
-        out.append(_enc_zigzag(int(v) - prev))
-        prev = int(v)
-    return _len_field(fno, b"".join(out))
+    if not isinstance(vals, np.ndarray):
+        vals = list(vals)
+        if len(vals) < _SMALL_PACK:  # per-way refs: scalar wins
+            out, prev = [], 0
+            for v in vals:
+                out.append(_enc_zigzag(int(v) - prev))
+                prev = int(v)
+            return _len_field(fno, b"".join(out))
+        vals = np.asarray(vals, dtype=np.int64)
+    with np.errstate(over="ignore"):
+        d = np.diff(vals.astype(np.int64), prepend=np.int64(0))
+    return _len_field(fno, _pack_uvarints(_zigzag_encode(d)))
 
 
 # ---------------------------------------------------------------------------
@@ -375,111 +526,71 @@ def _parse_way_like(msgs: list[bytes], kind: str, st: pa.Array,
     fields; one pass accumulates a whole group as a segment."""
     n = len(msgs)
     ids = np.empty(n, dtype=np.int64)
-    tag_counts = np.empty(n, dtype=np.int64)
-    keys_parts, vals_parts = [], []
-    ref_counts = np.empty(n, dtype=np.int64)
-    refs_parts: list[np.ndarray] = []
-    mtype_parts: list[np.ndarray] = []
-    role_parts: list[np.ndarray] = []
-    infos: list[dict | None] = []
+    # phase 1 — python walk at MESSAGE granularity only: collect each
+    # packed field's raw bytes; all value decoding is batched below
+    keys_bufs = [b""] * n
+    vals_bufs = [b""] * n
+    refs_bufs = [b""] * n     # way refs | relation memids
+    roles_bufs = [b""] * n
+    types_bufs = [b""] * n
+    info_bufs = [b""] * n
     for i, msg in enumerate(msgs):
-        keys = vals = None
-        refs = np.empty(0, dtype=np.int64)
-        roles = memids = mtypes = None
-        info = None
         for f, w, v in _iter_fields(msg):
             if f == 1:
                 ids[i] = np.uint64(v).view(np.int64)
             elif f == 2:
-                keys = _unpack_uvarints(v)
+                keys_bufs[i] = v
             elif f == 3:
-                vals = _unpack_uvarints(v)
+                vals_bufs[i] = v
             elif f == 4:
-                info = _parse_info(v)
+                info_bufs[i] = v
             elif f == 8 and kind == "way":
-                refs = _packed_sint_delta(v)
+                refs_bufs[i] = v
             elif f == 8 and kind == "relation":
-                roles = _unpack_uvarints(v)
+                roles_bufs[i] = v
             elif f == 9 and kind == "relation":
-                memids = _packed_sint_delta(v)
+                refs_bufs[i] = v
             elif f == 10 and kind == "relation":
-                mtypes = _unpack_uvarints(v).astype(np.int64)
-        nk = 0 if keys is None else len(keys)
-        tag_counts[i] = nk
-        if nk:
-            keys_parts.append(keys)
-            vals_parts.append(vals)
-        if kind == "way":
-            ref_counts[i] = len(refs)
-            if len(refs):
-                refs_parts.append(refs)
-        else:
-            nm = 0 if memids is None else len(memids)
-            ref_counts[i] = nm
-            if nm:
-                refs_parts.append(memids)
-                mtype_parts.append(mtypes)
-                role_parts.append(roles)
-        infos.append(info)
+                types_bufs[i] = v
+    # phase 2 — ONE vectorized decode per field across the whole group
+    tag_counts, flat_keys = _unpack_segments(keys_bufs)
+    _, flat_vals = _unpack_segments(vals_bufs)
+    ref_counts, raw_refs = _unpack_segments(refs_bufs)
+    flat_refs = _segmented_delta_decode(raw_refs, ref_counts)
     cols.ids.append(ids)
     cols.types.append(kind)
     cols.seg_lens.append(n)
     tag_offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(tag_counts, out=tag_offsets[1:])
     cols.tag_offsets.append(tag_offsets)
-    flat_keys = (
-        np.concatenate(keys_parts) if keys_parts
-        else np.empty(0, dtype=np.uint64)
-    )
-    flat_vals = (
-        np.concatenate(vals_parts) if vals_parts
-        else np.empty(0, dtype=np.uint64)
-    )
     cols.tag_keys.append(st.take(pa.array(flat_keys.astype(np.int64))))
     cols.tag_vals.append(st.take(pa.array(flat_vals.astype(np.int64))))
     cols.lat.append(None)
     cols.lon.append(None)
     offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(ref_counts, out=offsets[1:])
-    flat_refs = (
-        np.concatenate(refs_parts) if refs_parts
-        else np.empty(0, dtype=np.int64)
-    )
     if kind == "way":
         cols.nds_offsets.append(offsets)
         cols.nds_refs.append(flat_refs)
         cols.mem_offsets.append(None)
     else:
+        _, flat_roles = _unpack_segments(roles_bufs)
+        _, flat_types = _unpack_segments(types_bufs)
         cols.nds_offsets.append(None)
         cols.mem_offsets.append(offsets)
         cols.mem_refs.append(flat_refs)
-        cols.mem_types.append(
-            np.concatenate(mtype_parts) if mtype_parts
-            else np.empty(0, dtype=np.int64)
-        )
+        cols.mem_types.append(flat_types.astype(np.int64))
         cols.mem_roles.append(
-            st.take(pa.array(
-                np.concatenate(role_parts).astype(np.int64) if role_parts
-                else np.empty(0, dtype=np.int64)
-            ))
+            st.take(pa.array(flat_roles.astype(np.int64)))
         )
-    # info scalars (per element, nullable)
-    cols.changeset.append([i["changeset"] if i else None for i in infos])
-    cols.ts_ms.append(
-        [i["timestamp"] * dgran if i and i["timestamp"] is not None else None
-         for i in infos]
-    )
-    cols.uid.append([i["uid"] if i else None for i in infos])
-    users = st.to_pylist()
-    cols.user.append(
-        [users[i["user_sid"]] if i and i["user_sid"] is not None else None
-         for i in infos]
-    )
-    cols.version.append([i["version"] if i else None for i in infos])
-    cols.visible.append(
-        [(i["visible"] if i["visible"] is not None else True) if i else None
-         for i in infos]
-    )
+    # info scalars: one batched varint pass for the whole group
+    info = _batch_infos(info_bufs, st, dgran)
+    cols.changeset.append(info["changeset"])
+    cols.ts_ms.append(info["ts_ms"])
+    cols.uid.append(info["uid"])
+    cols.user.append(info["user"])
+    cols.version.append(info["version"])
+    cols.visible.append(info["visible"])
 
 
 def _parse_plain_nodes(msgs: list[bytes], st: pa.Array, gran: int,
@@ -1093,46 +1204,66 @@ def osm_pbf_fixture(sf_dir: str, nodes_per_block: int = 2000) -> str:
 
 
 def synthetic_osm_pbf(
-    path: str, n_nodes: int = 300_000, nodes_per_block: int = 8000
+    path: str, n_nodes: int = 300_000, nodes_per_block: int = 8000,
+    seed: int = 7,
 ) -> str:
-    """Deterministic synthetic .osm.pbf at bench scale (cached):
-    Zipf-ish tag density, delta-friendly id/timestamp chains, 50-user
-    string table — the shape a real planet extract presents. Used by
-    bench.py's pbf_ingest metric (the reference's headline op is
-    exactly this decode, src/pbf.rs:45-91)."""
+    """Deterministic synthetic .osm.pbf at bench scale (cached), with
+    REALISTIC wire density: random-walk lat/lon (GPS-noise-scale delta
+    entropy), irregular id gaps, jittered timestamps, ~500 users and
+    high-cardinality tag values — a regular arithmetic fixture zlib-
+    collapses to ~1.4 B/element, while real planet extracts run
+    ~8-10 B/element, which this reproduces. Used by bench.py's
+    pbf_ingest metric (the reference's headline op is exactly this
+    decode, src/pbf.rs:45-91)."""
     if os.path.exists(path):
         return path
+    rng = np.random.default_rng(seed)
+    id_gaps = rng.integers(1, 40, n_nodes)
+    ids = np.cumsum(id_gaps) + 10
+    lat = np.clip(
+        np.cumsum(rng.integers(-30000, 30000, n_nodes)), -8.9e8, 8.9e8
+    ).astype(np.int64)
+    lon = np.clip(
+        np.cumsum(rng.integers(-30000, 30000, n_nodes)), -1.79e9, 1.79e9
+    ).astype(np.int64)
+    ts = (1_500_000_000 + np.cumsum(rng.integers(0, 500, n_nodes))) * 1000
+    cs = np.cumsum(rng.integers(0, 4, n_nodes)) + 1
+    uid = rng.integers(1, 500, n_nodes)
+    ver = rng.integers(1, 12, n_nodes)
+    tagged = rng.random(n_nodes) < 0.15
     nodes = [
         {
-            "id": 10 + i * 2,
-            "lat_units": (i * 9871) % 1_800_000_000 - 900_000_000,
-            "lon_units": (i * 12343) % 3_600_000_000 - 1_800_000_000,
+            "id": int(ids[i]),
+            "lat_units": int(lat[i]),
+            "lon_units": int(lon[i]),
             "tags": (
-                {"highway": "residential", "name": f"n{i % 997}"}
-                if i % 7 == 0 else {}
+                {"highway": "residential", "name": f"n{int(ids[i]) % 99991}"}
+                if tagged[i] else {}
             ),
-            "ts_ms": 1_500_000_000_000 + (i % 100_000) * 1000,
-            "changeset": 1 + i // 50,
-            "uid": i % 53,
-            "user": f"mapper{i % 53}",
-            "version": 1 + i % 9,
+            "ts_ms": int(ts[i]),
+            "changeset": int(cs[i]),
+            "uid": int(uid[i]),
+            "user": f"mapper{int(uid[i])}",
+            "version": int(ver[i]),
             "visible": True,
         }
         for i in range(n_nodes)
     ]
+    n_ways = n_nodes // 10
+    ref_pick = rng.integers(0, n_nodes, (n_ways, 8))
     ways = [
         {
-            "id": 5_000_000 + i,
+            "id": 5_000_000 + i * 3,
             "tags": {"highway": "primary"},
-            "refs": [10 + (i * 11 + j) * 2 % (2 * n_nodes) for j in range(8)],
-            "ts_ms": 1_500_000_000_000 + (i % 50_000) * 1000,
-            "changeset": 1 + i // 10,
-            "uid": i % 53,
-            "user": f"mapper{i % 53}",
+            "refs": sorted(int(ids[j]) for j in ref_pick[i]),
+            "ts_ms": int(ts[i * 10]),
+            "changeset": int(cs[i * 10]),
+            "uid": int(uid[i * 10]),
+            "user": f"mapper{int(uid[i * 10])}",
             "version": 1,
             "visible": True,
         }
-        for i in range(n_nodes // 10)
+        for i in range(n_ways)
     ]
     tmp = f"{path}.build-{os.getpid()}"
     write_osm_pbf(tmp, nodes, ways, nodes_per_block=nodes_per_block)
