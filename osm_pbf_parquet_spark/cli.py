@@ -153,6 +153,14 @@ def cmd_encode(args) -> int:
 
     spark = _session(args)
     src = _read_input(spark, args.input, args.input_format)
+    if not args.no_verify:
+        # the verify join re-reads the source after the encode consumed
+        # it — for an osm-pbf input that's the whole decode again;
+        # persist so the file is decoded ONCE (spills to disk when the
+        # extract outgrows executor memory)
+        from pyspark import StorageLevel
+
+        src = src.persist(StorageLevel.MEMORY_AND_DISK)
     t0 = time.time()
     stats = encode_job(
         spark, src, args.output,
@@ -177,11 +185,15 @@ def cmd_encode(args) -> int:
         dec = read_encoded(spark, args.output, src.schema)
         cols = [c for c in src.columns if c != args.key_col]
         pred = " AND ".join(f"a.{c} <=> b.{c}" for c in cols) or "TRUE"
+        # NOT stats["rows"]: a resumed encode only counts the pending
+        # partitions, but verify compares the FULL store; the count
+        # reads the persisted source, not the file again
         n_src = src.count()
         ok = (
             src.alias("a").join(dec.alias("b"), args.key_col)
             .filter(F.expr(pred)).count()
         )
+        src.unpersist()
         out["verified_identical"] = ok == n_src
         out["verified_rows"] = ok
         rc = 0 if ok == n_src else 1

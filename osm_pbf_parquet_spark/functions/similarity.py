@@ -234,20 +234,14 @@ def ivf_build_store(
         spark, with_pid, out_dir, key_col=id_col,
         num_partitions=len(cents), target_chunk_bytes=target_chunk_bytes,
     )
-    from ..plans.fsutil import has_scheme, write_bytes
+    from ..plans.fsutil import write_sidecar
 
     payload = json.dumps(
         [[float(x) for x in c] for c in np.asarray(cents)]
     ).encode()
-    path = f"{out_dir.rstrip('/')}/ivf_centroids.json"
-    if has_scheme(out_dir):
-        write_bytes(spark, path, payload)
-    else:
-        os.makedirs(out_dir, exist_ok=True)
-        tmp = f"{path}.tmp-{os.getpid()}"
-        with open(tmp, "wb") as f:
-            f.write(payload)
-        os.replace(tmp, path)
+    write_sidecar(
+        spark, f"{out_dir.rstrip('/')}/ivf_centroids.json", payload
+    )
     return cents
 
 
@@ -287,6 +281,12 @@ def ivf_probe_chunks(spark, out_dir: str, query_vec: list[float],
     order = np.argsort(-(cents @ qn))
     probe = [int(c) for c in order[: min(n_probe, len(cents))]]
     manifest = read_manifest(spark, out_dir)
+    if manifest is None:
+        raise FileNotFoundError(
+            f"no committed manifest under {out_dir} — the centroids "
+            "sidecar exists but the chunk store has no commits (build "
+            "crashed before encode_job committed, or wrong path)"
+        )
     committed = manifest.filter(F.col("status") == "done").select(
         "partition_id", "run_id"
     )

@@ -34,7 +34,10 @@ def write_bytes(spark, path: str, data: bytes) -> None:
     sibling temp then rename (object stores implement rename as
     copy+delete — fine at sidecar sizes)."""
     fs, p, jvm = _fs_and_path(spark, path)
-    tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp-write")
+    # dot-prefixed tmp: hidden from Spark/Hadoop directory listings if
+    # a crashed writer leaves it behind in a dir that's read wholesale
+    head, _, tail = path.rpartition("/")
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{head}/.{tail}.tmp-write")
     out = fs.create(tmp, True)
     try:
         out.write(bytearray(data))
@@ -44,6 +47,30 @@ def write_bytes(spark, path: str, data: bytes) -> None:
         fs.delete(p, False)
     if not fs.rename(tmp, p):
         raise OSError(f"hadoop rename failed for {path}")
+
+
+def write_sidecar(spark, path: str, data: bytes) -> None:
+    """THE atomic small-file write for driver-side sidecars (store
+    meta, manifest parts, vacuum records, centroids): local paths get
+    POSIX temp+rename (tmp name carries the pid so concurrent writers
+    never collide); URI paths route through the Hadoop FS. One owner
+    for the atomicity rule instead of a copy per call site."""
+    if has_scheme(path):
+        if spark is None:
+            raise ValueError("URI sidecar paths need the spark session")
+        write_bytes(spark, path, data)
+        return
+    import os
+
+    d, base = os.path.split(path)
+    os.makedirs(d, exist_ok=True)
+    # dot-prefixed tmp: a crashed writer's leftover is hidden from
+    # Spark's directory listings (manifest/vacuum parts live in dirs
+    # that get read wholesale)
+    tmp = os.path.join(d, f".{base}.tmp-{os.getpid()}")
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
 
 
 def read_bytes(spark, path: str) -> bytes:

@@ -98,22 +98,17 @@ def write_store_meta(
 ) -> None:
     """First-commit-wins store identity (temp+rename, never rewritten):
     records the routing contract every later writer must repeat."""
-    from .fsutil import exists, has_scheme, write_bytes
+    from .fsutil import exists, has_scheme, write_sidecar
 
     path = f"{out_dir.rstrip('/')}/{STORE_META_FILE}"
     if has_scheme(out_dir):
         if spark is None:
             raise ValueError("URI store paths need the spark session")
-        if not exists(spark, path):
-            write_bytes(spark, path, json.dumps(meta, sort_keys=True).encode())
+        if exists(spark, path):
+            return
+    elif os.path.exists(path):
         return
-    if os.path.exists(path):
-        return
-    os.makedirs(out_dir, exist_ok=True)
-    tmp = f"{path}.tmp-{os.getpid()}"
-    with open(tmp, "w") as f:
-        json.dump(meta, f, sort_keys=True)
-    os.rename(tmp, path)
+    write_sidecar(spark, path, json.dumps(meta, sort_keys=True).encode())
 
 
 def check_store_routing(
@@ -152,28 +147,17 @@ def commit_manifest(
     rows: list[dict], out_dir: str, run_id: str,
     spark: SparkSession | None = None,
 ) -> str:
-    """Atomic append: one parquet part per run, temp + rename. URI
-    stores serialize the part in memory and write it through the
-    Hadoop FS (fsutil) — same rename-last visibility rule."""
-    from .fsutil import has_scheme, write_bytes
+    """Atomic append: one parquet part per run, temp + rename (one
+    owner for the rule: fsutil.write_sidecar, local or Hadoop URI)."""
+    import io
+
+    from .fsutil import write_sidecar
 
     tbl = pa.Table.from_pylist(rows, schema=MANIFEST_ARROW_SCHEMA)
-    if has_scheme(out_dir):
-        if spark is None:
-            raise ValueError("URI store paths need the spark session")
-        import io
-
-        buf = io.BytesIO()
-        pq.write_table(tbl, buf)
-        final = f"{out_dir.rstrip('/')}/manifest/part-{run_id}.parquet"
-        write_bytes(spark, final, buf.getvalue())
-        return final
-    mdir = _manifest_dir(out_dir)
-    os.makedirs(mdir, exist_ok=True)
-    final = os.path.join(mdir, f"part-{run_id}.parquet")
-    tmp = os.path.join(mdir, f".tmp-{run_id}-{os.getpid()}")
-    pq.write_table(tbl, tmp)
-    os.rename(tmp, final)
+    buf = io.BytesIO()
+    pq.write_table(tbl, buf)
+    final = f"{out_dir.rstrip('/')}/manifest/part-{run_id}.parquet"
+    write_sidecar(spark, final, buf.getvalue())
     return final
 
 
@@ -333,6 +317,18 @@ def encode_job(
         if meta is not None and "num_partitions" in meta:
             num_partitions = int(meta["num_partitions"])
         else:
+            if read_manifest(spark, out_dir) is not None:
+                # pre-metadata store with committed data: deriving a
+                # fresh default here would route a resume to different
+                # pids than the original encode AND then record the
+                # wrong value as the store's contract — fail loudly
+                raise ValueError(
+                    f"store {out_dir} has commits but no "
+                    f"{STORE_META_FILE} (pre-v{STORE_FORMAT_VERSION} "
+                    "store): pass num_partitions= explicitly with the "
+                    "value the original encode used; it will be "
+                    "recorded as the store's routing contract"
+                )
             from ..config import derive_num_partitions
 
             num_partitions = derive_num_partitions(spark)

@@ -41,7 +41,7 @@ import pyarrow.parquet as pq
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from .manifest import chunks_dir, read_chunks, read_manifest
+from .manifest import read_chunks, read_manifest
 
 VACUUM_SCHEMA = pa.schema(
     [
@@ -52,10 +52,6 @@ VACUUM_SCHEMA = pa.schema(
         ("bytes_reclaimed", pa.int64()),
     ]
 )
-
-
-def _vacuum_dir(out_dir: str) -> str:
-    return os.path.join(out_dir, "vacuum")
 
 
 def vacuum(
@@ -79,7 +75,6 @@ def vacuum(
         .select("partition_id", "run_id")
         .distinct()
     )
-    cdir = chunks_dir(out_dir)
     # column-pruned metadata scan: 2 small columns + file provenance;
     # a file lives iff ANY of its (pid, run_id) pairs is visible
     file_rows = (
@@ -114,7 +109,7 @@ def vacuum(
     deleted = 0
     reclaimed = 0
     kept = 0
-    victims: list[str] = []
+    victims: list[tuple[str, int]] = []  # (path, size) — stat ONCE per file
     victim_bytes = 0
     for r in file_rows:
         path = r["file"]
@@ -128,7 +123,7 @@ def vacuum(
         if mtime > horizon:
             kept += 1  # young orphan: may be an in-flight writer
             continue
-        victims.append(path)
+        victims.append((path, sz))
         victim_bytes += sz
     if not dry_run and victims:
         # commit the vacuum record BEFORE deleting: readers can see
@@ -146,29 +141,19 @@ def vacuum(
             ],
             schema=VACUUM_SCHEMA,
         )
-        if uri_store:
-            import io
+        import io
 
-            from .fsutil import write_bytes
+        from .fsutil import write_sidecar
 
-            buf = io.BytesIO()
-            pq.write_table(rec, buf)
-            write_bytes(
-                spark,
-                f"{out_dir.rstrip('/')}/vacuum/part-{vid}.parquet",
-                buf.getvalue(),
-            )
-        else:
-            vdir = _vacuum_dir(out_dir)
-            os.makedirs(vdir, exist_ok=True)
-            tmp = os.path.join(vdir, f".tmp-{vid}")
-            final = os.path.join(vdir, f"part-{vid}.parquet")
-            pq.write_table(rec, tmp)
-            os.rename(tmp, final)
+        buf = io.BytesIO()
+        pq.write_table(rec, buf)
+        write_sidecar(
+            spark, f"{out_dir.rstrip('/')}/vacuum/part-{vid}.parquet",
+            buf.getvalue(),
+        )
     if not dry_run:
-        for path in victims:
+        for path, sz in victims:
             try:
-                _mt, sz = _stat(path)
                 if uri_store:
                     from .fsutil import _fs_and_path
 

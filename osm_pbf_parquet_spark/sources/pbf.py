@@ -206,7 +206,10 @@ def _unpack_segments(bufs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
     # a varint must END inside its own buffer: ends < bound
     cum_counts = np.searchsorted(ends, bounds, side="left")
     counts = np.diff(np.concatenate(([0], cum_counts)))
-    if (np.repeat(bounds - lens, counts) > ends[: int(cum_counts[-1])]).any():
+    # …and START inside it too: a varint whose continuation bytes leak
+    # across a message boundary is assigned (by its end) to the NEXT
+    # buffer, so compare each varint's start to its buffer's start.
+    if (np.repeat(bounds - lens, counts) > starts[: int(cum_counts[-1])]).any():
         raise ValueError("varint spans a message boundary — corrupt PBF")
     return counts, vals
 
@@ -358,7 +361,10 @@ def _packed_delta_field(fno: int, vals) -> bytes:
         if len(vals) < _SMALL_PACK:  # per-way refs: scalar wins
             out, prev = [], 0
             for v in vals:
-                out.append(_enc_zigzag(int(v) - prev))
+                # wrap the delta to int64 exactly like the numpy branch's
+                # np.diff overflow (memory: mask scalar twins of np kernels)
+                d = (int(v) - prev + (1 << 63)) % (1 << 64) - (1 << 63)
+                out.append(_enc_zigzag(d))
                 prev = int(v)
             return _len_field(fno, b"".join(out))
         vals = np.asarray(vals, dtype=np.int64)
@@ -671,6 +677,8 @@ def _finish_table(cols: _Columns) -> pa.Table:
     schema = unified_osm_schema()
     lens = cols.seg_lens
     n = sum(lens)
+    if not lens:  # spec-legal empty PrimitiveBlock (or all-empty groups)
+        return schema.empty_table()
     type_arr = pa.array(np.repeat(np.array(cols.types), lens))
     tags = pa.MapArray.from_arrays(
         pa.array(_concat_offsets(cols.tag_offsets, lens), type=pa.int32()),

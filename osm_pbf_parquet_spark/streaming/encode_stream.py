@@ -20,11 +20,16 @@ def encode_stream(
     out_dir: str,
     checkpoint_dir: str,
     key_col: str,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
     codecs: dict[str, str] | None = None,
     trigger_once: bool = True,
 ):
     """Attach the encoder to a streaming DataFrame.
+
+    num_partitions=None resolves from the store's recorded routing
+    contract (or the derived default for a fresh store) inside
+    encode_job — a hardcoded default here would conflict with a store
+    built by a default-granularity batch encode and reject every epoch.
 
     Returns the StreamingQuery; caller awaits termination. Each epoch
     becomes snapshot 'epoch-{id}' in the manifest.
@@ -60,7 +65,7 @@ def merge_stream(
     key_col: str,
     op_col: str = "op",
     seq_col: str | None = None,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
     codecs: dict[str, str] | None = None,
     snapshot_id: str = "snap-0",
     trigger_once: bool = True,

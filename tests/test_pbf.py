@@ -73,10 +73,10 @@ def _rels(n=5):
 def test_varint_vectorized_matches_scalar():
     rng = np.random.default_rng(5)
     vals = np.concatenate([
-        rng.integers(0, 1 << 20, 100),
-        rng.integers(0, 1 << 62, 100),
-        [0, 1, 127, 128, (1 << 64) - 1],
-    ]).astype(np.uint64)
+        rng.integers(0, 1 << 20, 100, dtype=np.uint64),
+        rng.integers(0, 1 << 62, 100, dtype=np.uint64),
+        np.array([0, 1, 127, 128, (1 << 64) - 1], dtype=np.uint64),
+    ])
     buf = b"".join(pbf._enc_uvarint(int(v)) for v in vals)
     out = pbf._unpack_uvarints(buf)
     assert np.array_equal(out, vals)

@@ -246,3 +246,129 @@ def test_read_chunks_tolerates_pre_bloom_files(spark, tmp_path):
     assert chunks.filter(F.col("stat_bloom").isNotNull()).count() == 0
     dec = read_encoded(spark, out, df.schema)
     assert dec.count() == 100
+
+
+# --- round-4 review findings -------------------------------------------------
+
+
+def test_empty_primitive_block_yields_empty_table():
+    """A spec-legal PrimitiveBlock with zero elements must parse to an
+    empty unified-schema table, not crash concat_arrays (r4 review)."""
+    from osm_pbf_parquet_spark.sources.pbf import (
+        parse_primitive_block, unified_osm_schema,
+    )
+
+    t = parse_primitive_block(b"")
+    assert t.num_rows == 0
+    assert t.schema.equals(unified_osm_schema())
+
+
+def test_scalar_delta_pack_wraps_like_numpy():
+    """<64-element refs take the scalar pack path; a delta overflowing
+    int64 must wrap exactly like the numpy branch's int64 diff
+    (r4 review: silent corruption on extreme-but-valid int64 refs)."""
+    import numpy as np
+
+    from osm_pbf_parquet_spark.sources.pbf import (
+        _iter_fields, _packed_delta_field,
+    )
+
+    def rt(buf):
+        (f, w, val), = list(_iter_fields(buf))
+        b = np.frombuffer(val, dtype=np.uint8)
+        ends = np.nonzero((b & 0x80) == 0)[0]
+        starts = np.concatenate(([0], ends[:-1] + 1))
+        pos = np.arange(b.size) - np.repeat(starts, ends - starts + 1)
+        with np.errstate(over="ignore"):
+            limbs = (b & 0x7F).astype(np.uint64) << (7 * pos).astype(np.uint64)
+            u = np.add.reduceat(limbs, starts)
+        s = (u >> np.uint64(1)).astype(np.int64) ^ -(
+            u & np.uint64(1)
+        ).astype(np.int64)
+        with np.errstate(over="ignore"):
+            return np.cumsum(s, dtype=np.int64).tolist()
+
+    vals = [-(2**62) - 1, 2**62 + 5, 17]
+    assert rt(_packed_delta_field(8, vals)) == vals
+    big = list(range(70))
+    big[1], big[2] = vals[0], vals[1]
+    assert rt(_packed_delta_field(8, big)) == big
+
+
+def test_varint_spanning_message_boundary_raises():
+    """A varint whose continuation bytes leak across a message boundary
+    must fail loudly, not silently merge into the next message's
+    values (r4 review: the old check was dead code)."""
+    import pytest
+
+    from osm_pbf_parquet_spark.sources.pbf import _unpack_segments
+
+    with pytest.raises(ValueError, match="spans a message boundary"):
+        _unpack_segments([b"\x01\x80", b"\x02"])
+    # legit multi-byte varints inside one buffer still decode
+    c, v = _unpack_segments([b"\x01\x80\x02", b"\x03"])
+    assert c.tolist() == [2, 1] and v.tolist() == [1, 256, 3]
+
+
+def test_legacy_store_without_meta_requires_explicit_partitions(
+    spark, pages_path, tmp_path
+):
+    """A store with commits but no store_meta.json (pre-v2) must refuse
+    a derived-default resume — deriving a fresh num_partitions would
+    re-route pids AND record the wrong contract (r4 review)."""
+    import os
+
+    import pytest
+
+    from osm_pbf_parquet_spark.plans.manifest import (
+        STORE_META_FILE, encode_job,
+    )
+
+    out = str(tmp_path / "legacy")
+    src = spark.read.parquet(pages_path).limit(50)
+    encode_job(spark, src, out, key_col="url", num_partitions=4)
+    os.remove(os.path.join(out, STORE_META_FILE))  # simulate pre-v2 store
+    with pytest.raises(ValueError, match="pre-v"):
+        encode_job(spark, src, out, key_col="url")
+    # explicit value records the contract and resumes cleanly
+    stats = encode_job(spark, src, out, key_col="url", num_partitions=4)
+    assert stats["partitions"] == 0  # everything already committed
+
+
+def test_merge_stream_resolves_partitions_from_store_meta(
+    spark, pages_path, tmp_path
+):
+    """Streaming writers must inherit the store's recorded routing by
+    default; a hardcoded 32 rejects every epoch of a store built with
+    the derived default (r4 review)."""
+    import inspect
+
+    from osm_pbf_parquet_spark.streaming.encode_stream import (
+        encode_stream, merge_stream,
+    )
+
+    assert inspect.signature(merge_stream).parameters[
+        "num_partitions"
+    ].default is None
+    assert inspect.signature(encode_stream).parameters[
+        "num_partitions"
+    ].default is None
+
+
+def test_ivf_probe_missing_manifest_is_clear_error(spark, tmp_path):
+    """Centroids sidecar without a committed store must raise a clear
+    FileNotFoundError, not NoneType.filter (r4 review)."""
+    import json
+
+    import pytest
+
+    from osm_pbf_parquet_spark.functions.similarity import ivf_probe_chunks
+
+    out = str(tmp_path / "ivf_orphan")
+    import os
+
+    os.makedirs(out)
+    with open(os.path.join(out, "ivf_centroids.json"), "w") as f:
+        json.dump([[1.0, 0.0], [0.0, 1.0]], f)
+    with pytest.raises(FileNotFoundError, match="no committed manifest"):
+        ivf_probe_chunks(spark, out, [1.0, 0.0], n_probe=1)
