@@ -182,9 +182,22 @@ def cmd_encode(args) -> int:
     }
     rc = 0
     if not args.no_verify:
+        from pyspark.sql.types import MapType
+
         dec = read_encoded(spark, args.output, src.schema)
         cols = [c for c in src.columns if c != args.key_col]
-        pred = " AND ".join(f"a.{c} <=> b.{c}" for c in cols) or "TRUE"
+
+        def _eq(c: str) -> str:
+            # `<=>` cannot order MAP columns (e.g. OSM tags): compare
+            # the canonical entry list instead — NULL-safe either way
+            if isinstance(src.schema[c].dataType, MapType):
+                return (
+                    f"sort_array(map_entries(a.{c})) <=> "
+                    f"sort_array(map_entries(b.{c}))"
+                )
+            return f"a.{c} <=> b.{c}"
+
+        pred = " AND ".join(_eq(c) for c in cols) or "TRUE"
         # NOT stats["rows"]: a resumed encode only counts the pending
         # partitions, but verify compares the FULL store; the count
         # reads the persisted source, not the file again

@@ -378,8 +378,39 @@ def _packed_delta_field(fno: int, vals) -> bytes:
 # ---------------------------------------------------------------------------
 
 def _parse_stringtable(buf: bytes) -> pa.Array:
-    strings = [v.decode("utf-8", errors="replace") for f, w, v in
-               _iter_fields(buf) if f == 1 and w == 2]
+    """Inline scanner (same rationale as _parse_way_like phase 1: the
+    generator walk was ~10% of mixed decode; entries are a flat run of
+    single-byte-tag length-delimited fields)."""
+    strings = []
+    pos, end = 0, len(buf)
+    while pos < end:
+        tag = buf[pos]
+        pos += 1
+        if tag >= 0x80:
+            tag, pos = _uvarint(buf, pos - 1)
+        wt = tag & 7
+        if wt == 2:
+            ln = buf[pos]
+            pos += 1
+            if ln >= 0x80:
+                ln, pos = _uvarint(buf, pos - 1)
+            if pos + ln > end:
+                raise ValueError("stringtable entry overruns — corrupt PBF")
+            if (tag >> 3) == 1:
+                strings.append(
+                    buf[pos:pos + ln].decode("utf-8", errors="replace")
+                )
+            pos += ln
+        elif wt == 0:
+            while buf[pos] >= 0x80:
+                pos += 1
+            pos += 1
+        elif wt == 5:
+            pos += 4
+        elif wt == 1:
+            pos += 8
+        else:
+            raise ValueError(f"unsupported wire type {wt} — corrupt PBF")
     return pa.array(strings, type=pa.string())
 
 
@@ -533,31 +564,67 @@ def _parse_way_like(msgs: list[bytes], kind: str, st: pa.Array,
     n = len(msgs)
     ids = np.empty(n, dtype=np.int64)
     # phase 1 — python walk at MESSAGE granularity only: collect each
-    # packed field's raw bytes; all value decoding is batched below
-    keys_bufs = [b""] * n
-    vals_bufs = [b""] * n
-    refs_bufs = [b""] * n     # way refs | relation memids
-    roles_bufs = [b""] * n
-    types_bufs = [b""] * n
-    info_bufs = [b""] * n
+    # packed field's raw bytes; all value decoding is batched below.
+    # The walk is an INLINE scanner, not _iter_fields: profiling put
+    # 60% of mixed-decode time in generator resumption + _uvarint
+    # calls for these ~6-field messages. Way/relation field numbers
+    # are all ≤ 15, so the tag is a single byte on the wire; the
+    # varint fallbacks keep spec-legal oddball encoders working.
+    if kind == "way":
+        slot = {2: 0, 3: 1, 4: 2, 8: 3}  # keys vals info refs
+    else:
+        slot = {2: 0, 3: 1, 4: 2, 9: 3, 8: 4, 10: 5}  # + roles types
+    bufs = [[b""] * n for _ in range(6)]
     for i, msg in enumerate(msgs):
-        for f, w, v in _iter_fields(msg):
-            if f == 1:
-                ids[i] = np.uint64(v).view(np.int64)
-            elif f == 2:
-                keys_bufs[i] = v
-            elif f == 3:
-                vals_bufs[i] = v
-            elif f == 4:
-                info_bufs[i] = v
-            elif f == 8 and kind == "way":
-                refs_bufs[i] = v
-            elif f == 8 and kind == "relation":
-                roles_bufs[i] = v
-            elif f == 9 and kind == "relation":
-                refs_bufs[i] = v
-            elif f == 10 and kind == "relation":
-                types_bufs[i] = v
+        pos, end = 0, len(msg)
+        while pos < end:
+            tag = msg[pos]
+            pos += 1
+            if tag >= 0x80:  # multi-byte tag (fno > 15) — spec-legal
+                tag, pos = _uvarint(msg, pos - 1)
+            fno = tag >> 3
+            wt = tag & 7
+            if wt == 0:
+                b = msg[pos]
+                pos += 1
+                if b >= 0x80:
+                    v = b & 0x7F
+                    shift = 7
+                    while True:
+                        b = msg[pos]
+                        pos += 1
+                        v |= (b & 0x7F) << shift
+                        if b < 0x80:
+                            break
+                        shift += 7
+                else:
+                    v = b
+                if fno == 1:
+                    # wrap uint64 wire value to int64 (scalar twin of
+                    # the numpy .view(int64) — ~6 µs/call saved)
+                    ids[i] = v - (1 << 64) if v >= (1 << 63) else v
+            elif wt == 2:
+                ln = msg[pos]
+                pos += 1
+                if ln >= 0x80:
+                    ln, pos = _uvarint(msg, pos - 1)
+                if pos + ln > end:
+                    raise ValueError(
+                        f"field {fno} overruns message — corrupt PBF"
+                    )
+                s = slot.get(fno)
+                if s is not None:
+                    bufs[s][i] = msg[pos:pos + ln]
+                pos += ln
+            elif wt == 5:
+                pos += 4
+            elif wt == 1:
+                pos += 8
+            else:
+                raise ValueError(
+                    f"unsupported wire type {wt} — corrupt PBF"
+                )
+    keys_bufs, vals_bufs, info_bufs, refs_bufs, roles_bufs, types_bufs = bufs
     # phase 2 — ONE vectorized decode per field across the whole group
     tag_counts, flat_keys = _unpack_segments(keys_bufs)
     _, flat_vals = _unpack_segments(vals_bufs)

@@ -97,3 +97,36 @@ def test_vacuum_dry_run_cli(spark, pages_path, tmp_path, capsys):
 def test_unknown_command_errors():
     with pytest.raises(SystemExit):
         main(["transmogrify"])
+
+
+def test_encode_verify_osm_pbf_map_column(spark, tmp_path, capsys):
+    """CLI verify must handle MAP columns (OSM tags): `<=>` cannot
+    order maps, so the predicate compares sort_array(map_entries(..))
+    — regression for the osm-pbf input format crashing at verify."""
+    from osm_pbf_parquet_spark.sources.pbf import write_osm_pbf
+
+    pbf = str(tmp_path / "tiny.osm.pbf")
+    nodes = [
+        {"id": 10 + i, "lat_units": i * 1000, "lon_units": -i * 1000,
+         "tags": {"name": f"n{i}"} if i % 3 == 0 else {},
+         "ts_ms": 1_500_000_000_000 + i, "changeset": 1, "uid": 7,
+         "user": "u", "version": 1, "visible": True}
+        for i in range(200)
+    ]
+    ways = [
+        {"id": 9000 + i, "tags": {"highway": "x"},
+         "refs": [10 + i, 11 + i, 12 + i], "ts_ms": 1_500_000_000_000,
+         "changeset": 1, "uid": 7, "user": "u", "version": 1,
+         "visible": True}
+        for i in range(20)
+    ]
+    write_osm_pbf(pbf, nodes, ways, nodes_per_block=100)
+    out = str(tmp_path / "pbf_store")
+    rc = main([
+        "encode", "--input", pbf, "--input-format", "osm-pbf",
+        "--output", out, "--key-col", "id", "--partitions", "4",
+    ])
+    captured = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert captured["rows"] == 220
+    assert captured["verified_identical"] is True

@@ -44,7 +44,16 @@ def main() -> int:
 
     dec = read_encoded(spark, out, src.schema)
     cols = [c for c in src.columns if c != key_col]
-    pred = " AND ".join(f"a.{c} <=> b.{c}" for c in cols)
+    from pyspark.sql.types import MapType
+
+    def _eq(c):
+        # `<=>` cannot order MAP columns: compare canonical entry lists
+        if isinstance(src.schema[c].dataType, MapType):
+            return (f"sort_array(map_entries(a.{c})) <=> "
+                    f"sort_array(map_entries(b.{c}))")
+        return f"a.{c} <=> b.{c}"
+
+    pred = " AND ".join(_eq(c) for c in cols)
     n_src = src.count()
     ok = (
         src.alias("a").join(dec.alias("b"), key_col).filter(F.expr(pred)).count()
