@@ -981,9 +981,14 @@ def read_osm_pbf(spark, path: str, num_partitions: int | None = None):
     idx = scan_osm_blobs(path)
     if not idx:
         raise ValueError(f"no OSMData blobs in {path}")
-    n = num_partitions or min(
-        len(idx), int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    )
+    if num_partitions:
+        n = num_partitions
+    else:
+        # engine-wide task-granularity default (≥ 8× cores, r3 lesson):
+        # one task per core makes the job tail a single straggler blob
+        from ..config import derive_num_partitions
+
+        n = min(len(idx), derive_num_partitions(spark))
     index_df = spark.createDataFrame(
         [(path, o, ln) for o, ln in idx],
         "path string, offset long, length long",
