@@ -217,12 +217,27 @@ def _unpack_segments(bufs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
 def _batch_infos(
     info_bufs: list[bytes], st: pa.Array, dgran: int
 ) -> dict[str, pa.Array]:
-    """Vectorized Info parsing for a whole way/relation group: every
-    Info field is wire-type-0, so an Info message's varint stream is a
-    strict [tag, value, tag, value…] alternation — ONE batched varint
-    decode + fancy indexing replaces a Python walk per message.
+    """Vectorized Info parsing for a whole way/relation group, with a
+    spec-complete fallback: every KNOWN Info field is wire-type-0, so
+    an Info message's varint stream is normally a strict [tag, value,
+    tag, value…] alternation — ONE batched varint decode + fancy
+    indexing replaces a Python walk per message. A spec-legal file may
+    still carry an unknown length-delimited Info extension (protobuf
+    requires unknown fields to be SKIPPED, not rejected); when the
+    strict alternating-varint assumption breaks, the group falls back
+    to the per-message _parse_info walk, which skips unknown wire
+    types. Genuinely corrupt bytes still fail loudly there (X6).
     Missing info (empty buf) → all-null row; visible defaults true
     when the message exists (protobuf default)."""
+    try:
+        return _batch_infos_fast(info_bufs, st, dgran)
+    except ValueError:
+        return _batch_infos_slow(info_bufs, st, dgran)
+
+
+def _batch_infos_fast(
+    info_bufs: list[bytes], st: pa.Array, dgran: int
+) -> dict[str, pa.Array]:
     n = len(info_bufs)
     has_info = np.array([len(b) > 0 for b in info_bufs])
     counts, vals = _unpack_segments(info_bufs)
@@ -271,6 +286,41 @@ def _batch_infos(
         "uid": int_col(4),
         "user": users,
         "visible": pa.array(vis, mask=~has_info),
+    }
+
+
+def _batch_infos_slow(
+    info_bufs: list[bytes], st: pa.Array, dgran: int
+) -> dict[str, pa.Array]:
+    """Per-message Info walk (spec-complete: skips unknown wire types)
+    — the fallback when _batch_infos_fast's alternating-varint
+    assumption is violated by an unknown length-delimited extension.
+    Output semantics match the fast path exactly."""
+    users = st.to_pylist()
+    version, ts_ms, changeset, uid, user, visible = [], [], [], [], [], []
+    for b in info_bufs:
+        if not b:
+            for sink in (version, ts_ms, changeset, uid, user, visible):
+                sink.append(None)
+            continue
+        i = _parse_info(b)
+        version.append(i["version"])
+        ts_ms.append(
+            i["timestamp"] * dgran if i["timestamp"] is not None else None
+        )
+        changeset.append(i["changeset"])
+        uid.append(i["uid"])
+        user.append(
+            users[i["user_sid"]] if i["user_sid"] is not None else None
+        )
+        visible.append(i["visible"] if i["visible"] is not None else True)
+    return {
+        "version": pa.array(version, type=pa.int64()),
+        "ts_ms": pa.array(ts_ms, type=pa.int64()),
+        "changeset": pa.array(changeset, type=pa.int64()),
+        "uid": pa.array(uid, type=pa.int64()),
+        "user": pa.array(user, type=pa.string()),
+        "visible": pa.array(visible, type=pa.bool_()),
     }
 
 
@@ -477,19 +527,21 @@ def _concat_offsets(segments: list[np.ndarray], lens: list[int]) -> np.ndarray:
 
 def _parse_dense(buf: bytes, st: pa.Array, gran: int, lat_off: int,
                  lon_off: int, dgran: int, cols: _Columns) -> None:
-    ids = lats = lons = kv = None
-    info_buf = None
+    # accumulate raw bytes per field first: protobuf allows a packed
+    # field to be split across several occurrences (and an embedded
+    # message like DenseInfo to be merged by concatenation) — decoding
+    # the concatenation is exactly the spec's merge, and the zigzag-
+    # delta chains continue across the split because each field is one
+    # logical array
+    acc = {1: b"", 5: b"", 8: b"", 9: b"", 10: b""}
     for f, w, v in _iter_fields(buf):
-        if f == 1:
-            ids = _packed_sint_delta(v)
-        elif f == 5:
-            info_buf = v
-        elif f == 8:
-            lats = _packed_sint_delta(v)
-        elif f == 9:
-            lons = _packed_sint_delta(v)
-        elif f == 10:
-            kv = _unpack_uvarints(v).astype(np.int64)
+        if f in acc and w == 2:
+            acc[f] = acc[f] + v if acc[f] else v
+    ids = _packed_sint_delta(acc[1]) if acc[1] else None
+    info_buf = acc[5] or None
+    lats = _packed_sint_delta(acc[8]) if acc[8] else None
+    lons = _packed_sint_delta(acc[9]) if acc[9] else None
+    kv = _unpack_uvarints(acc[10]).astype(np.int64) if acc[10] else None
     if ids is None or len(ids) == 0:
         return
     n = len(ids)
@@ -524,21 +576,19 @@ def _parse_dense(buf: bytes, st: pa.Array, gran: int, lat_off: int,
     cols.nds_offsets.append(None)
     cols.mem_offsets.append(None)
     if info_buf is not None:
-        versions = timestamps = changesets = uids = user_sids = None
-        visibles = None
+        iacc = {1: b"", 2: b"", 3: b"", 4: b"", 5: b"", 6: b""}
         for f, w, v in _iter_fields(info_buf):
-            if f == 1:
-                versions = _unpack_uvarints(v).view(np.int64).astype(np.int32)
-            elif f == 2:
-                timestamps = _packed_sint_delta(v)
-            elif f == 3:
-                changesets = _packed_sint_delta(v)
-            elif f == 4:
-                uids = _packed_sint_delta(v).astype(np.int32)
-            elif f == 5:
-                user_sids = _packed_sint_delta(v)
-            elif f == 6:
-                visibles = _unpack_uvarints(v) != 0
+            if f in iacc and w == 2:  # split packed fields: concatenate
+                iacc[f] = iacc[f] + v if iacc[f] else v
+        versions = (
+            _unpack_uvarints(iacc[1]).view(np.int64).astype(np.int32)
+            if iacc[1] else None
+        )
+        timestamps = _packed_sint_delta(iacc[2]) if iacc[2] else None
+        changesets = _packed_sint_delta(iacc[3]) if iacc[3] else None
+        uids = _packed_sint_delta(iacc[4]).astype(np.int32) if iacc[4] else None
+        user_sids = _packed_sint_delta(iacc[5]) if iacc[5] else None
+        visibles = (_unpack_uvarints(iacc[6]) != 0) if iacc[6] else None
         cols.changeset.append(changesets)
         cols.ts_ms.append(
             timestamps * dgran if timestamps is not None else None
@@ -614,7 +664,14 @@ def _parse_way_like(msgs: list[bytes], kind: str, st: pa.Array,
                     )
                 s = slot.get(fno)
                 if s is not None:
-                    bufs[s][i] = msg[pos:pos + ln]
+                    # protobuf allows one packed field to be SPLIT
+                    # across several occurrences in a message —
+                    # concatenate raw bytes (delta chains continue
+                    # across the split because it is one logical
+                    # array); same rule merges a split Info message
+                    prev = bufs[s][i]
+                    bufs[s][i] = prev + msg[pos:pos + ln] if prev \
+                        else msg[pos:pos + ln]
                 pos += ln
             elif wt == 5:
                 pos += 4
@@ -677,21 +734,23 @@ def _parse_plain_nodes(msgs: list[bytes], st: pa.Array, gran: int,
     tag_counts = np.empty(n, dtype=np.int64)
     keys_parts, vals_parts, infos = [], [], []
     for i, msg in enumerate(msgs):
-        keys = vals = None
-        info = None
+        key_b = val_b = info_b = b""  # split packed fields: concatenate
         for f, w, v in _iter_fields(msg):
             if f == 1:
                 ids[i] = _zigzag_decode(np.array([v], dtype=np.uint64))[0]
             elif f == 2:
-                keys = _unpack_uvarints(v)
+                key_b = key_b + v if key_b else v
             elif f == 3:
-                vals = _unpack_uvarints(v)
+                val_b = val_b + v if val_b else v
             elif f == 4:
-                info = _parse_info(v)
+                info_b = info_b + v if info_b else v
             elif f == 8:
                 lats[i] = _zigzag_decode(np.array([v], dtype=np.uint64))[0]
             elif f == 9:
                 lons[i] = _zigzag_decode(np.array([v], dtype=np.uint64))[0]
+        keys = _unpack_uvarints(key_b) if key_b else None
+        vals = _unpack_uvarints(val_b) if val_b else None
+        info = _parse_info(info_b) if info_b else None
         nk = 0 if keys is None else len(keys)
         tag_counts[i] = nk
         if nk:
@@ -838,7 +897,9 @@ def parse_primitive_block(raw: bytes) -> pa.Table:
     gran, dgran, lat_off, lon_off = 100, 1000, 0, 0
     for f, w, v in _iter_fields(raw):
         if f == 1:
-            st_buf = v
+            # a split StringTable merges by byte concatenation (its
+            # repeated string entries simply continue)
+            st_buf = st_buf + v if st_buf else v
         elif f == 2:
             groups.append(v)
         elif f == 17:
@@ -1068,13 +1129,22 @@ class _StringTable:
         )
 
 
+def _ts_units(ts_ms: int) -> int:
+    """Enforce the documented alignment contract uniformly (node dense
+    path included — silently flooring would lose sub-second precision
+    on export while the way/relation path raised)."""
+    if ts_ms % DATE_GRANULARITY:
+        raise ValueError(
+            f"ts_ms {ts_ms} not a multiple of {DATE_GRANULARITY}"
+        )
+    return ts_ms // DATE_GRANULARITY
+
+
 def _info_msg(st: _StringTable, el: dict) -> bytes:
     out = [_varint_field(1, el.get("version", 1))]
     ts = el.get("ts_ms")
     if ts is not None:
-        if ts % DATE_GRANULARITY:
-            raise ValueError(f"ts_ms {ts} not a multiple of {DATE_GRANULARITY}")
-        out.append(_varint_field(2, ts // DATE_GRANULARITY))
+        out.append(_varint_field(2, _ts_units(ts)))
     if el.get("changeset") is not None:
         out.append(_varint_field(3, el["changeset"]))
     if el.get("uid") is not None:
@@ -1099,9 +1169,7 @@ def _dense_group(st: _StringTable, nodes: list[dict]) -> bytes:
         _packed_delta_field(1, ids),
         _len_field(5, b"".join([
             _packed_field(1, [n.get("version", 1) for n in nodes]),
-            _packed_delta_field(2, [
-                (n["ts_ms"] // DATE_GRANULARITY) for n in nodes
-            ]),
+            _packed_delta_field(2, [_ts_units(n["ts_ms"]) for n in nodes]),
             _packed_delta_field(3, [n.get("changeset", 0) for n in nodes]),
             _packed_delta_field(4, [n.get("uid", 0) for n in nodes]),
             _packed_delta_field(5, [

@@ -233,3 +233,168 @@ def test_spark_read_block_parallel(spark, tmp_path):
         (F.col("type") == "way") & (F.col("id") == 1_000_000)
     ).collect()[0]
     assert [x["ref"] for x in w["nds"]] == ways[0]["refs"]
+
+
+# ---------------------------------------------------------------------------
+# protobuf spec compliance: split packed fields, unknown Info extensions,
+# writer ts-alignment contract (round-5 hardening)
+# ---------------------------------------------------------------------------
+
+def _delta_occurrences(fno, vals, split):
+    """Packed sint-delta field as ONE occurrence or spec-legally SPLIT
+    into two (the delta chain continues across the split — it is one
+    logical array)."""
+    if not split:
+        return pbf._packed_delta_field(fno, vals)
+    k = len(vals) // 2
+    first = pbf._packed_delta_field(fno, vals[:k])
+    prevs = [vals[k - 1]] + list(vals[k:-1])
+    body = b"".join(
+        pbf._enc_zigzag(v - p) for v, p in zip(vals[k:], prevs)
+    )
+    return first + pbf._len_field(fno, body)
+
+
+def _packed_occurrences(fno, vals, split):
+    if not split:
+        return pbf._packed_field(fno, vals)
+    k = max(1, len(vals) // 2)
+    return pbf._packed_field(fno, vals[:k]) + pbf._packed_field(fno, vals[k:])
+
+
+def _dense_block(split: bool) -> bytes:
+    ids = [10, 25, 27, 40, 41, 100]
+    lats = [5_000_000, -5_000_000, 100, 7, -2, 0]
+    lons = [1, 2, 3, 4, 5, 6]
+    tss = [1000, 2000, 3000, 4000, 5000, 6000]
+    st = pbf._StringTable()
+    k1, v1 = st.sid("k"), st.sid("v")
+    u = st.sid("bob")
+    kv = []
+    for i in range(6):
+        if i % 2:
+            kv += [k1, v1]
+        kv.append(0)
+    info_a = pbf._packed_field(1, [1, 2, 3, 4, 5, 6])  # versions
+    info_b = b"".join([
+        _delta_occurrences(2, tss, split),
+        pbf._packed_delta_field(3, [7] * 6),
+        pbf._packed_delta_field(4, [3] * 6),
+        pbf._packed_delta_field(5, [u] * 6),
+        pbf._packed_field(6, [1] * 6),
+    ])
+    if split:
+        # DenseInfo message itself split into two field-5 occurrences
+        # (protobuf merges embedded messages by concatenation)
+        info = pbf._len_field(5, info_a) + pbf._len_field(5, info_b)
+    else:
+        info = pbf._len_field(5, info_a + info_b)
+    dense = b"".join([
+        _delta_occurrences(1, ids, split),
+        info,
+        _delta_occurrences(8, lats, split),
+        _delta_occurrences(9, lons, split),
+        _packed_occurrences(10, kv, split),
+    ])
+    st_bytes = st.message()
+    if split:
+        # stringtable split across two block-level field-1 occurrences
+        # (first entry is the 2-byte "" sentinel)
+        st_fields = pbf._len_field(1, st_bytes[:2]) + pbf._len_field(
+            1, st_bytes[2:]
+        )
+    else:
+        st_fields = pbf._len_field(1, st_bytes)
+    return b"".join([
+        st_fields,
+        pbf._len_field(2, pbf._len_field(2, dense)),
+        pbf._varint_field(17, 100),
+        pbf._varint_field(18, 1000),
+    ])
+
+
+def test_split_packed_fields_merge_dense():
+    """A spec-legal file may split any packed field (and any embedded
+    message) across multiple occurrences; the parse must concatenate,
+    not keep the last occurrence."""
+    normal = pbf.parse_primitive_block(_dense_block(split=False))
+    split = pbf.parse_primitive_block(_dense_block(split=True))
+    assert normal.num_rows == 6
+    assert split.equals(normal)
+
+
+def _way_block(split: bool) -> bytes:
+    st = pbf._StringTable()
+    refs = [100, 93, 150, 151, 7, 900]
+    keys = [st.sid("highway"), st.sid("name")]
+    vals = [st.sid("residential"), st.sid("x")]
+    info_a = pbf._varint_field(1, 4)  # version
+    info_b = pbf._varint_field(3, 77) + pbf._varint_field(
+        5, st.sid("alice")
+    )
+    if split:
+        info = pbf._len_field(4, info_a) + pbf._len_field(4, info_b)
+    else:
+        info = pbf._len_field(4, info_a + info_b)
+    way = b"".join([
+        pbf._varint_field(1, 123456),
+        _packed_occurrences(2, keys, split),
+        _packed_occurrences(3, vals, split),
+        info,
+        _delta_occurrences(8, refs, split),
+    ])
+    return b"".join([
+        pbf._len_field(1, st.message()),
+        pbf._len_field(2, pbf._len_field(3, way)),
+        pbf._varint_field(17, 100),
+        pbf._varint_field(18, 1000),
+    ])
+
+
+def test_split_packed_fields_merge_way():
+    normal = pbf.parse_primitive_block(_way_block(split=False))
+    split = pbf.parse_primitive_block(_way_block(split=True))
+    r = normal.to_pylist()[0]
+    assert [x["ref"] for x in r["nds"]] == [100, 93, 150, 151, 7, 900]
+    assert dict(r["tags"]) == {"highway": "residential", "name": "x"}
+    assert r["version"] == 4 and r["changeset"] == 77 and r["user"] == "alice"
+    assert split.equals(normal)
+
+
+def test_info_unknown_extension_skipped():
+    """Protobuf requires unknown fields to be skipped: an Info message
+    carrying a future length-delimited extension must not fail the
+    batched way/relation path (it falls back to the per-message walk)."""
+    st = pbf._StringTable()
+    info = b"".join([
+        pbf._varint_field(1, 9),
+        pbf._len_field(15, b"future-extension-payload"),  # unknown field
+        pbf._varint_field(3, 55),
+        pbf._varint_field(5, st.sid("carol")),
+    ])
+    way = b"".join([
+        pbf._varint_field(1, 7),
+        pbf._len_field(4, info),
+        pbf._packed_delta_field(8, [1, 2, 3]),
+    ])
+    block = b"".join([
+        pbf._len_field(1, st.message()),
+        pbf._len_field(2, pbf._len_field(3, way)),
+        pbf._varint_field(17, 100),
+        pbf._varint_field(18, 1000),
+    ])
+    r = pbf.parse_primitive_block(block).to_pylist()[0]
+    assert r["version"] == 9 and r["changeset"] == 55 and r["user"] == "carol"
+    assert r["timestamp"] is None and r["uid"] is None
+    assert r["visible"] is True  # message exists -> protobuf default
+
+
+def test_writer_rejects_subsecond_ts_everywhere(tmp_path):
+    """ts alignment is enforced consistently: the dense-node path must
+    raise like the way/relation path, not silently floor."""
+    bad_node = dict(_nodes(1)[0], ts_ms=1_700_000_000_500)
+    with pytest.raises(ValueError, match="not a multiple"):
+        pbf.write_osm_pbf(str(tmp_path / "n.osm.pbf"), [bad_node])
+    bad_way = dict(_ways(1)[0], ts_ms=1_700_000_000_250)
+    with pytest.raises(ValueError, match="not a multiple"):
+        pbf.write_osm_pbf(str(tmp_path / "w.osm.pbf"), [], [bad_way])
