@@ -100,3 +100,62 @@ def test_persisted_ivf_through_viewfs(spark, viewfs):
     assert [r["vec_id"] for r in got.collect()] == [
         r["vec_id"] for r in exact.collect()
     ]
+
+
+def test_read_osm_pbf_through_viewfs(spark, viewfs, tmp_path):
+    """S1 closed for .osm.pbf (r4 verdict #1): index + decode + verify
+    a real PBF addressed ONLY by a non-local Hadoop URI. The driver
+    scans BlobHeaders through the JVM FileSystem and resolves the
+    viewfs mount to its concrete target; workers issue one ranged
+    read per blob via pyarrow.fs — the exact shape a ranged S3 GET
+    takes (reference src/pbf.rs:22-31)."""
+    from osm_pbf_parquet_spark.sources import pbf
+
+    local = "/tmp/spark_graft_viewfs/extract.osm.pbf"
+    nodes = [
+        {
+            "id": i * 2 + 1,
+            "lat_units": i * 1_000_000,
+            "lon_units": -i * 2_000_000,
+            "tags": {"name": f"n{i}"} if i % 2 else {},
+            "ts_ms": 1_700_000_000_000 + i * 1000,
+            "changeset": i,
+            "uid": i % 5,
+            "user": f"u{i % 5}",
+            "version": 1,
+            "visible": True,
+        }
+        for i in range(300)
+    ]
+    ways = [
+        {
+            "id": 9_000_000 + i,
+            "tags": {"highway": "service"},
+            "refs": [1, 3, 5 + i],
+            "ts_ms": 1_700_000_000_000,
+            "changeset": 1,
+            "uid": 1,
+            "user": "w",
+            "version": 1,
+            "visible": True,
+        }
+        for i in range(20)
+    ]
+    pbf.write_osm_pbf(local, nodes, ways, nodes_per_block=64)
+    uri = f"{viewfs}/extract.osm.pbf"
+
+    # the header index through the JVM FS matches the posix scan
+    assert pbf.scan_osm_blobs(uri, spark=spark) == pbf.scan_osm_blobs(local)
+
+    osm = pbf.read_osm_pbf(spark, uri)
+    assert osm.count() == 320
+    got = {
+        (r["type"], r["id"]): r
+        for r in osm.filter("id in (1, 3, 9000000)").collect()
+    }
+    assert round(got[("node", 3)]["lat"] * 1e7) == 1_000_000
+    assert [x["ref"] for x in got[("way", 9_000_000)]["nds"]] == [1, 3, 5]
+
+    # file:/ URIs (Hadoop's resolved form) also work end to end
+    osm2 = pbf.read_osm_pbf(spark, f"file:{local}")
+    assert osm2.count() == 320
