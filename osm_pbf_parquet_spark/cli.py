@@ -147,8 +147,6 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def cmd_encode(args) -> int:
-    from pyspark.sql import functions as F
-
     from .plans.manifest import encode_job, read_encoded
 
     spark = _session(args)
@@ -182,34 +180,18 @@ def cmd_encode(args) -> int:
     }
     rc = 0
     if not args.no_verify:
-        from pyspark.sql.types import MapType
+        from .plans.manifest import verify_roundtrip
 
-        dec = read_encoded(spark, args.output, src.schema)
-        cols = [c for c in src.columns if c != args.key_col]
-
-        def _eq(c: str) -> str:
-            # `<=>` cannot order MAP columns (e.g. OSM tags): compare
-            # the canonical entry list instead — NULL-safe either way
-            if isinstance(src.schema[c].dataType, MapType):
-                return (
-                    f"sort_array(map_entries(a.{c})) <=> "
-                    f"sort_array(map_entries(b.{c}))"
-                )
-            return f"a.{c} <=> b.{c}"
-
-        pred = " AND ".join(_eq(c) for c in cols) or "TRUE"
         # NOT stats["rows"]: a resumed encode only counts the pending
-        # partitions, but verify compares the FULL store; the count
-        # reads the persisted source, not the file again
-        n_src = src.count()
-        ok = (
-            src.alias("a").join(dec.alias("b"), args.key_col)
-            .filter(F.expr(pred)).count()
-        )
+        # partitions, but verify compares the FULL store; the counts
+        # read the persisted source, not the file again
+        dec = read_encoded(spark, args.output, src.schema)
+        v = verify_roundtrip(src, dec)
         src.unpersist()
-        out["verified_identical"] = ok == n_src
-        out["verified_rows"] = ok
-        rc = 0 if ok == n_src else 1
+        out["verified_identical"] = v["identical"]
+        out["verified_rows"] = v["n_src"] - v["src_unmatched"]
+        out["decoded_rows"] = v["n_dec"]
+        rc = 0 if v["identical"] else 1
     print(json.dumps(out))
     return rc
 

@@ -443,6 +443,49 @@ def read_encoded(
     return decode_dataframe(chunks, schema)
 
 
+def verify_roundtrip(src: DataFrame, dec: DataFrame) -> dict:
+    """Multiset-faithful decode-back verification (the CLI/submit-job
+    gate): counts both ways plus a full-equality ANTI-join each way.
+
+    Join-PAIR counting (inner join on the key, filter, compare to
+    n_src) is fooled by duplicate key values — with k src and k' dec
+    rows under one key the join yields k·k' pairs, so exact-duplicate
+    corruption in the store (or extra dec rows under existing keys)
+    can still count up to n_src. Even anti-joins + counts miss
+    multiplicity REDISTRIBUTION (src {r,r,s} vs dec {r,s,s}).
+    EXCEPT ALL both ways is the multiset-exact check: both empty ⟺
+    the decoded multiset IS the source multiset.
+
+    MAP columns are not groupable/orderable, so they canonicalize to
+    sorted entry lists first. Returns {identical, n_src, n_dec,
+    src_unmatched, dec_unmatched} (unmatched = multiset-difference
+    row counts). Cost: one full-row shuffle per direction — the same
+    order as the join it replaces.
+    """
+    from pyspark.sql.types import MapType
+
+    def _canon(df: DataFrame) -> DataFrame:
+        return df.select(*[
+            F.sort_array(F.map_entries(f.name)).alias(f.name)
+            if isinstance(f.dataType, MapType) else F.col(f.name)
+            for f in df.schema.fields
+        ])
+
+    a, b = _canon(src), _canon(dec.select(*src.columns))
+    n_src = src.count()
+    n_dec = dec.count()
+    src_unmatched = a.exceptAll(b).count()
+    dec_unmatched = b.exceptAll(a).count()
+    return {
+        "identical": n_src == n_dec and src_unmatched == 0
+        and dec_unmatched == 0,
+        "n_src": n_src,
+        "n_dec": n_dec,
+        "src_unmatched": src_unmatched,
+        "dec_unmatched": dec_unmatched,
+    }
+
+
 def read_incremental(
     spark: SparkSession,
     out_dir: str,

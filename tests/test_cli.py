@@ -109,7 +109,9 @@ def test_encode_verify_osm_pbf_map_column(spark, tmp_path, capsys):
     nodes = [
         {"id": 10 + i, "lat_units": i * 1000, "lon_units": -i * 1000,
          "tags": {"name": f"n{i}"} if i % 3 == 0 else {},
-         "ts_ms": 1_500_000_000_000 + i, "changeset": 1, "uid": 7,
+         # second-aligned per the writer's DATE_GRANULARITY contract
+         # (r5: the dense path now raises instead of silently flooring)
+         "ts_ms": 1_500_000_000_000 + i * 1000, "changeset": 1, "uid": 7,
          "user": "u", "version": 1, "visible": True}
         for i in range(200)
     ]
@@ -130,3 +132,41 @@ def test_encode_verify_osm_pbf_map_column(spark, tmp_path, capsys):
     assert rc == 0
     assert captured["rows"] == 220
     assert captured["verified_identical"] is True
+
+
+def test_verify_roundtrip_catches_duplicate_key_corruption(spark):
+    """The r4 verify counted JOIN PAIRS: with duplicate key values,
+    pair multiplication could mask exact-duplicate corruption (ok ==
+    n_src with a wrong store). The multiset-faithful verify must fail
+    these and still pass identical multisets."""
+    from osm_pbf_parquet_spark.plans.manifest import verify_roundtrip
+
+    src = spark.createDataFrame(
+        [("k", 1), ("k", 1), ("x", 9)], "url string, v int"
+    )
+    # identical multiset (row order permuted) -> identical
+    ok = verify_roundtrip(
+        src, spark.createDataFrame([("x", 9), ("k", 1), ("k", 1)],
+                                   "url string, v int")
+    )
+    assert ok["identical"]
+    # same count, one dup replaced by a DIFFERENT row under the same
+    # key: the old pair count was 2x1 + 1 = 3 == n_src ("verified");
+    # the anti-joins catch it
+    bad = verify_roundtrip(
+        src, spark.createDataFrame([("k", 1), ("k", 2), ("x", 9)],
+                                   "url string, v int")
+    )
+    assert not bad["identical"] and bad["dec_unmatched"] == 1
+    # lost dup + extra row under an existing key (counts equal both
+    # directions of drift)
+    bad2 = verify_roundtrip(
+        src, spark.createDataFrame([("k", 1), ("x", 9), ("x", 9)],
+                                   "url string, v int")
+    )
+    assert not bad2["identical"]
+    # count mismatch alone
+    bad3 = verify_roundtrip(
+        src, spark.createDataFrame([("k", 1), ("x", 9)], "url string, v int")
+    )
+    assert not bad3["identical"] and bad3["n_dec"] == 2

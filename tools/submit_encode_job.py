@@ -20,7 +20,6 @@ import sys
 import time
 
 from pyspark.sql import SparkSession
-from pyspark.sql import functions as F
 
 
 def main() -> int:
@@ -42,22 +41,14 @@ def main() -> int:
     )
     encode_s = time.time() - t0
 
+    from osm_pbf_parquet_spark.plans.manifest import verify_roundtrip
+
+    # multiset-faithful verify (counts both ways + anti-join each way;
+    # join-PAIR counting is fooled by duplicate keys) — shared helper
     dec = read_encoded(spark, out, src.schema)
-    cols = [c for c in src.columns if c != key_col]
-    from pyspark.sql.types import MapType
-
-    def _eq(c):
-        # `<=>` cannot order MAP columns: compare canonical entry lists
-        if isinstance(src.schema[c].dataType, MapType):
-            return (f"sort_array(map_entries(a.{c})) <=> "
-                    f"sort_array(map_entries(b.{c}))")
-        return f"a.{c} <=> b.{c}"
-
-    pred = " AND ".join(_eq(c) for c in cols)
-    n_src = src.count()
-    ok = (
-        src.alias("a").join(dec.alias("b"), key_col).filter(F.expr(pred)).count()
-    )
+    v = verify_roundtrip(src, dec)
+    identical = v["identical"]
+    n_src, n_dec, src_unmatched = v["n_src"], v["n_dec"], v["src_unmatched"]
     print(
         json.dumps(
             {
@@ -68,13 +59,14 @@ def main() -> int:
                 "ratio": round(stats["bytes_out"] / max(1, stats["bytes_in"]), 4),
                 "encode_sec": round(encode_s, 2),
                 "rows_per_sec": round(stats["rows"] / encode_s, 1),
-                "verified_identical": ok == n_src,
-                "verified_rows": ok,
+                "verified_identical": identical,
+                "verified_rows": n_src - src_unmatched,
+                "decoded_rows": n_dec,
             }
         )
     )
     spark.stop()
-    return 0 if ok == n_src else 1
+    return 0 if identical else 1
 
 
 if __name__ == "__main__":
