@@ -25,6 +25,46 @@ from pyspark.sql import functions as F
 
 MERSENNE31 = (1 << 31) - 1
 
+#: default degenerate-bucket cap for the banded pair generators: above
+#: this, a bucket emits STAR pairs against its min-id representative
+#: (linear) instead of all pairs (quadratic). See _bucket_pairs_expr.
+DEFAULT_MAX_BUCKET = 256
+
+
+def _bucket_pairs_expr(ids_col: str, struct_expr_all: str,
+                       struct_expr_star: str,
+                       max_bucket: int | None) -> F.Column:
+    """In-bucket candidate generation with bounded fan-out.
+
+    Buckets at or under ``max_bucket`` enumerate every pair (the LSH
+    contract). Larger buckets — web-scale boilerplate/empty-text/zero
+    -vector clusters, where all-pairs is O(bucket²) inside ONE
+    collect_list row — emit a STAR against the bucket's first (min)
+    element instead: linear output, and the cluster stays CONNECTED,
+    so connected-components dedup still collapses it to one canonical
+    doc and every emitted pair still faces the downstream exact gate.
+    What the star gives up is only the explicit enumeration of the
+    other in-cluster pairs (they remain reachable through the
+    representative). Dropping over-cap buckets outright — the r4
+    behavior — silently lost ALL pairs of dense near-dup clusters,
+    the exact regime dedup targets (r4 advice); max_bucket=None keeps
+    pure all-pairs for small corpora."""
+    all_pairs = (
+        f"flatten(transform({ids_col}, (x, i) -> "
+        f"transform(slice({ids_col}, i + 2, size({ids_col})), "
+        f"y -> {struct_expr_all})))"
+    )
+    if max_bucket is None:
+        return F.expr(all_pairs)
+    star = (
+        f"transform(slice({ids_col}, 2, size({ids_col}) - 1), "
+        f"y -> {struct_expr_star})"
+    )
+    return F.expr(
+        f"CASE WHEN size({ids_col}) <= {int(max_bucket)} "
+        f"THEN {all_pairs} ELSE {star} END"
+    )
+
 
 def dedup_exact(
     df: DataFrame,
@@ -110,7 +150,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_k: int = 4,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH (doc_a < doc_b).
 
@@ -119,10 +159,12 @@ def minhash_lsh_pairs(
     rather than a banded self-join — halves the shuffled volume and
     dedupes within each band for free; the final ``distinct()`` only
     collapses pairs that collide in MULTIPLE bands (map-side partial
-    aggregation makes that cheap). ``max_bucket`` optionally drops
-    degenerate buckets (> max_bucket docs sharing a band hash — at web
-    scale those are boilerplate clusters whose O(bucket²) candidate
-    fan-out a downstream exact check would reject anyway).
+    aggregation makes that cheap). Buckets over ``max_bucket``
+    (default 256 — ON by default since r5: a naive caller at corpus
+    scale otherwise hits O(bucket²) fan-out inside one boilerplate/
+    empty-text bucket row) emit star pairs against the bucket
+    representative instead of all pairs — linear and connectivity-
+    preserving; see _bucket_pairs_expr.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
@@ -151,12 +193,11 @@ def minhash_lsh_pairs(
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    if max_bucket is not None:
-        buckets = buckets.filter(F.size("ids") <= max_bucket)
-    pairs = F.expr(
-        "flatten(transform(ids, (x, i) -> "
-        "transform(slice(ids, i + 2, size(ids)), "
-        "y -> named_struct('doc_a', x, 'doc_b', y))))"
+    pairs = _bucket_pairs_expr(
+        "ids",
+        "named_struct('doc_a', x, 'doc_b', y)",
+        "named_struct('doc_a', ids[0], 'doc_b', y)",
+        max_bucket,
     )
     return (
         buckets.select(F.explode(pairs).alias("p"))
@@ -203,7 +244,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     bands: int = 4,
-    max_bucket: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming, banded on
     16-bit slices (a pair within distance d < bands must agree on ≥1
@@ -212,9 +253,11 @@ def simhash_pairs(
     Buckets are built with ONE groupBy shuffle and in-bucket pairs are
     generated JVM-side (same shape as ``minhash_lsh_pairs``, not a
     banded self-join): the Hamming filter runs before the cross-band
-    ``distinct()``, and ``max_bucket`` drops degenerate buckets — e.g.
-    the all-zero band slice that short/boilerplate docs share — whose
-    O(bucket²) fan-out would otherwise dominate at corpus scale."""
+    ``distinct()``. Degenerate buckets — e.g. the all-zero band slice
+    that short/boilerplate docs share — exceed ``max_bucket`` (default
+    256, ON by default since r5) and emit star pairs against the
+    bucket representative instead of the O(bucket²) enumeration; the
+    stars face the same Hamming gate (see _bucket_pairs_expr)."""
     sig = simhash_signatures(df, text_col, id_col)
     width = 64 // bands
     mask = (1 << width) - 1
@@ -244,12 +287,12 @@ def simhash_pairs(
         )
         .filter(F.size("ms") >= 2)
     )
-    if max_bucket is not None:
-        buckets = buckets.filter(F.size("ms") <= max_bucket)
-    pairs = F.expr(
-        "flatten(transform(ms, (x, i) -> "
-        "transform(slice(ms, i + 2, size(ms)), "
-        "y -> named_struct('doc_a', x.i, 'doc_b', y.i, 'sa', x.s, 'sb', y.s))))"
+    pairs = _bucket_pairs_expr(
+        "ms",
+        "named_struct('doc_a', x.i, 'doc_b', y.i, 'sa', x.s, 'sb', y.s)",
+        "named_struct('doc_a', ms[0].i, 'doc_b', y.i, "
+        "'sa', ms[0].s, 'sb', y.s)",
+        max_bucket,
     )
     hamming = F.bit_count(F.col("p.sa").bitwiseXOR(F.col("p.sb")))
     return (
@@ -342,10 +385,13 @@ def embedding_lsh_pairs(
     bits, a pair is a candidate if it collides in ANY band, and exact
     cosine (two id-joins back to the vectors — shuffle O(candidates))
     is the gate. Bucket universe per band is 2^n_planes (65k at the
-    default 16; size n_planes ≳ log2(corpus) at scale), and
-    ``max_bucket`` drops degenerate buckets (boilerplate/zero-vector
-    clusters) whose O(bucket²) fan-out a downstream exact check would
-    reject anyway — the same guard the minhash/simhash paths carry.
+    default 16; size n_planes ≳ log2(corpus) at scale). Buckets over
+    ``max_bucket`` emit star pairs against the representative instead
+    of being DROPPED (r4 advice: an over-cap dense near-dup cluster
+    lands in ONE bucket in EVERY band, so dropping lost its recall
+    totally, not probabilistically) — the star keeps the cluster
+    connected through the representative, the exact-cosine gate still
+    verifies every emitted pair, and the fan-out stays linear.
 
     Recall: p(bit agrees) = 1 − θ/π; p(candidate) =
     1 − (1 − p^n_planes)^bands — near-identical vectors (θ→0, the
@@ -391,12 +437,11 @@ def embedding_lsh_pairs(
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    if max_bucket is not None:
-        buckets = buckets.filter(F.size("ids") <= max_bucket)
-    pair_gen = F.expr(
-        "flatten(transform(ids, (x, i) -> "
-        "transform(slice(ids, i + 2, size(ids)), "
-        "y -> named_struct('vec_a', x, 'vec_b', y))))"
+    pair_gen = _bucket_pairs_expr(
+        "ids",
+        "named_struct('vec_a', x, 'vec_b', y)",
+        "named_struct('vec_a', ids[0], 'vec_b', y)",
+        max_bucket,
     )
     cand = (
         buckets.select(F.explode(pair_gen).alias("p"))
