@@ -250,25 +250,37 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rt_framed_source"] = rt_framed_source
 
     def rt_osm_pbf(s, d):
-        """Real OSM PBF ingestion (S4/S5 completed — reference
-        src/pbf.rs:45-91 process_blobs, :175-191 element demux, S6
-        dense delta chains): a genuine .osm.pbf synthesized
-        deterministically from `documents` (protobuf varint framing,
-        DenseNodes zigzag-delta id/lat/lon/timestamp chains, string
-        table, DenseInfo, ways' delta refs, relations' delta memids)
-        is block-parallel decoded (sources/pbf.py, no protobuf
-        library) and projected to scalars; the oracle restates the
-        identical derivation in SQL over documents, so every decoded
-        field — delta chains included — is value-checked."""
+        """Real OSM PBF ingestion THROUGH the chunk store (the full
+        reference pipeline as ONE graded row — S4/S5 blob scan+decode
+        src/pbf.rs:45-91, :175-191 element demux, S6 dense delta
+        chains, then §2.8 encode_chunk→decode_chunk): a genuine
+        .osm.pbf synthesized deterministically from `documents`
+        (protobuf varint framing, DenseNodes zigzag-delta
+        id/lat/lon/timestamp chains, string table, DenseInfo, ways'
+        delta refs, relations' delta memids) is block-parallel
+        decoded (sources/pbf.py, no protobuf library), columnar-
+        encoded on its native nested shape (tags map<str,str>, nds
+        array<struct>, members array<struct> — the codec family on
+        the reference's own types, r4 verdict #6), decoded back
+        bit-identically, and projected to scalars; the oracle
+        restates the identical derivation in SQL over documents, so
+        every decoded field — delta chains included — is
+        value-checked through the store."""
         _utc(s)
         _ensure_workers_see_package(s)
+        from osm_pbf_parquet_spark.operators.encode import (
+            decode_dataframe,
+            encode_dataframe,
+        )
         from osm_pbf_parquet_spark.sources.pbf import (
             osm_pbf_fixture,
             read_osm_pbf,
         )
 
         path = osm_pbf_fixture(d)
-        osm = read_osm_pbf(s, path)
+        ingested = read_osm_pbf(s, path)
+        chunks = encode_dataframe(ingested, key_col="id", num_partitions=8)
+        osm = decode_dataframe(chunks, ingested.schema)
         nn = F.col("nds").isNotNull()
         mm = F.col("members").isNotNull()
         return osm.select(

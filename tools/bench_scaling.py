@@ -246,6 +246,75 @@ def scaling_report(pairs: list[tuple[int, int]], with_ceiling: bool = True,
     return report
 
 
+def interleaved_report(lo: int = 8, hi: int = 32, rounds: int = 4,
+                       runs: int = 2) -> dict:
+    """Three-line scaling evidence measured in ONE session with every
+    probe INTERLEAVED inside each round (r4 verdict next-round #8):
+    engine (fresh-JVM encode job at the auto task granularity), the
+    bare fsst/zstd kernel in K plain processes, and pure K-process
+    memcpy — back-to-back within a round, so all three lines sample the
+    SAME hypervisor state instead of the engine and its ceilings being
+    measured hours apart. Per line: within-round paired ratio
+    throughput(hi)/(factor·throughput(lo)), median across rounds.
+    The expected ordering on this CPU-overcommitted VM is
+    kernel ≥ memcpy ≥ engine — the gap engine↔memcpy is the
+    Arrow-bridge copy amplification contending on the one shared
+    memory bus (BASELINE.md), which a real N-vs-4N executor cluster
+    does not share."""
+    _ensure_fixture()
+    import kernel_ceiling as kc
+
+    kc._ensure_fixture()
+    kc._ensure_slices(hi)
+    factor = hi / lo
+    history: list[dict] = []
+    for _ in range(rounds):
+        row: dict[str, dict[int, float]] = {
+            "engine": {}, "kernel": {}, "memcpy": {},
+        }
+        for c in (lo, hi):
+            row["engine"][c] = measure(c, runs=runs)["rows_per_sec"]
+        for c in (lo, hi):
+            row["kernel"][c] = kc.measure_level(c)
+        for c in (lo, hi):
+            row["memcpy"][c] = kc.measure_memcpy_level(c)
+        history.append(row)
+
+    def med(xs: list[float]) -> float:
+        s = sorted(xs)
+        m = len(s) // 2
+        return round(s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2, 3)
+
+    report: dict = {
+        "metric": "scaling_three_line_interleaved",
+        "pair": f"{lo}to{hi}",
+        "rounds": rounds,
+        "pinned": os.environ.get("SCALING_PIN", "0") == "1",
+        "units": {"engine": "rows_per_sec", "kernel": "MB/s",
+                  "memcpy": "GB/s"},
+    }
+    for line in ("engine", "kernel", "memcpy"):
+        ratios = [
+            round(h[line][hi] / (factor * h[line][lo]), 3) for h in history
+        ]
+        report[f"{line}_ratios"] = ratios
+        report[f"{line}_median"] = med(ratios)
+        report[f"{line}_levels"] = {
+            str(c): med([h[line][c] for h in history]) for c in (lo, hi)
+        }
+    ceiling = max(report["kernel_median"], report["memcpy_median"])
+    report["normalized"] = (
+        round(min(1.0, report["engine_median"] / ceiling), 3)
+        if ceiling else None
+    )
+    report["methodology"] = (
+        "one session, probes interleaved per round (engine lo, engine "
+        "hi, kernel lo, kernel hi, memcpy lo, memcpy hi), paired "
+        "within-round ratios, median across rounds; " + _PIN_NOTE
+    )
+    return report
+
+
 def main() -> int:
     """CLI wrapper around scaling_report — ONE methodology for both the
     per-round bench JSON and the BASELINE.md table."""
@@ -256,6 +325,14 @@ def main() -> int:
     rounds = 1 if "--one-round" in sys.argv else 2
     if "--rounds" in sys.argv:  # more rounds → best-leg converges to the
         rounds = int(sys.argv[sys.argv.index("--rounds") + 1])  # quiet-host truth
+    if "--interleaved" in sys.argv:  # one-session three-line evidence
+        lo, hi = pairs[0]
+        rep = interleaved_report(lo, hi, rounds=max(rounds, 3))
+        out = os.path.join(REPO, "tools", "scaling_interleaved.json")
+        with open(out, "w") as fh:
+            json.dump(rep, fh, indent=2)
+        print(json.dumps(rep))
+        return 0
     report = {
         "metric": "scaling_efficiency",
         "unit": "ratio",

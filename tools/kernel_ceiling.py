@@ -93,12 +93,33 @@ def _ensure_slices(k_max: int) -> None:
                        compression="none")
 
 
-def measure_level(k: int) -> float:
-    """Aggregate MB/s of the real encode kernel across k processes."""
-    code = _CHILD % {"repo": REPO, "window": WINDOW_SEC}
+_MEMCPY_CHILD = r"""
+import sys, time
+import numpy as np
+a = np.empty(32 << 20, dtype=np.uint8)  # 32 MB >> L3 slice: DRAM-bound
+a[::4096] = 1  # fault the pages in before timing
+b = np.empty_like(a)
+b[::4096] = 1
+print("ready", flush=True)
+sys.stdin.readline()  # barrier
+t0 = time.time(); done = 0
+while time.time() - t0 < %(window)f:
+    np.copyto(b, a)
+    done += a.nbytes
+dt = time.time() - t0
+print("RESULT %%d %%f" %% (done, dt), flush=True)
+"""
+
+
+def _barrier_run(k: int, code: str, argv_for) -> float:
+    """K children, loaded behind a ready-barrier, released at once;
+    returns aggregate bytes/sec. Honors SCALING_PIN=1 by capping the
+    probe to CPUs 0..k-1 — the same budget the engine level gets."""
+    base = [sys.executable, "-c", code]
+    if os.environ.get("SCALING_PIN", "0") == "1":
+        base = ["taskset", "-c", f"0-{k - 1}"] + base
     procs = [
-        subprocess.Popen([sys.executable, "-c", code,
-                          f"{SLICE_DIR}/slice_{i}.parquet"],
+        subprocess.Popen(base + argv_for(i),
                          stdin=subprocess.PIPE, stdout=subprocess.PIPE,
                          text=True)
         for i in range(k)
@@ -108,12 +129,32 @@ def measure_level(k: int) -> float:
     for pr in procs:  # release the barrier
         pr.stdin.write("\n")
         pr.stdin.flush()
-    total_mb = 0.0
+    total = 0.0
     for pr in procs:
         line = pr.stdout.readline().split()
         pr.communicate()
-        total_mb += int(line[1]) / float(line[2]) / 1e6
-    return round(total_mb, 1)
+        total += int(line[1]) / float(line[2])
+    return total
+
+
+def measure_level(k: int) -> float:
+    """Aggregate MB/s of the real encode kernel across k processes."""
+    code = _CHILD % {"repo": REPO, "window": WINDOW_SEC}
+    total = _barrier_run(
+        k, code, lambda i: [f"{SLICE_DIR}/slice_{i}.parquet"]
+    )
+    return round(total / 1e6, 1)
+
+
+def measure_memcpy_level(k: int) -> float:
+    """Aggregate pure-memcpy GB/s across k processes — the memory-bus
+    line of the three-line scaling evidence (engine > kernel > memcpy;
+    BASELINE.md). No Python/numpy compute in the window beyond
+    np.copyto, so whatever k→4k ratio THIS shows is what the shared
+    bus physically delivers under that process count."""
+    code = _MEMCPY_CHILD % {"window": WINDOW_SEC}
+    total = _barrier_run(k, code, lambda i: [])
+    return round(total / 1e9, 2)
 
 
 def main() -> int:
