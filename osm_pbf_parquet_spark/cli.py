@@ -116,6 +116,12 @@ def build_parser() -> argparse.ArgumentParser:
     dec.add_argument("--schema-from", required=True,
                      help="parquet path whose schema the store was encoded with")
     dec.add_argument("--columns", default=None, help="comma list to project")
+    dec.add_argument("--where", action="append", default=None,
+                     metavar="'col op literal'",
+                     help="predicate conjunct (repeatable, ANDed): ops "
+                          "==/=/!=/</<=/>/>= — pushes down as bloom "
+                          "point pruning + zone-map group pruning + "
+                          "worker-side row filter")
     dec.add_argument("--as-of", type=float, default=None,
                      help="time-travel horizon (unix seconds)")
     _add_common(dec)
@@ -197,7 +203,14 @@ def cmd_encode(args) -> int:
 
 
 def cmd_decode(args) -> int:
-    from .operators.pruning import decode_columns
+    """Store → parquet, with the full read-path pushdown surface:
+    --columns projects (only those payloads are read), --where
+    conjuncts prune whole chunk GROUPS via bloom point + zone-map
+    stats on the metadata before any payload decode, then filter
+    exactly inside the Arrow worker (reference parity: the planet-
+    scale point-read path, src/pbf.rs element fetch)."""
+    from .operators.encode import decode_dataframe
+    from .operators.pruning import parse_where, prune_where
     from .plans.manifest import read_chunks, read_manifest
     from pyspark.sql import functions as F
 
@@ -212,14 +225,32 @@ def cmd_decode(args) -> int:
     chunks = read_chunks(spark, args.store).join(
         F.broadcast(committed), ["partition_id", "run_id"], "left_semi"
     )
-    if args.columns:
-        dec = decode_columns(chunks, schema, args.columns.split(","))
-    else:
-        from .operators.encode import decode_dataframe
-
-        dec = decode_dataframe(chunks, schema)
+    n_groups_total = (
+        chunks.select("partition_id", "chunk_seq").distinct().count()
+    )
+    conj = parse_where(args.where)
+    if conj:
+        chunks = prune_where(chunks, conj, schema)
+    n_groups = (
+        chunks.select("partition_id", "chunk_seq").distinct().count()
+        if conj else n_groups_total
+    )
+    cols = args.columns.split(",") if args.columns else None
+    if cols is not None:
+        need = list(dict.fromkeys(cols + [c for c, _, _ in conj]))
+        schema = type(schema)(
+            [f for f in schema.fields if f.name in need]
+        )
+        chunks = chunks.filter(
+            F.col("column").isin([f.name for f in schema.fields])
+        )
+    dec = decode_dataframe(chunks, schema, row_filter=conj or None)
+    if cols is not None:
+        dec = dec.select(*[c for c in cols if c in dec.columns])
     dec.write.mode("overwrite").parquet(args.output)
     print(json.dumps({"rows": spark.read.parquet(args.output).count(),
+                      "chunk_groups_decoded": n_groups,
+                      "chunk_groups_total": n_groups_total,
                       "output": args.output}))
     return 0
 

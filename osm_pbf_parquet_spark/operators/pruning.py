@@ -278,3 +278,84 @@ def prune_by_point(
     return chunks_df.join(
         F.broadcast(disqualified), _group_keys(chunks_df), "left_anti"
     )
+
+
+# --- `--where` conjunct surface (CLI decode verb + read_encoded) ---------
+
+_WHERE_RE = None  # compiled lazily; module import stays regex-free
+
+
+def parse_where(exprs) -> list[tuple[str, str, object]]:
+    """Parse ``"col op literal"`` conjunct strings into the
+    (column, op, value) triples the store's pruning + row_filter
+    layers consume. Ops: == (or =), !=, <, <=, >, >=. Literals:
+    int, float, single-/double-quoted string, or bare word (string).
+    Already-parsed triples pass through untouched, so programmatic
+    callers can hand `read_encoded` tuples directly."""
+    import re
+
+    global _WHERE_RE
+    if _WHERE_RE is None:
+        _WHERE_RE = re.compile(
+            r"^\s*([A-Za-z_]\w*)\s*(==|!=|<=|>=|=|<|>)\s*(.+?)\s*$"
+        )
+    out: list[tuple[str, str, object]] = []
+    for e in exprs or []:
+        if isinstance(e, (tuple, list)):
+            out.append((e[0], e[1], e[2]))
+            continue
+        m = _WHERE_RE.match(e)
+        if not m:
+            raise ValueError(
+                f"--where {e!r}: expected 'col op literal' with op in "
+                "==/=/!=/</<=/>/>="
+            )
+        col, op, lit = m.group(1), m.group(2), m.group(3)
+        op = "==" if op == "=" else op
+        val: object
+        if len(lit) >= 2 and lit[0] == lit[-1] and lit[0] in "'\"":
+            val = lit[1:-1]
+        else:
+            try:
+                val = int(lit)
+            except ValueError:
+                try:
+                    val = float(lit)
+                except ValueError:
+                    val = lit
+        out.append((col, op, val))
+    return out
+
+
+def prune_where(
+    chunks_df: DataFrame,
+    conjuncts: list[tuple[str, str, object]],
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """Chunk-group pruning for a conjunct list: every `==` probes the
+    column's bloom filter (point pruning — decisive under hash
+    partitioning, where zone maps are blind) AND its zone map; range
+    ops prune by zone map alone; `!=` cannot prune groups (any group
+    may hold other values) and passes through to the row filter. All
+    pruning is conservative — groups without stats are kept — so the
+    caller must still apply the exact predicate row-side
+    (decode_dataframe's row_filter does exactly that)."""
+    for col, op, val in conjuncts:
+        numeric = isinstance(val, (int, float)) and not isinstance(val, bool)
+        if op == "==":
+            if schema is not None or isinstance(val, str):
+                chunks_df = prune_by_point(
+                    chunks_df, col, val, value_type=schema
+                )
+            chunks_df = prune_by_range(
+                chunks_df, col, lower=val, upper=val, numeric=numeric
+            )
+        elif op in ("<", "<="):
+            chunks_df = prune_by_range(
+                chunks_df, col, upper=val, numeric=numeric
+            )
+        elif op in (">", ">="):
+            chunks_df = prune_by_range(
+                chunks_df, col, lower=val, numeric=numeric
+            )
+    return chunks_df

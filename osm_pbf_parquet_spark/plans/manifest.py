@@ -416,6 +416,8 @@ def read_encoded(
     schema,
     snapshot_id: str | None = None,
     as_of: float | None = None,
+    columns: list[str] | None = None,
+    where=None,
 ) -> DataFrame:
     """Decode the committed view: chunks ⋉ manifest on (pid, run_id).
 
@@ -429,7 +431,18 @@ def read_encoded(
     supersedes (compaction) resolve against that horizon — the same
     read semantics an Iceberg snapshot timestamp gives, from the same
     append-only metadata.
+
+    columns projects the decode (only those columns' payload bytes are
+    read). where — "col op literal" strings or (col, op, value)
+    triples, ANDed — pushes down three levels: bloom point pruning +
+    zone-map group pruning on the chunk METADATA (whole chunk groups
+    skipped before any payload read) and an exact worker-side
+    row_filter during decode, so a point query on a bloom-indexed key
+    decodes ~1 chunk group out of the whole store (the reference's
+    "fetch one way out of the planet" read path).
     """
+    from ..operators.pruning import parse_where, prune_where
+
     manifest = read_manifest(spark, out_dir, as_of=as_of)
     if manifest is None:
         raise FileNotFoundError(f"no manifest under {out_dir}")
@@ -440,7 +453,17 @@ def read_encoded(
     chunks = read_chunks(spark, out_dir).join(
         F.broadcast(committed), ["partition_id", "run_id"], "left_semi"
     )
-    return decode_dataframe(chunks, schema)
+    conj = parse_where(where)
+    if conj:
+        chunks = prune_where(chunks, conj, schema)
+    if columns is not None:
+        # filter columns must decode too; project them away at the end
+        need = list(dict.fromkeys(list(columns) + [c for c, _, _ in conj]))
+        sub = type(schema)([f for f in schema.fields if f.name in need])
+        chunks = chunks.filter(F.col("column").isin([f.name for f in sub]))
+        dec = decode_dataframe(chunks, sub, row_filter=conj or None)
+        return dec.select(*[c for c in columns if c in dec.columns])
+    return decode_dataframe(chunks, schema, row_filter=conj or None)
 
 
 def verify_roundtrip(src: DataFrame, dec: DataFrame) -> dict:

@@ -4,6 +4,7 @@
 from __future__ import annotations
 
 import json
+import os
 
 import pytest
 
@@ -170,3 +171,79 @@ def test_verify_roundtrip_catches_duplicate_key_corruption(spark):
         src, spark.createDataFrame([("k", 1), ("x", 9)], "url string, v int")
     )
     assert not bad3["identical"] and bad3["n_dec"] == 2
+
+
+def test_decode_where_point_prunes_to_one_group(spark, sf_dir, tmp_path,
+                                                capsys):
+    """r4 verdict #7: the CLI decode verb exposes the read-path
+    pushdown — a bloom-indexed point query decodes ~1 chunk group out
+    of the store, not all of them, and the worker-side row filter
+    returns exactly the matching row."""
+    docs = os.path.join(sf_dir, "documents.parquet")
+    out = str(tmp_path / "store")
+    rc = main([
+        "encode", "--input", docs, "--output", out,
+        "--key-col", "doc_id", "--partitions", "8",
+        "--record-batch-target-bytes", str(64 << 10),
+        "--bloom-cols", "doc_id", "--no-verify",
+    ])
+    capsys.readouterr()
+    assert rc == 0
+
+    dec_out = str(tmp_path / "hit")
+    rc = main([
+        "decode", "--store", out, "--output", dec_out,
+        "--schema-from", docs, "--where", "doc_id == 123",
+    ])
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert got["rows"] == 1
+    assert got["chunk_groups_total"] >= 8
+    # bloom prunes to the one group that can hold doc_id=123 (hash-
+    # partitioned high-cardinality key: zone maps alone are blind here)
+    assert got["chunk_groups_decoded"] <= 2
+    row = spark.read.parquet(dec_out).collect()[0]
+    src = spark.read.parquet(docs).filter("doc_id = 123").collect()[0]
+    assert row.asDict() == src.asDict()
+
+    # range conjunct + projection: filter column (n_chars) is decoded
+    # for the worker-side filter but projected away on request
+    rng_out = str(tmp_path / "range")
+    rc = main([
+        "decode", "--store", out, "--output", rng_out,
+        "--schema-from", docs, "--columns", "doc_id,lang",
+        "--where", "n_chars >= 50", "--where", "n_chars < 200",
+    ])
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    res = spark.read.parquet(rng_out)
+    assert set(res.columns) == {"doc_id", "lang"}
+    expect = (spark.read.parquet(docs)
+              .filter("n_chars >= 50 AND n_chars < 200").count())
+    assert res.count() == expect == got["rows"]
+
+
+def test_read_encoded_where_and_columns(spark, sf_dir, tmp_path):
+    """read_encoded's programmatic pushdown twin: where conjuncts
+    (string or tuple form) + column projection give the same rows as
+    the parquet source filtered exactly."""
+    from osm_pbf_parquet_spark.plans.manifest import encode_job, read_encoded
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    docs = spark.read.parquet(docs_path)
+    out = str(tmp_path / "store")
+    encode_job(spark, docs, out, key_col="doc_id", num_partitions=4,
+               bloom_cols=["doc_id"])
+
+    got = read_encoded(
+        spark, out, docs.schema,
+        columns=["doc_id", "text"], where=["n_chars >= 100", ("lang", "==", "en")],
+    )
+    assert set(got.columns) == {"doc_id", "text"}
+    expect = docs.filter("n_chars >= 100 AND lang = 'en'")
+    assert got.count() == expect.count()
+    assert got.exceptAll(expect.select("doc_id", "text")).count() == 0
+
+    point = read_encoded(spark, out, docs.schema, where=["doc_id = 42"])
+    assert point.count() == 1
+    assert point.first()["doc_id"] == 42
