@@ -1161,7 +1161,8 @@ def decode_osm_blob(path: str, offset: int, length: int) -> pa.Table:
     return parse_primitive_block(_blob_payload(blob))
 
 
-def read_osm_pbf(spark, path: str, num_partitions: int | None = None):
+def read_osm_pbf(spark, path: str, num_partitions: int | None = None,
+                 columns: list[str] | None = None):
     """.osm.pbf → unified-schema DataFrame, block-parallel (zero
     shuffle; each task seeks/inflates/parses only its own blobs).
 
@@ -1171,7 +1172,16 @@ def read_osm_pbf(spark, path: str, num_partitions: int | None = None):
     from the SparkContext) and resolves client-side indirection
     (viewfs://) to the concrete target; each task then issues ONE
     pyarrow ranged read per blob — at planet scale no node ever holds
-    more than its own blobs."""
+    more than its own blobs.
+
+    `columns` pushes projection INSIDE the decode worker: a
+    mapInArrow source is opaque to Catalyst, so a downstream
+    .select() cannot prune what crosses the Python→JVM Arrow bridge —
+    this parameter can. The wire decode is shared per blob either
+    way; what projection saves is bridge transfer + JVM ingestion of
+    the heavy nested columns (tags/nds/members) — measured on the
+    3.3M-element bench fixture at local[32], best-of-3: full 13
+    columns 1.76M el/s → id/lat/lon 2.37M el/s (+35%)."""
     from pyspark.sql import types as T
 
     idx = scan_osm_blobs(path, spark=spark)
@@ -1182,11 +1192,19 @@ def read_osm_pbf(spark, path: str, num_partitions: int | None = None):
     if num_partitions:
         n = num_partitions
     else:
-        # engine-wide task-granularity default (≥ 8× cores, r3 lesson):
-        # one task per core makes the job tail a single straggler blob
+        # 2× cores, NOT the engine-wide 8× default: PBF blobs are
+        # uniform (~8k elements each — the format targets fixed-size
+        # PrimitiveBlocks), so the straggler-tail argument behind 8×
+        # (r3, skew-prone keyed encodes) doesn't apply, while each
+        # mapInArrow task pays a fixed worker/Arrow-stream setup that
+        # coarse tasks amortize. Measured, 3.3M-element fixture at
+        # local[16]: 16 tasks 1.97M el/s, 32 → 1.90M, 64 → 1.36M,
+        # 128 (the 8× default) → 0.98M. On a 1000-executor cluster a
+        # planet file still yields tens of thousands of blobs spread
+        # 2× over slots — granularity stays cluster-wide.
         from ..config import derive_num_partitions
 
-        n = min(len(idx), derive_num_partitions(spark))
+        n = min(len(idx), derive_num_partitions(spark, factor=2, floor=8))
     index_df = spark.createDataFrame(
         [(path, o, ln) for o, ln in idx],
         "path string, offset long, length long",
@@ -1223,6 +1241,16 @@ def read_osm_pbf(spark, path: str, num_partitions: int | None = None):
         ]
     )
 
+    if columns is not None:
+        known = {f.name for f in spark_schema.fields}
+        bad = [c for c in columns if c not in known]
+        if bad:
+            raise ValueError(f"read_osm_pbf columns {bad} not in {sorted(known)}")
+        spark_schema = T.StructType(
+            [f for f in spark_schema.fields if f.name in columns]
+        )
+    keep = [f.name for f in spark_schema.fields]
+
     def decode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             paths = batch.column("path")
@@ -1232,12 +1260,14 @@ def read_osm_pbf(spark, path: str, num_partitions: int | None = None):
                 tbl = decode_osm_blob(
                     paths[i].as_py(), offs[i].as_py(), lens[i].as_py()
                 )
-                # Spark's Arrow bridge carries TimestampNTZ as µs
-                tbl = tbl.set_column(
-                    tbl.schema.get_field_index("timestamp"),
-                    "timestamp",
-                    tbl.column("timestamp").cast(pa.timestamp("us")),
-                )
+                tbl = tbl.select(keep)
+                if "timestamp" in keep:
+                    # Spark's Arrow bridge carries TimestampNTZ as µs
+                    tbl = tbl.set_column(
+                        tbl.schema.get_field_index("timestamp"),
+                        "timestamp",
+                        tbl.column("timestamp").cast(pa.timestamp("us")),
+                    )
                 yield from tbl.to_batches()
 
     return index_df.mapInArrow(decode_fn, spark_schema)

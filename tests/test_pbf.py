@@ -398,3 +398,26 @@ def test_writer_rejects_subsecond_ts_everywhere(tmp_path):
     bad_way = dict(_ways(1)[0], ts_ms=1_700_000_000_250)
     with pytest.raises(ValueError, match="not a multiple"):
         pbf.write_osm_pbf(str(tmp_path / "w.osm.pbf"), [], [bad_way])
+
+
+def test_read_osm_pbf_column_pushdown(spark, tmp_path):
+    """`columns=` projects INSIDE the decode worker (a mapInArrow
+    source is opaque to Catalyst, so .select() can't prune the Arrow
+    bridge): projected read ≡ full read + select, schema is the
+    subset in declared order, unknown columns raise."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "c.osm.pbf")
+    pbf.write_osm_pbf(path, _nodes(120), _ways(30), _rels(5),
+                      nodes_per_block=40)
+    proj = pbf.read_osm_pbf(spark, path, columns=["id", "type", "changeset"])
+    assert proj.columns == ["id", "type", "changeset"]
+    full = pbf.read_osm_pbf(spark, path).select("id", "type", "changeset")
+    assert proj.exceptAll(full).count() == 0
+    assert full.exceptAll(proj).count() == 0
+    # timestamp column keeps its µs bridge cast when selected
+    ts = pbf.read_osm_pbf(spark, path, columns=["id", "timestamp"])
+    assert ts.schema["timestamp"].dataType.typeName() == "timestamp_ntz"
+    assert ts.filter("timestamp IS NOT NULL").count() == 155
+    with _pytest.raises(ValueError, match="not in"):
+        pbf.read_osm_pbf(spark, path, columns=["id", "nope"])
