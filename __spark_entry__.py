@@ -164,6 +164,14 @@ _EXTRA_QUERIES = (
     "codec_xor_value",        # float family graded via codec_alp_price + rt_events_auto; r03-green
     "tpch_q3_top10",          # join+agg graded via v2/v3 joins + tpch_q1; top-k via similarity_topk; r03-green
     "events_hourly",          # tumbling window ≡ date_trunc; window family graded via sessionize_events; r03-green — slot goes to ivf_store_probe
+
+    # round-5 swaps: dedup_substring_pairs + decontaminate_docs enter
+    # the graded window (substring-level dedup / benchmark
+    # decontamination, operators/substring.py); demoted in exchange —
+    # each capability stays graded via a sibling:
+    "dedup_ngram_jaccard",    # exact-Jaccard machinery + its SQL twin run INSIDE the graded dedup_minhash_recall truth set (same operator, max_df=None); r04-green
+    "vocab_topk",             # tokenizer + document-frequency machinery graded via token_postings_pairs (4,223-row band); r04-green
+    "dedup_substring_winnow", # rows-only winnowing scale path; exact twin dedup_substring_pairs is graded, the >=w+k-1 recall guarantee is tested in tests/test_substring.py
 )
 
 
@@ -780,6 +788,55 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["dedup_ngram_jaccard"] = dedup_ngram_jaccard_q
+
+    def dedup_substring_q(s, d):
+        """Substring-level exact dedup (the training-data literature's
+        'exact substring deduplication'): pairs of docs sharing ANY
+        30-byte span, via ONE mapInArrow pass emitting per-doc distinct
+        63-bit rolling-hash k-grams + ONE groupBy (never a corpus
+        self-join). The oracle is the literal SQL substring self-join —
+        kernel-vs-SQL equality is exact (no winnowing here; the
+        winnowed scale path is the extras twin dedup_substring_winnow
+        and tests/test_substring.py's guarantee test)."""
+        _ensure_workers_see_package(s)
+        from osm_pbf_parquet_spark.operators.substring import (
+            substring_dup_pairs,
+        )
+
+        return substring_dup_pairs(_load(s, d, "documents"), k=30)
+
+    q["dedup_substring_pairs"] = dedup_substring_q
+
+    def dedup_substring_winnow_q(s, d):
+        """Rows-only extras twin: winnowing-selected fingerprints
+        (w=25) — ~13x fewer emitted grams, every shared span
+        >= w + k - 1 = 54 bytes still guaranteed found."""
+        _ensure_workers_see_package(s)
+        from osm_pbf_parquet_spark.operators.substring import (
+            substring_dup_pairs,
+        )
+
+        return substring_dup_pairs(
+            _load(s, d, "documents"), k=30, winnow_w=25
+        )
+
+    q["dedup_substring_winnow"] = dedup_substring_winnow_q
+
+    def decontaminate_docs_q(s, d):
+        """Benchmark decontamination: the corpus slice (doc_id%50 != 0)
+        minus every doc sharing a 20-byte span with the 'benchmark'
+        slice (doc_id%50 == 0). Benchmark fingerprints broadcast; one
+        LEFT ANTI on doc ids. Oracle = NOT EXISTS over the literal
+        substring join."""
+        _ensure_workers_see_package(s)
+        from osm_pbf_parquet_spark.operators.substring import decontaminate
+
+        docs = _load(s, d, "documents")
+        corpus = docs.filter(F.col("doc_id") % 50 != 0)
+        bench = docs.filter(F.col("doc_id") % 50 == 0)
+        return decontaminate(corpus, bench, k=20).select("doc_id", "n_chars")
+
+    q["decontaminate_docs"] = decontaminate_docs_q
 
     def dedup_minhash_q(s, d):
         from osm_pbf_parquet_spark.operators.dedup import minhash_lsh_pairs
@@ -1610,6 +1667,30 @@ def _all_oracle_sql() -> dict[str, str]:
         FROM common
         JOIN sizes sa ON sa.doc_id = doc_a
         JOIN sizes sb ON sb.doc_id = doc_b
+    """
+    # byte k-grams == char k-grams on this ASCII corpus; 63-bit gram
+    # hashes are collision-free at this scale, so kernel == literal SQL
+    o["dedup_substring_pairs"] = """
+        WITH grams AS (
+          SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 30) AS g
+          FROM documents,
+               UNNEST(range(1, CAST(greatest(length(text) - 29, 0) AS BIGINT) + 1)) AS t(i)
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    """
+    o["decontaminate_docs"] = """
+        WITH grams AS (
+          SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 20) AS g
+          FROM documents,
+               UNNEST(range(1, CAST(greatest(length(text) - 19, 0) AS BIGINT) + 1)) AS t(i)
+        ),
+        bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0)
+        SELECT d.doc_id, d.n_chars FROM documents d
+        WHERE d.doc_id % 50 <> 0 AND NOT EXISTS (
+          SELECT 1 FROM grams gr JOIN bench b ON gr.g = b.g
+          WHERE gr.doc_id = d.doc_id)
     """
 
     o["dedup_components"] = f"""

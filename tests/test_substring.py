@@ -1,0 +1,186 @@
+"""Substring-level dedup + decontamination (operators/substring.py):
+oracle equality of the rolling-hash gram kernel, the winnowing
+guarantee, and the edge cases a flat-buffer kernel can get wrong."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _py_grams(text: str, k: int) -> set:
+    return {text[i:i + k] for i in range(len(text) - k + 1)}
+
+
+def _truth_pairs(rows, k):
+    grams = {i: _py_grams(t or "", k) for i, t in rows}
+    out = set()
+    ids = sorted(grams)
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            if grams[ids[a]] & grams[ids[b]]:
+                out.add((ids[a], ids[b]))
+    return out
+
+
+@pytest.fixture(scope="module")
+def span_docs(spark):
+    shared = "the shared span that is long enough to count as contamination here"
+    rows = [
+        (0, "prefix one " + shared + " suffix alpha"),
+        (1, "totally different beginning " + shared + " and ending"),
+        (2, "no overlap with anything else in this corpus at all, promise"),
+        (3, "short"),
+        (4, ""),
+        (5, None),
+        (6, "prefix one " + shared + " suffix alpha"),  # exact dup of 0
+        (7, "x" * 19),  # exactly k-1 for k=20
+        (8, "y" * 20),  # exactly k
+    ]
+    return rows, spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pairs_match_pure_python_truth(spark, span_docs):
+    from osm_pbf_parquet_spark.operators.substring import substring_dup_pairs
+
+    rows, df = span_docs
+    got = {tuple(r) for r in substring_dup_pairs(df, k=20).collect()}
+    assert got == _truth_pairs(rows, 20)
+
+
+def test_short_empty_null_docs_emit_nothing(spark, span_docs):
+    from osm_pbf_parquet_spark.operators.substring import gram_hashes
+
+    _, df = span_docs
+    emitted = {
+        r.doc_id for r in gram_hashes(df, k=20).select("doc_id").distinct().collect()
+    }
+    assert 3 not in emitted and 4 not in emitted and 5 not in emitted
+    assert 7 not in emitted      # k-1 chars: zero windows
+    assert 8 in emitted          # exactly k: one window
+
+
+def test_gram_counts_match_python(spark, span_docs):
+    from osm_pbf_parquet_spark.operators.substring import gram_hashes
+
+    rows, df = span_docs
+    got = dict(
+        (r.doc_id, r.n)
+        for r in gram_hashes(df, k=20)
+        .groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    )
+    want = {
+        i: len(_py_grams(t, 20)) for i, t in rows if t and len(t) >= 20
+    }
+    assert got == want
+
+
+def test_winnow_guarantee_and_density(spark):
+    """Planted overlaps of length >= w + k - 1 MUST be found with
+    winnowing on; emission must be much sparser than the full set."""
+    from osm_pbf_parquet_spark.operators.substring import (
+        gram_hashes, substring_dup_pairs,
+    )
+
+    rng = np.random.default_rng(42)
+    alphabet = np.frombuffer(b"abcdefghijklmnopqrstuvwxyz ", dtype=np.uint8)
+
+    def rand_text(n):
+        return bytes(alphabet[rng.integers(0, len(alphabet), n)]).decode()
+
+    k, w = 20, 16
+    span = rand_text(w + k - 1)          # exactly the guarantee floor
+    rows = []
+    for i in range(40):
+        rows.append((2 * i, rand_text(150) + span + rand_text(150)))
+        rows.append((2 * i + 1, rand_text(150) + span + rand_text(150)))
+    for j in range(100):
+        rows.append((1000 + j, rand_text(300)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {tuple(r) for r in substring_dup_pairs(df, k=k, winnow_w=w).collect()}
+    # every pair of span-carrying docs shares the span; at minimum the
+    # winnowing guarantee demands ALL of them (they may also pair with
+    # each other across plants — same span, so that's still truth)
+    carriers = sorted(r[0] for r in rows[: 80])
+    for a in range(len(carriers)):
+        for b in range(a + 1, len(carriers)):
+            assert (carriers[a], carriers[b]) in got
+    full = gram_hashes(df, k=k).count()
+    winnowed = gram_hashes(df, k=k, winnow_w=w).count()
+    assert winnowed < full * 0.3         # ~2/(w+1) ~ 0.12 expected
+
+
+def test_winnow_short_docs_still_fingerprinted(spark):
+    """Docs with fewer than w gram positions contribute their overall
+    min — two identical short docs must still pair up under winnowing."""
+    from osm_pbf_parquet_spark.operators.substring import substring_dup_pairs
+
+    t = "an identical short document body"   # 32 chars, 13 positions @ k=20
+    df = spark.createDataFrame(
+        [(0, t), (1, t), (2, "something else entirely, unrelated text")],
+        "doc_id long, text string",
+    )
+    got = {tuple(r) for r in substring_dup_pairs(df, k=20, winnow_w=50).collect()}
+    assert got == {(0, 1)}
+
+
+def test_max_gram_docs_cuts_boilerplate(spark):
+    from osm_pbf_parquet_spark.operators.substring import substring_dup_pairs
+
+    boiler = "this exact boilerplate navigation header appears everywhere"
+    rows = [
+        (i, boiler + " " + " ".join(f"w{i}x{j}y" for j in range(8)))
+        for i in range(30)
+    ]
+    rows += [(100, "pair doc with its own long shared unique span right here ok"),
+             (101, "pair doc with its own long shared unique span right here ok")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # df-cut removes the boilerplate grams; only the planted pair remains
+    got = {tuple(r) for r in
+           substring_dup_pairs(df, k=20, max_gram_docs=10).collect()}
+    assert got == {(100, 101)}
+
+
+def test_star_pairs_over_cap_stay_connected(spark):
+    from osm_pbf_parquet_spark.operators.substring import substring_dup_pairs
+
+    t = "every single one of these documents is exactly the same text"
+    df = spark.createDataFrame(
+        [(i, t) for i in range(50)], "doc_id long, text string"
+    )
+    got = {tuple(r) for r in
+           substring_dup_pairs(df, k=20, max_bucket=8).collect()}
+    # star fan-out: linear in bucket size, every doc reachable from rep
+    assert got == {(0, i) for i in range(1, 50)}
+
+
+def test_decontaminate_matches_python_truth(spark):
+    from osm_pbf_parquet_spark.operators.substring import decontaminate
+
+    bench_span = "benchmark evaluation question that must not leak into training"
+    corpus_rows = [
+        (0, "clean document about nothing in particular, fully original"),
+        (1, "contains the " + bench_span + " verbatim inside"),
+        (2, "another clean one with its own words and nothing borrowed"),
+        (3, None),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "q1: " + bench_span), (101, "q2: unrelated benchmark row")],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r.doc_id for r in decontaminate(corpus, bench, k=20).select("doc_id").collect()
+    )
+    assert kept == [0, 2, 3]   # null text can't be contaminated
+
+
+def test_ranges_helper():
+    from osm_pbf_parquet_spark.operators.substring import _ranges
+
+    out = _ranges(np.array([3, 1, 2]))
+    assert out.tolist() == [0, 1, 2, 0, 0, 1]
+    assert _ranges(np.array([5])).tolist() == [0, 1, 2, 3, 4]
