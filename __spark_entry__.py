@@ -172,6 +172,7 @@ _EXTRA_QUERIES = (
     "dedup_ngram_jaccard",    # exact-Jaccard machinery + its SQL twin run INSIDE the graded dedup_minhash_recall truth set (same operator, max_df=None); r04-green
     "vocab_topk",             # tokenizer + document-frequency machinery graded via token_postings_pairs (4,223-row band); r04-green
     "dedup_substring_winnow", # rows-only winnowing scale path; exact twin dedup_substring_pairs is graded, the >=w+k-1 recall guarantee is tested in tests/test_substring.py
+    "text_repetition",        # extras WITH oracle (Gopher repetition signals); quality-gate family graded via text_quality/text_quality_filter
 )
 
 
@@ -1147,6 +1148,17 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_fingerprint"] = text_fingerprint_q
 
+    def text_repetition_q(s, d):
+        """Gopher-style repetition signals (extras, oracle-checked):
+        per doc, total/top word counts and duplicate-2-gram instance
+        counts — the repetition quality gates of a pre-training
+        pipeline, integer outputs so the hashes compare exactly."""
+        from osm_pbf_parquet_spark.functions.text import repetition_signals
+
+        return repetition_signals(_load(s, d, "documents"))
+
+    q["text_repetition"] = text_repetition_q
+
     def vocab_topk_q(s, d):
         """Vocabulary building: top-100 tokens by document frequency
         (the tokenizer-training pre-pass). explode → two-level agg;
@@ -1805,6 +1817,39 @@ def _all_oracle_sql() -> dict[str, str]:
     o["text_fingerprint"] = (
         f"SELECT doc_id, {sql_fingerprint('text')} AS fp FROM documents"
     )
+    o["text_repetition"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 regexp_extract_all(coalesce(text, ''), '[^ \t\n\x0B\f\r]+') AS ws
+          FROM documents
+        ),
+        wc AS (
+          SELECT doc_id, w.tok AS w, count(*) AS c
+          FROM t, LATERAL unnest(ws) AS w(tok) GROUP BY 1, 2
+        ),
+        wstats AS (
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+                 max(c) AS top_word_count
+          FROM wc GROUP BY 1
+        ),
+        g AS (
+          SELECT doc_id,
+                 ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1] AS g2
+          FROM t,
+               LATERAL unnest(range(1, CAST(greatest(len(ws) - 1, 0) AS BIGINT) + 1)) AS r(i)
+        ),
+        gc AS (SELECT doc_id, g2, count(*) AS c FROM g GROUP BY 1, 2),
+        gstats AS (
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2grams,
+                 CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+                   AS dup_2gram_count
+          FROM gc GROUP BY 1
+        )
+        SELECT w.doc_id, w.n_words, w.top_word_count,
+               coalesce(g.n_2grams, 0) AS n_2grams,
+               coalesce(g.dup_2gram_count, 0) AS dup_2gram_count
+        FROM wstats w LEFT JOIN gstats g ON w.doc_id = g.doc_id
+    """
     from osm_pbf_parquet_spark.functions.text import (
         sql_hash_bucket,
         sql_quality_pass,

@@ -237,3 +237,73 @@ def search_all_tokens(
     for c in cols[1:]:
         cond = cond & c
     return df.filter(cond).select(id_col)
+
+
+def repetition_signals(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Gopher-style repetition quality signals, one row per doc with
+    >= 1 token (token-free docs — null/empty/whitespace — carry no
+    repetition evidence and are omitted, matching the SQL twin):
+
+      n_words          total token instances
+      top_word_count   occurrences of the most frequent token
+      n_2grams         total word-2-gram instances (n_words - 1)
+      dup_2gram_count  instances belonging to 2-grams seen > once
+
+    Callers derive the paper's fractions (top_word_count/n_words,
+    dup_2gram_count/n_2grams) themselves — outputs stay integers so
+    the DuckDB oracle value-hashes bitwise-equal.
+
+    Plan shape: two explode→groupBy chains (words, 2-grams), both
+    keyed (doc, term) then (doc) — map-side partial aggregation
+    collapses each doc's repeats before the exchange, so the shuffle
+    carries per-doc distinct terms, not token instances. The 2-gram
+    array is built row-local with zip_with over two slices (adjacency
+    needs either a HOF or a window shuffle; the O(n_words) interpreted
+    concat is far cheaper than a per-doc sort window at corpus scale).
+    """
+    toks = F.regexp_extract_all(
+        F.coalesce(F.col(text_col), F.lit("")), F.lit(TOKEN_RE), F.lit(0)
+    )
+    words = df.select(id_col, F.explode(toks).alias("w"))
+    wstats = (
+        words.groupBy(id_col, "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.max("c").alias("top_word_count"),
+        )
+    )
+    grams = df.select(id_col, toks.alias("_ws")).select(
+        id_col,
+        F.explode(
+            F.expr(
+                "CASE WHEN size(_ws) >= 2 THEN "
+                "zip_with(slice(_ws, 1, size(_ws) - 1), "
+                "slice(_ws, 2, size(_ws) - 1), "
+                "(a, b) -> concat(a, ' ', b)) ELSE array() END"
+            )
+        ).alias("g"),
+    )
+    gstats = (
+        grams.groupBy(id_col, "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_2grams"),
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).alias(
+                "dup_2gram_count"
+            ),
+        )
+    )
+    return wstats.join(gstats, id_col, "left").select(
+        id_col,
+        "n_words",
+        "top_word_count",
+        F.coalesce("n_2grams", F.lit(0)).alias("n_2grams"),
+        F.coalesce("dup_2gram_count", F.lit(0)).alias("dup_2gram_count"),
+    )

@@ -184,3 +184,26 @@ def test_ranges_helper():
     out = _ranges(np.array([3, 1, 2]))
     assert out.tolist() == [0, 1, 2, 0, 0, 1]
     assert _ranges(np.array([5])).tolist() == [0, 1, 2, 3, 4]
+
+
+def test_repetition_signals(spark):
+    from osm_pbf_parquet_spark.functions.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b a b a"),          # top word a=3; 2grams: ab,ba,ab,ba all dup
+            (1, "one two three"),       # no repetition
+            (2, "solo"),                # single word: no 2-grams
+            (3, ""),                    # token-free: omitted
+            (4, None),                  # token-free: omitted
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_signals(df).collect()}
+    assert set(rows) == {0, 1, 2}
+    assert (rows[0].n_words, rows[0].top_word_count,
+            rows[0].n_2grams, rows[0].dup_2gram_count) == (5, 3, 4, 4)
+    assert (rows[1].n_words, rows[1].top_word_count,
+            rows[1].n_2grams, rows[1].dup_2gram_count) == (3, 1, 2, 0)
+    assert (rows[2].n_words, rows[2].top_word_count,
+            rows[2].n_2grams, rows[2].dup_2gram_count) == (1, 1, 0, 0)
