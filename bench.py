@@ -169,6 +169,15 @@ def main() -> int:
     # similarity-heavy corpus — 13× the candidate pairs of the default
     # (6.3M vs 0.48M at sf0.1) for the same recall at high similarity
     timed("dedup_minhash", lambda: minhash_lsh_pairs(docs).count())
+    # substring-level dedup at the scale config (winnowed fingerprints,
+    # guarantee floor w+k-1 = 74 bytes): one mapInArrow emission pass +
+    # one groupBy — measures the rolling-hash kernel + bucket pair gen
+    from osm_pbf_parquet_spark.operators.substring import substring_dup_pairs
+
+    timed(
+        "dedup_substring",
+        lambda: substring_dup_pairs(docs, k=50, winnow_w=25).count(),
+    )
     # cached like every other input: round 2 billed an uncached parquet
     # read (+ host noise) to this query — 0.37 s → 2.37 s on the judge
     # rerun (verdict r2 what's-wrong #6)

@@ -149,6 +149,32 @@ def build_parser() -> argparse.ArgumentParser:
     mrg.add_argument("--deletes", default=None, help="parquet of key column")
     mrg.add_argument("--key-col", default="url")
     _add_common(mrg)
+
+    ddp = sub.add_parser(
+        "dedup",
+        help="deduplicate a text corpus and write the survivors "
+        "(optionally decontaminating against a benchmark set first)",
+    )
+    ddp.add_argument("--input", required=True)
+    ddp.add_argument("--input-format", default="parquet")
+    ddp.add_argument("--output", required=True)
+    ddp.add_argument(
+        "--method", default="minhash",
+        choices=["exact", "minhash", "simhash", "substring"],
+        help="exact: identical texts; minhash/simhash: near-dup LSH; "
+        "substring: shared long byte spans (winnowed fingerprints)",
+    )
+    ddp.add_argument("--text-col", default="text")
+    ddp.add_argument("--id-col", default="doc_id")
+    ddp.add_argument("--gram-k", type=int, default=None,
+                     help="shingle/gram length (method default)")
+    ddp.add_argument("--winnow-w", type=int, default=25,
+                     help="substring method: winnowing window (0 = every "
+                     "gram; guarantee floor is winnow_w + gram_k - 1 bytes)")
+    ddp.add_argument("--benchmark", default=None,
+                     help="parquet of held-out docs: corpus docs sharing a "
+                     "gram with it are dropped BEFORE dedup")
+    _add_common(ddp)
     return ap
 
 
@@ -302,6 +328,73 @@ def cmd_merge(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    """Corpus → survivors parquet. The composed pipeline a
+    training-data run actually executes: optional benchmark
+    decontamination (broadcast fingerprint anti-join), then candidate
+    pairs by the chosen method, connected components, and the
+    keep-component-min collapse (operators/components.canonicalize).
+    `exact` skips the pair machinery entirely — one hash groupBy."""
+    from pyspark.sql import functions as F
+
+    spark = _session(args)
+    df = _read_input(spark, args.input, args.input_format)
+    n_in = df.count()
+    text_col, id_col = args.text_col, args.id_col
+    n_decon = 0
+    if args.benchmark:
+        from .operators.substring import decontaminate
+
+        bench = spark.read.parquet(args.benchmark)
+        k = args.gram_k or 50
+        w = args.winnow_w or None
+        kept = decontaminate(df, bench, text_col, id_col, k=k, winnow_w=w)
+        kept = kept.localCheckpoint()
+        n_decon = n_in - kept.count()
+        df = kept
+    if args.method == "exact":
+        from .operators.dedup import dedup_exact
+
+        # keep-set is ~the whole corpus (dup fraction << 1): a plain
+        # shuffle semi-join; broadcasting would ship the BIG side
+        keep = dedup_exact(df, text_col, id_col)
+        out = df.join(keep, id_col, "left_semi")
+    else:
+        from .operators.components import canonicalize
+
+        if args.method == "minhash":
+            from .operators.dedup import minhash_lsh_pairs
+
+            pairs = minhash_lsh_pairs(
+                df, text_col, id_col,
+                shingle_k=args.gram_k or 4,
+            )
+        elif args.method == "simhash":
+            from .operators.dedup import simhash_pairs
+
+            pairs = simhash_pairs(df, text_col, id_col)
+        else:
+            from .operators.substring import substring_dup_pairs
+
+            pairs = substring_dup_pairs(
+                df, text_col, id_col,
+                k=args.gram_k or 50,
+                winnow_w=args.winnow_w or None,
+            )
+        out = canonicalize(df, pairs, id_col)
+    out.write.mode("overwrite").parquet(args.output)
+    n_out = spark.read.parquet(args.output).count()
+    print(json.dumps({
+        "method": args.method,
+        "rows_in": n_in,
+        "dropped_contaminated": n_decon,
+        "rows_out": n_out,
+        "dropped_duplicates": n_in - n_decon - n_out,
+        "output": args.output,
+    }))
+    return 0
+
+
 _DISPATCH = {
     "encode": cmd_encode,
     "decode": cmd_decode,
@@ -309,6 +402,7 @@ _DISPATCH = {
     "vacuum": cmd_vacuum,
     "report": cmd_report,
     "merge": cmd_merge,
+    "dedup": cmd_dedup,
 }
 
 

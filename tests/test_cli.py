@@ -247,3 +247,41 @@ def test_read_encoded_where_and_columns(spark, sf_dir, tmp_path):
     point = read_encoded(spark, out, docs.schema, where=["doc_id = 42"])
     assert point.count() == 1
     assert point.first()["doc_id"] == 42
+
+
+def test_dedup_cli(spark, sf_dir, tmp_path, capsys):
+    """The dedup verb end to end: substring method with a benchmark
+    decontamination pass, survivors written to parquet, accounting in
+    the JSON line adds up."""
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    bench_path = str(tmp_path / "bench.parquet")
+    docs = spark.read.parquet(docs_path)
+    docs.filter("doc_id % 50 = 0").write.parquet(bench_path)
+    corpus_path = str(tmp_path / "corpus.parquet")
+    docs.filter("doc_id % 50 != 0").write.parquet(corpus_path)
+
+    out = str(tmp_path / "survivors")
+    rc = main([
+        "dedup", "--input", corpus_path, "--output", out,
+        "--method", "substring", "--gram-k", "20", "--winnow-w", "0",
+        "--benchmark", bench_path,
+    ])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert rep["rows_in"] == rep["rows_out"] + rep["dropped_contaminated"] + \
+        rep["dropped_duplicates"]
+    assert rep["dropped_contaminated"] > 0
+    survivors = spark.read.parquet(out)
+    assert survivors.count() == rep["rows_out"] > 0
+    assert set(survivors.columns) == set(docs.columns)
+
+    # exact method: survivor count == distinct texts
+    out2 = str(tmp_path / "survivors_exact")
+    rc = main([
+        "dedup", "--input", corpus_path, "--output", out2,
+        "--method", "exact",
+    ])
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    n_distinct = spark.read.parquet(corpus_path).select("text").distinct().count()
+    assert rep2["rows_out"] == n_distinct
