@@ -330,6 +330,16 @@ def main() -> int:
         if os.path.exists(il_path):
             with open(il_path) as fh:
                 scaling["interleaved_8to32"] = json.load(fh)
+        # the COMPUTE-bound sibling (pbf decode vs its inflate+parse
+        # kernel): together with the encode line it locates the 8→32
+        # gap — encode tracks memcpy (bus-bound), pbf tracks its
+        # compute kernel (tools/bench_scaling.py --interleaved
+        # --workload pbf)
+        ilp_path = os.path.join(
+            REPO, "tools", "scaling_interleaved_pbf.json")
+        if os.path.exists(ilp_path):
+            with open(ilp_path) as fh:
+                scaling["interleaved_8to32_pbf"] = json.load(fh)
 
     # The grading driver keeps only the stdout TAIL and parses the LAST
     # line (round 2's single giant line was head-truncated → parsed:
@@ -365,6 +375,15 @@ def main() -> int:
                     "memcpy": il.get("memcpy_median"),
                     "note": "one session, probes interleaved per round"
                             " — engine matches the memory-bus line",
+                }
+            ilp = scaling.get("interleaved_8to32_pbf")
+            if ilp:
+                scaling_summary["interleaved_8to32_pbf"] = {
+                    "engine": ilp.get("engine_median"),
+                    "kernel": ilp.get("kernel_median"),
+                    "memcpy": ilp.get("memcpy_median"),
+                    "note": "compute-bound sibling: pbf decode vs its"
+                            " matched inflate+parse kernel",
                 }
 
     print(

@@ -105,11 +105,52 @@ def gram_hashes(
     return df.select(id_col, text_col).mapInArrow(gram_fn, schema)
 
 
+def gram_positions(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+) -> DataFrame:
+    """(id, pos, gram) rows: EVERY k-gram occurrence with its 0-based
+    byte offset — the position-preserving sibling of ``gram_hashes``
+    for span-level dedup (``dup_spans``/``strip_dup_spans``, which
+    need to know WHERE a duplicated gram sits, so neither per-doc
+    distinct nor winnowing applies). Same one-pass rolling-hash
+    kernel, zero shuffle; output is O(total bytes) rows of
+    (id, int32, int64)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        df.schema[id_col],
+        T.StructField("pos", T.IntegerType()),
+        T.StructField("gram", T.LongType()),
+    ])
+
+    def pos_fn(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            out = _gram_kernel(batch, text_col, id_col, k, None,
+                               with_pos=True)
+            if out is None:
+                continue
+            ids, pos, grams = out
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(pos, type=pa.int32()),
+                 pa.array(grams, type=pa.int64())],
+                [id_col, "pos", "gram"],
+            )
+
+    return df.select(id_col, text_col).mapInArrow(pos_fn, schema)
+
+
 def _gram_kernel(batch, text_col: str, id_col: str, k: int,
-                 winnow_w: int | None):
-    """(ids_arrow, grams int64[n]) for one RecordBatch, or None when no
-    doc reaches length k. Fully vectorized; the only Python-level loop
-    is the log2(winnow_w) sparse-table doubling."""
+                 winnow_w: int | None, with_pos: bool = False):
+    """(ids_arrow, grams int64[n]) for one RecordBatch — or with
+    ``with_pos`` (ids, pos int32[n], grams) keeping every occurrence
+    in document order — or None when no doc reaches length k. Fully
+    vectorized; the only Python-level loop is the log2(winnow_w)
+    sparse-table doubling."""
     import pyarrow as pa
 
     arr = batch.column(text_col)
@@ -160,6 +201,11 @@ def _gram_kernel(batch, text_col: str, id_col: str, k: int,
     mask = np.cumsum(mask[:n_pos]) > 0
     V = H[mask]                  # per-doc hash runs, concatenated
     doc_of = np.repeat(np.arange(len(s)), c)
+
+    if with_pos:
+        pos = np.flatnonzero(mask) - np.repeat(s, c)  # 0-based in doc
+        ids = batch.column(id_col).take(pa.array(kept_rows[doc_of]))
+        return ids, pos.astype(np.int32), V
 
     if winnow_w is not None and winnow_w > 1:
         doc_of, V = _winnow(V, c, winnow_w)
@@ -286,6 +332,122 @@ def substring_dup_pairs(
         buckets.select(F.explode(pairs).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .distinct()
+    )
+
+
+def dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """Maximal duplicated byte spans per document: (id, start_pos,
+    end_pos) — the union of [pos, pos+k) over every k-gram occurrence
+    whose gram appears >= ``min_count`` times CORPUS-WIDE (counting
+    multiplicity, so a within-doc repeat is a duplicate too — the
+    exact-substring-dedup semantics of the public
+    google-research/deduplicate-text-datasets tool, which this family
+    mirrors; the reference engine has no substring surface).
+
+    Plan (scale shape): gram_positions (one mapInArrow pass, zero
+    shuffle) -> groupBy gram count (partial agg shrinks the exchange
+    to distinct grams) -> shuffle semi-join positions against the
+    >=min_count gram set on the 8-byte key -> per-doc interval merge
+    as pure window algebra: a position starts a new span iff it lies
+    beyond the running max end of all earlier positions (codegen'd
+    running-max + running-sum windows over ONE doc-keyed sort), then
+    groupBy (doc, span_id). Never collects; output is O(spans)."""
+    from pyspark.sql import Window
+
+    pos = gram_positions(df, text_col, id_col, k)
+    dup = (
+        pos.groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .select("gram")
+    )
+    hits = pos.join(dup, "gram", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + F.lit(k)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = F.when(
+        F.col("pos") > F.coalesce(prev_end, F.lit(-1)), 1
+    ).otherwise(0)
+    spans = (
+        hits.withColumn("brk", brk)
+        .withColumn("sid", F.sum("brk").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(id_col, "sid")
+        .agg(
+            F.min("pos").alias("start_pos"),
+            (F.max("pos") + F.lit(k)).alias("end_pos"),
+        )
+        .select(id_col, "start_pos", "end_pos")
+    )
+    return spans
+
+
+def strip_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact substring DEDUP-BY-REMOVAL (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): rewrite each doc
+    with every duplicated span cut out, instead of dropping whole
+    docs. Returns the input columns with ``text_col`` replaced by the
+    stripped text plus ``dup_bytes`` (bytes removed).
+
+    The rebuild is Catalyst-native: spans aggregate to ONE sorted
+    array per doc (sort_array(collect_list(struct))), the keep-region
+    complement comes from shifting that array (slice/transform), and
+    the stripped text is array_join of JVM substrings. The HOF lambdas
+    here run per-SPAN (a handful per doc), not per-byte — the actual
+    byte movement is JVM substring/concat, so the interpreted-HOF
+    penalty the repo measures elsewhere does not bite. One extra
+    shuffle (spans groupBy doc) + one join against the input."""
+    spans = dup_spans(df, text_col, id_col, k, min_count)
+    agg = spans.groupBy(id_col).agg(
+        F.sort_array(
+            F.collect_list(F.struct("start_pos", "end_pos"))
+        ).alias("_spans")
+    )
+    out = df.join(agg, id_col, "left")
+    sp = F.coalesce(
+        "_spans",
+        F.array().cast("array<struct<start_pos:int,end_pos:int>>"),
+    )
+    # keep regions: starts = 0 ++ span ends; ends = span starts ++ len
+    ks = F.concat(
+        F.array(F.lit(0)), F.transform(sp, lambda x: x["end_pos"])
+    )
+    ke = F.concat(
+        F.transform(sp, lambda x: x["start_pos"]),
+        F.array(F.length(F.col(text_col))),
+    )
+    stripped = F.when(F.col(text_col).isNull(), F.lit(None)).otherwise(
+        F.array_join(
+            F.zip_with(
+                ks, ke,
+                lambda a, b: F.col(text_col).substr(a + 1, b - a),
+            ),
+            "",
+        )
+    )
+    dup_bytes = F.aggregate(
+        sp,
+        F.lit(0),
+        lambda acc, x: acc + x["end_pos"] - x["start_pos"],
+    )
+    keep_cols = [c for c in df.columns if c != text_col]
+    return out.select(
+        *keep_cols,
+        stripped.alias(text_col),
+        dup_bytes.alias("dup_bytes"),
     )
 
 

@@ -207,3 +207,94 @@ def test_repetition_signals(spark):
             rows[1].n_2grams, rows[1].dup_2gram_count) == (3, 1, 2, 0)
     assert (rows[2].n_words, rows[2].top_word_count,
             rows[2].n_2grams, rows[2].dup_2gram_count) == (1, 1, 0, 0)
+
+
+def _truth_spans(rows, k, min_count=2):
+    """Pure-Python dup-span truth: byte positions covered by k-grams
+    occurring >= min_count times corpus-wide (multiplicity counted),
+    merged into maximal per-doc intervals."""
+    from collections import Counter
+
+    counts = Counter()
+    for _, t in rows:
+        t = t or ""
+        for i in range(len(t) - k + 1):
+            counts[t[i:i + k]] += 1
+    spans = {}
+    for i, t in rows:
+        t = t or ""
+        covered = set()
+        for p in range(len(t) - k + 1):
+            if counts[t[p:p + k]] >= min_count:
+                covered.update(range(p, p + k))
+        merged, start = [], None
+        for b in range(len(t) + 1):
+            if b in covered and start is None:
+                start = b
+            elif b not in covered and start is not None:
+                merged.append((start, b))
+                start = None
+        if merged:
+            spans[i] = merged
+    return spans
+
+
+@pytest.fixture(scope="module")
+def span_strip_docs(spark):
+    rep = "abcdefghijklmnopqrstuvwxyz0123"  # 30 bytes, k=20 coverable
+    rows = [
+        (0, "HEAD " + rep + " MID " + rep + " TAIL"),  # self-repeat
+        (1, "left context " + rep + " right context"),  # shares with 0
+        (2, "completely original text with no shared twenty-gram at all"),
+        (3, "tiny"),
+        (4, None),
+        (5, rep),  # the whole doc IS a duplicated span
+    ]
+    return rows, spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dup_spans_match_python_truth(spark, span_strip_docs):
+    from osm_pbf_parquet_spark.operators.substring import dup_spans
+
+    rows, df = span_strip_docs
+    got = {}
+    for r in dup_spans(df, k=20).collect():
+        got.setdefault(r.doc_id, []).append((r.start_pos, r.end_pos))
+    got = {i: sorted(v) for i, v in got.items()}
+    assert got == _truth_spans(rows, 20)
+
+
+def test_strip_dup_spans_rebuilds_text(spark, span_strip_docs):
+    from osm_pbf_parquet_spark.operators.substring import strip_dup_spans
+
+    rows, df = span_strip_docs
+    truth_spans = _truth_spans(rows, 20)
+    out = {r.doc_id: r for r in strip_dup_spans(df, k=20).collect()}
+    assert set(out) == {i for i, _ in rows}
+    for i, t in rows:
+        spans = truth_spans.get(i, [])
+        keep, prev = [], 0
+        for s, e in spans:
+            keep.append((t or "")[prev:s])
+            prev = e
+        keep.append((t or "")[prev:])
+        expect = "".join(keep) if t is not None else None
+        assert out[i].text == expect, i
+        assert out[i].dup_bytes == sum(e - s for s, e in spans)
+    # docs 0/1/5 lose their duplicated block; doc 2 is untouched
+    assert out[2].text == rows[2][1] and out[2].dup_bytes == 0
+    assert out[5].text == "" and out[5].dup_bytes == 30
+
+
+def test_strip_dup_spans_min_count_3_spares_two_copies(spark,
+                                                      span_strip_docs):
+    from osm_pbf_parquet_spark.operators.substring import strip_dup_spans
+
+    rows, df = span_strip_docs
+    # the repeated block occurs 3x corpus-wide (docs 0 twice... plus 1
+    # and 5) — raising min_count above the occurrence count of the
+    # interior grams spares them
+    out = {r.doc_id: r for r in
+           strip_dup_spans(df, k=20, min_count=5).collect()}
+    assert all(r.dup_bytes == 0 for r in out.values())
+    assert out[1].text == rows[1][1]

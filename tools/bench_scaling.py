@@ -99,6 +99,78 @@ spark.stop()
 """
 
 
+_CHILD_PBF = r"""
+import json, os, sys, time
+sys.path.insert(0, %(repo)r)
+cpus = int(sys.argv[1])
+from pyspark.sql import SparkSession, functions as F
+spark = (SparkSession.builder.master(f"local[{cpus}]")
+    .config("spark.sql.shuffle.partitions", str(2 * cpus))
+    .config("spark.ui.enabled", "false")
+    .config("spark.driver.memory", "24g")
+    .config("spark.local.dir", "/dev/shm/spark-scaling")
+    .getOrCreate())
+import __spark_entry__ as em; em._ensure_workers_see_package(spark)
+from osm_pbf_parquet_spark.sources.pbf import read_osm_pbf
+path = %(pbf)r
+wire = os.path.getsize(path)
+def run():
+    # task-per-blob decode at the source's own 2x-cores granularity;
+    # zero shuffle — the timed plan is scan-index -> mapInArrow -> agg
+    return read_osm_pbf(spark, path).agg(F.count("*")).collect()[0][0]
+rows = run()  # warm: workers, JIT, blob index
+best = None
+for _ in range(%(runs)d):
+    t0 = time.time(); run(); dt = time.time() - t0
+    best = dt if best is None or dt < best else best
+print(json.dumps({"cpus": cpus, "rows": rows, "sec": round(best, 3),
+                  "rows_per_sec": round(rows / best, 1),
+                  "mb_in_per_sec": round(wire / best / 1e6, 1)}))
+spark.stop()
+"""
+
+
+# The scaling leg needs a BIGGER file than bench.py's 3.3M-element
+# throughput fixture: at 3.3M the pinned-8 job is ~2 s and fixed costs
+# (JVM scheduling, driver blob index, Arrow-stream setup) eat the
+# ratio — the first pbf run measured engine 0.33 vs its own compute
+# kernel's 0.76, i.e. Amdahl's constant again (same lesson as the
+# 300k→1M encode fixture move). 12M nodes ≈ 200 MB wire ≈ 10 s at
+# pinned 8 puts the leg in the compute-dominated regime.
+PBF_SCALING_NODES = int(os.environ.get("SCALING_PBF_NODES", "12000000"))
+PBF_SCALING_FIXTURE = f"/tmp/scaling_osm_{PBF_SCALING_NODES}.osm.pbf"
+
+
+def _ensure_pbf_fixture() -> str:
+    sys.path.insert(0, REPO)
+    from osm_pbf_parquet_spark.sources.pbf import synthetic_osm_pbf
+
+    return synthetic_osm_pbf(PBF_SCALING_FIXTURE,
+                             n_nodes=PBF_SCALING_NODES)
+
+
+def measure_pbf(cpus: int, runs: int = 2) -> dict:
+    """One parallelism level of the PBF-decode job in a fresh JVM —
+    the COMPUTE-bound engine workload (varint/zigzag/cumsum kernels
+    per blob, small aggregate out, no Exchange, minimal Arrow-bridge
+    traffic per CPU cycle). Its scaling pairs against the string-
+    encode job's: encode is memory-bus-bound on this one-socket VM
+    (engine ≈ memcpy ceiling), decode should track the compute
+    kernel's ratio — together they locate the 8→32 gap in the shared
+    bus, not the engine."""
+    cmd = [sys.executable, "-c",
+           _CHILD_PBF % {"repo": REPO,
+                         "pbf": PBF_SCALING_FIXTURE,
+                         "runs": runs},
+           str(cpus)]
+    if os.environ.get("SCALING_PIN", "0") == "1":
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    out = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=1800, check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
 def _ensure_fixture() -> None:
     if os.path.exists(FIXTURE):
         return
@@ -247,7 +319,7 @@ def scaling_report(pairs: list[tuple[int, int]], with_ceiling: bool = True,
 
 
 def interleaved_report(lo: int = 8, hi: int = 32, rounds: int = 4,
-                       runs: int = 2) -> dict:
+                       runs: int = 2, workload: str = "encode") -> dict:
     """Three-line scaling evidence measured in ONE session with every
     probe INTERLEAVED inside each round (r4 verdict next-round #8):
     engine (fresh-JVM encode job at the auto task granularity), the
@@ -260,12 +332,28 @@ def interleaved_report(lo: int = 8, hi: int = 32, rounds: int = 4,
     kernel ≥ memcpy ≥ engine — the gap engine↔memcpy is the
     Arrow-bridge copy amplification contending on the one shared
     memory bus (BASELINE.md), which a real N-vs-4N executor cluster
-    does not share."""
-    _ensure_fixture()
+    does not share.
+
+    ``workload`` picks the engine job AND its matched kernel line:
+    "encode" (string-heavy fsst/zstd chunk encode — memory-bus-bound:
+    large Arrow-bridge transfers per CPU cycle) or "pbf" (.osm.pbf
+    task-per-blob decode — compute-bound varint/cumsum kernels, tiny
+    aggregate out). The pair is the diagnosis: if encode tracks the
+    memcpy line while pbf tracks its compute-kernel line, the 8→32
+    gap lives in the shared memory bus, not in Spark."""
     import kernel_ceiling as kc
 
-    kc._ensure_fixture()
-    kc._ensure_slices(hi)
+    if workload == "pbf":
+        _ensure_pbf_fixture()
+        kc._ensure_pbf_slices(hi)
+        eng = lambda c: measure_pbf(c, runs=runs)["rows_per_sec"]  # noqa: E731
+        ker = kc.measure_pbf_level
+    else:
+        _ensure_fixture()
+        kc._ensure_fixture()
+        kc._ensure_slices(hi)
+        eng = lambda c: measure(c, runs=runs)["rows_per_sec"]  # noqa: E731
+        ker = kc.measure_level
     factor = hi / lo
     history: list[dict] = []
     for _ in range(rounds):
@@ -273,9 +361,9 @@ def interleaved_report(lo: int = 8, hi: int = 32, rounds: int = 4,
             "engine": {}, "kernel": {}, "memcpy": {},
         }
         for c in (lo, hi):
-            row["engine"][c] = measure(c, runs=runs)["rows_per_sec"]
+            row["engine"][c] = eng(c)
         for c in (lo, hi):
-            row["kernel"][c] = kc.measure_level(c)
+            row["kernel"][c] = ker(c)
         for c in (lo, hi):
             row["memcpy"][c] = kc.measure_memcpy_level(c)
         history.append(row)
@@ -287,6 +375,7 @@ def interleaved_report(lo: int = 8, hi: int = 32, rounds: int = 4,
 
     report: dict = {
         "metric": "scaling_three_line_interleaved",
+        "workload": workload,
         "pair": f"{lo}to{hi}",
         "rounds": rounds,
         "pinned": os.environ.get("SCALING_PIN", "0") == "1",
@@ -310,7 +399,13 @@ def interleaved_report(lo: int = 8, hi: int = 32, rounds: int = 4,
     report["methodology"] = (
         "one session, probes interleaved per round (engine lo, engine "
         "hi, kernel lo, kernel hi, memcpy lo, memcpy hi), paired "
-        "within-round ratios, median across rounds; " + _PIN_NOTE
+        "within-round ratios, median across rounds; workload="
+        + workload
+        + (" (pbf decode job vs its matched inflate+parse kernel — "
+           "compute-bound line)" if workload == "pbf" else
+           " (string-encode job vs its matched fsst/zstd kernel — "
+           "memory-bus-bound line)")
+        + "; " + _PIN_NOTE
     )
     return report
 
@@ -327,8 +422,14 @@ def main() -> int:
         rounds = int(sys.argv[sys.argv.index("--rounds") + 1])  # quiet-host truth
     if "--interleaved" in sys.argv:  # one-session three-line evidence
         lo, hi = pairs[0]
-        rep = interleaved_report(lo, hi, rounds=max(rounds, 3))
-        out = os.path.join(REPO, "tools", "scaling_interleaved.json")
+        workload = "encode"
+        if "--workload" in sys.argv:
+            workload = sys.argv[sys.argv.index("--workload") + 1]
+        rep = interleaved_report(lo, hi, rounds=max(rounds, 3),
+                                 workload=workload)
+        suffix = "" if workload == "encode" else f"_{workload}"
+        out = os.path.join(REPO, "tools",
+                           f"scaling_interleaved{suffix}.json")
         with open(out, "w") as fh:
             json.dump(rep, fh, indent=2)
         print(json.dumps(rep))

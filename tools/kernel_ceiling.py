@@ -93,6 +93,65 @@ def _ensure_slices(k_max: int) -> None:
                        compression="none")
 
 
+PBF_FIXTURE = "/tmp/bench_osm_3p3m.osm.pbf"  # shared with bench.py
+PBF_SLICE_DIR = "/dev/shm/kernel_pbf_slices"
+PBF_BLOBS_PER_CHILD = 4
+
+_PBF_CHILD = r"""
+import sys, time
+sys.path.insert(0, %(repo)r)
+import numpy as np
+from osm_pbf_parquet_spark.sources.pbf import (
+    parse_primitive_block, _blob_payload)
+
+raw = open(sys.argv[1], "rb").read()
+blobs, pos = [], 0
+while pos < len(raw):
+    n = int.from_bytes(raw[pos:pos + 8], "big"); pos += 8
+    blobs.append(raw[pos:pos + n]); pos += n
+wire = sum(len(b) for b in blobs)
+
+print("ready", flush=True)
+sys.stdin.readline()  # barrier: parent releases all children at once
+
+t0 = time.time(); done = 0
+while time.time() - t0 < %(window)f:
+    for b in blobs:
+        parse_primitive_block(_blob_payload(b))
+    done += wire
+dt = time.time() - t0
+print("RESULT %%d %%f" %% (done, dt), flush=True)
+"""
+
+
+def _ensure_pbf_slices(k_max: int) -> None:
+    """Per-child file of PBF_BLOBS_PER_CHILD length-prefixed raw blobs
+    cut from the bench PBF fixture — each child loops the ACTUAL
+    inflate+parse kernel (parse_primitive_block) over its own distinct
+    blobs, no Spark."""
+    sys.path.insert(0, REPO)
+    from osm_pbf_parquet_spark.sources.pbf import (
+        scan_osm_blobs, synthetic_osm_pbf)
+
+    synthetic_osm_pbf(PBF_FIXTURE, n_nodes=3_000_000)
+    os.makedirs(PBF_SLICE_DIR, exist_ok=True)
+    missing = [i for i in range(k_max)
+               if not os.path.exists(f"{PBF_SLICE_DIR}/slice_{i}.bin")]
+    if not missing:
+        return
+    idx = scan_osm_blobs(PBF_FIXTURE)
+    with open(PBF_FIXTURE, "rb") as f:
+        for i in missing:
+            parts = []
+            for j in range(PBF_BLOBS_PER_CHILD):
+                off, ln = idx[(i * PBF_BLOBS_PER_CHILD + j) % len(idx)]
+                f.seek(off)
+                b = f.read(ln)
+                parts.append(len(b).to_bytes(8, "big") + b)
+            with open(f"{PBF_SLICE_DIR}/slice_{i}.bin", "wb") as out:
+                out.write(b"".join(parts))
+
+
 _MEMCPY_CHILD = r"""
 import sys, time
 import numpy as np
@@ -142,6 +201,21 @@ def measure_level(k: int) -> float:
     code = _CHILD % {"repo": REPO, "window": WINDOW_SEC}
     total = _barrier_run(
         k, code, lambda i: [f"{SLICE_DIR}/slice_{i}.parquet"]
+    )
+    return round(total / 1e6, 1)
+
+
+def measure_pbf_level(k: int) -> float:
+    """Aggregate wire MB/s of the real PBF decode kernel
+    (inflate + protobuf parse, parse_primitive_block) across k plain
+    processes — the workload-matched ceiling for the pbf scaling
+    workload. Unlike the string-encode kernel this is COMPUTE-bound
+    (varint boundary scans + cumsum chains over ~120 KB wire blobs):
+    its k→4k ratio shows what the host gives arithmetic-heavy work,
+    separating CPU overcommit from memory-bus saturation."""
+    code = _PBF_CHILD % {"repo": REPO, "window": WINDOW_SEC}
+    total = _barrier_run(
+        k, code, lambda i: [f"{PBF_SLICE_DIR}/slice_{i}.bin"]
     )
     return round(total / 1e6, 1)
 
