@@ -340,6 +340,14 @@ def main() -> int:
         if os.path.exists(ilp_path):
             with open(ilp_path) as fh:
                 scaling["interleaved_8to32_pbf"] = json.load(fh)
+        # same decode with columns=['id'] in-worker projection (~no
+        # Arrow-bridge traffic): the controlled third leg that
+        # isolates the bridge's share of the shared memory bus
+        ilpi_path = os.path.join(
+            REPO, "tools", "scaling_interleaved_pbf_id.json")
+        if os.path.exists(ilpi_path):
+            with open(ilpi_path) as fh:
+                scaling["interleaved_8to32_pbf_id"] = json.load(fh)
 
     # The grading driver keeps only the stdout TAIL and parses the LAST
     # line (round 2's single giant line was head-truncated → parsed:
@@ -384,6 +392,15 @@ def main() -> int:
                     "memcpy": ilp.get("memcpy_median"),
                     "note": "compute-bound sibling: pbf decode vs its"
                             " matched inflate+parse kernel",
+                }
+            ilpi = scaling.get("interleaved_8to32_pbf_id")
+            if ilpi:
+                scaling_summary["interleaved_8to32_pbf_id"] = {
+                    "engine": ilpi.get("engine_median"),
+                    "kernel": ilpi.get("kernel_median"),
+                    "memcpy": ilpi.get("memcpy_median"),
+                    "note": "pbf decode, columns=['id'] projection:"
+                            " ~no bridge traffic — bus-share control",
                 }
 
     print(

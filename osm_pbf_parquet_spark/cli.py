@@ -160,9 +160,11 @@ def build_parser() -> argparse.ArgumentParser:
     ddp.add_argument("--output", required=True)
     ddp.add_argument(
         "--method", default="minhash",
-        choices=["exact", "minhash", "simhash", "substring"],
+        choices=["exact", "minhash", "simhash", "substring", "strip"],
         help="exact: identical texts; minhash/simhash: near-dup LSH; "
-        "substring: shared long byte spans (winnowed fingerprints)",
+        "substring: shared long byte spans (winnowed fingerprints); "
+        "strip: dedup BY REMOVAL — cut duplicated spans out of every "
+        "doc instead of dropping docs (Lee-et-al semantics)",
     )
     ddp.add_argument("--text-col", default="text")
     ddp.add_argument("--id-col", default="doc_id")
@@ -352,6 +354,28 @@ def cmd_dedup(args) -> int:
         kept = kept.localCheckpoint()
         n_decon = n_in - kept.count()
         df = kept
+    stripped_bytes = 0
+    if args.method == "strip":
+        from .operators.substring import strip_dup_spans
+
+        # dedup BY REMOVAL: every row survives; duplicated spans are
+        # cut out of the text (dup_bytes column records how much)
+        out = strip_dup_spans(
+            df, text_col, id_col, k=args.gram_k or 50
+        )
+        out.write.mode("overwrite").parquet(args.output)
+        res = spark.read.parquet(args.output)
+        n_out = res.count()
+        stripped_bytes = res.agg(F.sum("dup_bytes")).collect()[0][0] or 0
+        print(json.dumps({
+            "method": args.method,
+            "rows_in": n_in,
+            "dropped_contaminated": n_decon,
+            "rows_out": n_out,
+            "stripped_bytes": int(stripped_bytes),
+            "output": args.output,
+        }))
+        return 0
     if args.method == "exact":
         from .operators.dedup import dedup_exact
 

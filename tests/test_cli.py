@@ -285,3 +285,31 @@ def test_dedup_cli(spark, sf_dir, tmp_path, capsys):
     assert rc == 0
     n_distinct = spark.read.parquet(corpus_path).select("text").distinct().count()
     assert rep2["rows_out"] == n_distinct
+
+
+def test_dedup_cli_strip(spark, sf_dir, tmp_path, capsys):
+    """--method strip: dedup BY REMOVAL — every row survives, the
+    duplicated spans are cut from the text, stripped_bytes accounts
+    for the removed volume, and no text GREW."""
+    from pyspark.sql import functions as F
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    out = str(tmp_path / "stripped")
+    rc = main([
+        "dedup", "--input", docs_path, "--output", out,
+        "--method", "strip", "--gram-k", "30",
+    ])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    res = spark.read.parquet(out)
+    assert rep["rows_out"] == rep["rows_in"] == res.count()
+    assert rep["stripped_bytes"] > 0
+    src = spark.read.parquet(docs_path).select(
+        "doc_id", F.length("text").alias("orig_len"))
+    joined = res.select(
+        "doc_id", F.length("text").alias("new_len"), "dup_bytes"
+    ).join(src, "doc_id")
+    bad = joined.filter(
+        F.col("new_len") + F.col("dup_bytes") != F.col("orig_len")
+    ).count()
+    assert bad == 0

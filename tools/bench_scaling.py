@@ -114,10 +114,18 @@ import __spark_entry__ as em; em._ensure_workers_see_package(spark)
 from osm_pbf_parquet_spark.sources.pbf import read_osm_pbf
 path = %(pbf)r
 wire = os.path.getsize(path)
+# SCALING_PBF_COLS (comma list): in-worker projection pushdown — the
+# wire decode is identical, but the Python->JVM Arrow bridge ships
+# only the named columns. With ['id'] the bridge is ~1/30 the bytes:
+# if THIS leg tracks the compute-kernel ratio while the full-column
+# leg tracks memcpy, the 8->32 gap is located in bridge memory
+# traffic on the shared bus, not in scheduling or the decode itself.
+cols = [c for c in os.environ.get("SCALING_PBF_COLS", "").split(",") if c]
 def run():
     # task-per-blob decode at the source's own 2x-cores granularity;
     # zero shuffle — the timed plan is scan-index -> mapInArrow -> agg
-    return read_osm_pbf(spark, path).agg(F.count("*")).collect()[0][0]
+    df = read_osm_pbf(spark, path, columns=cols or None)
+    return df.agg(F.count("*")).collect()[0][0]
 rows = run()  # warm: workers, JIT, blob index
 best = None
 for _ in range(%(runs)d):
@@ -343,9 +351,13 @@ def interleaved_report(lo: int = 8, hi: int = 32, rounds: int = 4,
     gap lives in the shared memory bus, not in Spark."""
     import kernel_ceiling as kc
 
-    if workload == "pbf":
+    if workload in ("pbf", "pbf_id"):
         _ensure_pbf_fixture()
         kc._ensure_pbf_slices(hi)
+        if workload == "pbf_id":  # projection pushed into the worker:
+            os.environ["SCALING_PBF_COLS"] = "id"  # ~no bridge traffic
+        else:
+            os.environ.pop("SCALING_PBF_COLS", None)
         eng = lambda c: measure_pbf(c, runs=runs)["rows_per_sec"]  # noqa: E731
         ker = kc.measure_pbf_level
     else:
@@ -403,6 +415,9 @@ def interleaved_report(lo: int = 8, hi: int = 32, rounds: int = 4,
         + workload
         + (" (pbf decode job vs its matched inflate+parse kernel — "
            "compute-bound line)" if workload == "pbf" else
+           " (pbf decode with columns=['id'] in-worker projection — "
+           "same wire decode, ~no Arrow-bridge traffic: isolates the "
+           "bridge's bus share)" if workload == "pbf_id" else
            " (string-encode job vs its matched fsst/zstd kernel — "
            "memory-bus-bound line)")
         + "; " + _PIN_NOTE
