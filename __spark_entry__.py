@@ -180,6 +180,7 @@ _EXTRA_QUERIES = (
     # the judge's local gate checks them end to end:
     "substring_dup_spans",    # maximal duplicated spans per doc; oracle-checked
     "substring_strip",        # Lee-et-al dedup-by-removal (md5 of rebuilt text); oracle-checked
+    "text_pii_redact",        # PII scrub (email/IP/phone regexp chain); oracle-checked
 )
 
 
@@ -1209,6 +1210,59 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_repetition"] = text_repetition_q
 
+    def text_pii_redact_q(s, d):
+        """PII scrub (extras, oracle-checked): the corpus text with
+        deterministic synthetic PII injected per doc_id residue (the
+        fixture contains none — injection documented, identical on
+        both sides), then redacted with the JVM regexp_replace chain;
+        per-category counts on the pre-redaction text plus md5 of the
+        redacted string so the oracle compares the REBUILT text.
+        Patterns live in the Java∩RE2 dialect intersection."""
+        from osm_pbf_parquet_spark.functions.text import (
+            pii_counts,
+            redact_pii,
+        )
+
+        docs = _load(s, d, "documents")
+        did = F.col("doc_id")
+        inj = F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit(" contact u"), did.cast("string"),
+                    F.lit("@example"), (did % 10).cast("string"),
+                    F.lit(".org now"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 11 == 0,
+                F.concat(
+                    F.lit(" host 10."), (did % 256).cast("string"),
+                    F.lit(".3."), (did % 250).cast("string"),
+                    F.lit(" up"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 13 == 0,
+                F.concat(
+                    F.lit(" call +1415555"),
+                    (1000 + did % 9000).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        )
+        withs = docs.select("doc_id", inj.alias("t"))
+        cnts = pii_counts(F.col("t"))
+        return withs.select(
+            "doc_id",
+            cnts["n_emails"].cast("long").alias("n_emails"),
+            cnts["n_ipv4"].cast("long").alias("n_ipv4"),
+            cnts["n_phones"].cast("long").alias("n_phones"),
+            F.md5(redact_pii(F.col("t"))).alias("redacted_md5"),
+        )
+
+    q["text_pii_redact"] = text_pii_redact_q
+
     def vocab_topk_q(s, d):
         """Vocabulary building: top-100 tokens by document frequency
         (the tokenizer-training pre-pass). explode → two-level agg;
@@ -1940,6 +1994,38 @@ def _all_oracle_sql() -> dict[str, str]:
     o["text_fingerprint"] = (
         f"SELECT doc_id, {sql_fingerprint('text')} AS fp FROM documents"
     )
+    from osm_pbf_parquet_spark.functions.text import (
+        sql_pii_counts as _sql_pii_counts,
+        sql_redact_pii as _sql_redact_pii,
+    )
+
+    _pii_c = _sql_pii_counts("t")
+    o["text_pii_redact"] = f"""
+        WITH w AS (
+          SELECT doc_id,
+                 coalesce(text, '')
+                 || CASE WHEN doc_id % 7 = 0 THEN
+                      ' contact u' || CAST(doc_id AS VARCHAR)
+                      || '@example' || CAST(doc_id % 10 AS VARCHAR)
+                      || '.org now' ELSE '' END
+                 || CASE WHEN doc_id % 11 = 0 THEN
+                      ' host 10.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.3.' || CAST(doc_id % 250 AS VARCHAR)
+                      || ' up' ELSE '' END
+                 || CASE WHEN doc_id % 13 = 0 THEN
+                      ' call +1415555'
+                      || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                      ELSE '' END AS t
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST({_pii_c["n_emails"]} AS BIGINT) AS n_emails,
+               CAST({_pii_c["n_ipv4"]} AS BIGINT) AS n_ipv4,
+               CAST({_pii_c["n_phones"]} AS BIGINT) AS n_phones,
+               md5({_sql_redact_pii("t")}) AS redacted_md5
+        FROM w
+    """
+
     o["text_repetition"] = r"""
         WITH t AS (
           SELECT doc_id,

@@ -307,3 +307,53 @@ def repetition_signals(
         F.coalesce("n_2grams", F.lit(0)).alias("n_2grams"),
         F.coalesce("dup_2gram_count", F.lit(0)).alias("dup_2gram_count"),
     )
+
+
+# --- PII redaction (C4/RefinedWeb-style scrubbing) -------------------
+# Patterns restricted to the Java-regex ∩ RE2 dialect intersection
+# (\d, \b, (?:...), {m,n} mean the same thing in both) so the Spark
+# expression and the DuckDB oracle compile the SAME automaton.
+PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE = r"\+\d{7,15}"
+_PII_ORDER = (  # email first: its local/domain parts contain digits
+    (PII_EMAIL, "<EMAIL>"),
+    (PII_IPV4, "<IP>"),
+    (PII_PHONE, "<PHONE>"),
+)
+
+
+def redact_pii(col: Column) -> Column:
+    """Text with emails, dotted-quad IPs and +international phone
+    numbers replaced by typed placeholders — the scrub step of a
+    webtext training pipeline. Pure JVM regexp_replace chain (three
+    codegen'd passes, no Python)."""
+    out = col
+    for pat, tag in _PII_ORDER:
+        out = F.regexp_replace(out, pat, tag)
+    return out
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-category match counts on the ORIGINAL text (audit metric
+    alongside redact_pii; each pattern counted independently)."""
+    return {
+        "n_emails": F.size(F.regexp_extract_all(col, F.lit(PII_EMAIL), F.lit(0))),
+        "n_ipv4": F.size(F.regexp_extract_all(col, F.lit(PII_IPV4), F.lit(0))),
+        "n_phones": F.size(F.regexp_extract_all(col, F.lit(PII_PHONE), F.lit(0))),
+    }
+
+
+def sql_redact_pii(col: str) -> str:
+    out = col
+    for pat, tag in _PII_ORDER:
+        out = f"regexp_replace({out}, '{pat}', '{tag}', 'g')"
+    return out
+
+
+def sql_pii_counts(col: str) -> dict[str, str]:
+    return {
+        "n_emails": f"length(regexp_extract_all({col}, '{PII_EMAIL}'))",
+        "n_ipv4": f"length(regexp_extract_all({col}, '{PII_IPV4}'))",
+        "n_phones": f"length(regexp_extract_all({col}, '{PII_PHONE}'))",
+    }

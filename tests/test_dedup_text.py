@@ -351,3 +351,49 @@ def test_minhash_default_cap_star_keeps_cluster_connected(spark):
     comp = connected_components(pairs)
     n_comp = comp.select("component").distinct().count()
     assert n_comp == 2, "star must keep the boilerplate cluster ONE component"
+
+
+def test_redact_pii_matches_python_re(spark):
+    import re as _re
+
+    from osm_pbf_parquet_spark.functions.text import (
+        PII_EMAIL, PII_IPV4, PII_PHONE, pii_counts, redact_pii,
+    )
+
+    rows = [
+        (0, "mail bob.smith+tag@sub.example.co.uk or alice@x.io end"),
+        (1, "server 192.168.0.1 and 10.0.0.255, not 1.2.3 or 1.2.3.4.5"),
+        (2, "call +14155551234 or +4930123456 but not 555-1234"),
+        (3, "mixed a@b.com at 8.8.8.8 call +123456789 done"),
+        (4, "clean text, no pii at all"),
+        (5, ""),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cnts = pii_counts(F.col("text"))
+    got = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            redact_pii(F.col("text")).alias("red"),
+            cnts["n_emails"].alias("e"),
+            cnts["n_ipv4"].alias("i"),
+            cnts["n_phones"].alias("p"),
+        ).collect()
+    }
+    for i, t in rows:
+        if t is None:
+            assert got[i].red is None
+            continue
+        exp = _re.sub(PII_EMAIL, "<EMAIL>", t)
+        exp = _re.sub(PII_IPV4, "<IP>", exp)
+        exp = _re.sub(PII_PHONE, "<PHONE>", exp)
+        assert got[i].red == exp, (i, got[i].red, exp)
+        assert got[i].e == len(_re.findall(PII_EMAIL, t))
+        assert got[i].i == len(_re.findall(PII_IPV4, t))
+        assert got[i].p == len(_re.findall(PII_PHONE, t))
+    # spot-check the semantics, not just the three dialects agreeing
+    assert got[0].red == "mail <EMAIL> or <EMAIL> end"
+    # 1.2.3 has no 4th group; 1.2.3.4.5 DOES contain a \b-bounded quad
+    # prefix ("1.2.3.4" — '.' is a word boundary), all dialects agree
+    assert got[1].i == 3
