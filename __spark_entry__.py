@@ -181,6 +181,7 @@ _EXTRA_QUERIES = (
     "substring_dup_spans",    # maximal duplicated spans per doc; oracle-checked
     "substring_strip",        # Lee-et-al dedup-by-removal (md5 of rebuilt text); oracle-checked
     "text_pii_redact",        # PII scrub (email/IP/phone regexp chain); oracle-checked
+    "multimodal_png_pixels",  # REAL from-scratch PNG pixel decode; oracle-checked sample sums
 )
 
 
@@ -1510,6 +1511,32 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_decode"] = multimodal_decode_q
 
+    def multimodal_png_pixels_q(s, d):
+        """REAL PNG pixel decode (extras, oracle-checked): spec-valid
+        PNGs (CRCs, filter types 0-4 cycled across rows) whose sample
+        values follow a SQL-stateable formula; the from-scratch
+        decoder (multimodal.decode_png — stdlib zlib + numpy
+        unfiltering) must reproduce dims and the exact sample SUM the
+        oracle computes arithmetically. A wrong unfilter path or CRC
+        walk shifts pixel_sum and fails the hash."""
+        _ensure_workers_see_package(s)
+        from osm_pbf_parquet_spark.operators.multimodal import (
+            attach_png_fixture,
+            decode_image_pixels,
+        )
+
+        docs = _load(s, d, "documents")
+        px = decode_image_pixels(attach_png_fixture(docs))
+        return px.select(
+            "doc_id",
+            F.col("width").cast("long").alias("width"),
+            F.col("height").cast("long").alias("height"),
+            F.col("channels").cast("long").alias("channels"),
+            "pixel_sum",
+        )
+
+    q["multimodal_png_pixels"] = multimodal_png_pixels_q
+
     # ---- engine observability (rows-only: partitioning uses xxhash64) ----
     def encode_chunk_stats_q(s, d):
         _utc(s)
@@ -2141,6 +2168,24 @@ def _all_oracle_sql() -> dict[str, str]:
                100 + (doc_id * 7) % 900 AS height,
                CASE doc_id % 3 WHEN 0 THEN 4 ELSE 3 END AS channels
         FROM documents
+    """
+    # pixel formula: sample[y,x,k] = (doc_id*31 + y*7 + x*3 + k*11) % 256
+    # over w = 4 + doc_id%13, h = 4 + (doc_id*5)%11, ch = 1 + doc_id%4
+    # (multimodal.png_fixture_shape / synth_png_pixels) — the oracle
+    # computes the decoded-sample sum arithmetically, no PNG needed
+    o["multimodal_png_pixels"] = """
+        SELECT d.doc_id,
+               CAST(4 + d.doc_id % 13 AS BIGINT) AS width,
+               CAST(4 + (d.doc_id * 5) % 11 AS BIGINT) AS height,
+               CAST(1 + d.doc_id % 4 AS BIGINT) AS channels,
+               CAST((
+                 SELECT sum((d.doc_id * 31 + y.y * 7 + x.x * 3
+                             + k.k * 11) % 256)
+                 FROM UNNEST(range(0, 4 + (d.doc_id * 5) % 11)) AS y(y),
+                      UNNEST(range(0, 4 + d.doc_id % 13)) AS x(x),
+                      UNNEST(range(0, 1 + d.doc_id % 4)) AS k(k)
+               ) AS BIGINT) AS pixel_sum
+        FROM documents d
     """
     # dedup_minhash_lsh / dedup_simhash / encode_chunk_stats:
     # xxhash64-derived candidate sets — not SQL-expressible in DuckDB →

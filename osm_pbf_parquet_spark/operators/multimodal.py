@@ -4,10 +4,15 @@ Image/audio/video payloads are carried as `binary` columns with a
 struct of typed metadata, processed through Arrow-batched
 `mapInPandas` — the same batch shape a real decoder (PIL/ffmpeg)
 would use. Header parsing for PNG / GIF / JPEG is REAL (pure-stdlib
-struct over the first KB — `parse_image_header`); full pixel decoding
-is stubbed (`decode_image` raises NotImplementedError: the container
-has no image libs), with `fake_decode_meta` as the deterministic
-fallback for unrecognized magics so the plumbing stays total.
+struct over the first KB — `parse_image_header`), and since r5 PNG
+PIXEL decode is real too: a from-scratch critical-path codec
+(`encode_png`/`decode_png` — stdlib zlib + CRC-verified chunk walk +
+numpy unfiltering of all five filter types, color types 0/2/4/6) with
+`decode_image_pixels` as the Arrow-batched operator over it. JPEG/GIF
+pixel decode stays stubbed (`decode_image` raises: their entropy
+coders are a codec library in themselves), with `fake_decode_meta` as
+the deterministic fallback for unrecognized magics so the plumbing
+stays total.
 
 The binary payloads round-trip through the codec engine bit-exactly
 (envelope str-kind handles binary), which is the part that matters at
@@ -94,11 +99,17 @@ def attach_binary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def decode_image(payload: bytes):  # pragma: no cover - stub
-    """Real image decode — requires PIL/libvips, absent in this env."""
+def decode_image(payload: bytes):
+    """Pixel decode dispatch: PNG is decoded FOR REAL (from-scratch
+    critical path below — stdlib zlib + numpy unfiltering, no image
+    lib); JPEG/GIF raise — their entropy coders (Huffman/arithmetic
+    DCT, LZW) are a codec library in themselves and out of scope for
+    column plumbing."""
+    if payload and payload.startswith(_PNG_MAGIC):
+        return decode_png(payload)
     raise NotImplementedError(
-        "media decoding requires an image library not present in this "
-        "container; inject a decoder or use fake_decode_meta for tests"
+        "only PNG pixel decode is implemented from scratch; JPEG/GIF "
+        "need an image library not present in this container"
     )
 
 
@@ -219,3 +230,259 @@ def media_meta_sql_view(df: DataFrame, id_col: str = "doc_id",
         F.octet_length(F.col(payload_col)).alias("n_bytes"),
         F.sha2(F.col(payload_col), 256).alias("sha256"),
     )
+
+
+# --- real PNG codec (pure stdlib zlib/crc32 + numpy) -----------------
+# Full critical-chunk decode for non-interlaced 8-bit PNGs, color
+# types 0/2/4/6 (grey, rgb, grey+alpha, rgba) with ALL five filter
+# types — closing the r4 "pixel decode is a stub" residue without any
+# external image lib. Palette (3) and interlace need nothing new
+# conceptually and are refused loudly. JPEG/GIF stay stubbed: their
+# entropy coders are a codec library in themselves, out of scope for
+# column plumbing. Filters: None/Up are pure vector ops; Sub is a
+# wrapping uint8 cumsum over the pixel axis (mod-256 accumulate IS
+# the spec's byte arithmetic); Average/Paeth carry a left-pixel
+# dependency, so those rows walk pixels in Python with the channel
+# axis vectorized — decode cost is O(pixels) either way and media
+# thumbnails are small next to the payload bytes the codec engine
+# moves.
+
+import binascii
+import zlib as _zlib
+
+import numpy as np
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    crc = binascii.crc32(tag + body) & 0xFFFFFFFF
+    return struct.pack(">I", len(body)) + tag + body + struct.pack(">I", crc)
+
+
+_COLOR_TYPE_OF_CHANNELS = {1: 0, 3: 2, 2: 4, 4: 6}
+
+
+def encode_png(arr: "np.ndarray", filter_mode: str = "cycle") -> bytes:
+    """Spec-valid PNG from a (h, w) or (h, w, channels) uint8 array.
+    ``filter_mode`` 'none' emits filter 0 rows; 'cycle' rotates
+    through filter types 0-4 by row index so a decode round-trip
+    exercises every unfilter path."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    if arr.dtype != np.uint8:
+        raise ValueError("encode_png expects uint8 samples")
+    if ch not in _COLOR_TYPE_OF_CHANNELS:
+        raise ValueError(f"unsupported channel count {ch}")
+    bpp = ch
+    raw = arr.reshape(h, w * ch).astype(np.uint8)
+    out = []
+    prior = np.zeros(w * ch, dtype=np.uint8)
+    for y in range(h):
+        row = raw[y]
+        ft = 0 if filter_mode == "none" else y % 5
+        left = np.zeros_like(row)
+        left[bpp:] = row[:-bpp]
+        upleft = np.zeros_like(prior)
+        upleft[bpp:] = prior[:-bpp]
+        if ft == 0:
+            filt = row
+        elif ft == 1:
+            filt = row - left
+        elif ft == 2:
+            filt = row - prior
+        elif ft == 3:
+            filt = row - ((left.astype(np.uint16) + prior) // 2).astype(np.uint8)
+        else:
+            a = left.astype(np.int16)
+            b = prior.astype(np.int16)
+            c = upleft.astype(np.int16)
+            p = a + b - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+            pred = np.where((pa <= pb) & (pa <= pc), a,
+                            np.where(pb <= pc, b, c)).astype(np.uint8)
+            filt = row - pred
+        out.append(bytes([ft]) + filt.tobytes())
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8,
+                       _COLOR_TYPE_OF_CHANNELS[ch], 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib.compress(b"".join(out), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> "np.ndarray":
+    """(h, w, channels) uint8 array from a PNG — full from-scratch
+    critical path: chunk walk with CRC verification, concatenated
+    IDAT inflate, per-row unfilter of all five filter types. Raises
+    ValueError on corruption (CRC/length/filter) and
+    NotImplementedError for palette / interlace / non-8-bit depth."""
+    if not payload.startswith(_PNG_MAGIC):
+        raise ValueError("not a PNG")
+    pos = 8
+    n = len(payload)
+    idat = []
+    ihdr = None
+    ended = False
+    while pos + 8 <= n:
+        ln, tag = struct.unpack_from(">I4s", payload, pos)
+        body = payload[pos + 8:pos + 8 + ln]
+        if len(body) != ln or pos + 12 + ln > n:
+            raise ValueError("truncated chunk")
+        crc = struct.unpack_from(">I", payload, pos + 8 + ln)[0]
+        if binascii.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            ended = True
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat or not ended:
+        # a stream cut before IEND may still hold all the IDAT bytes,
+        # but the engine fails fast on corrupt input (X6) rather than
+        # guessing completeness
+        raise ValueError("missing IHDR/IDAT/IEND")
+    w, h, depth, ctype, comp, filt_m, interlace = ihdr
+    if depth != 8 or ctype == 3 or interlace or comp or filt_m:
+        raise NotImplementedError(
+            f"unsupported PNG shape: depth={depth} color={ctype} "
+            f"interlace={interlace}"
+        )
+    ch = _PNG_CHANNELS[ctype]
+    stride = w * ch
+    raw = _zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT size does not match dimensions")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    fts = rows[:, 0]
+    data = rows[:, 1:]
+    out = np.empty((h, stride), dtype=np.uint8)
+    bpp = ch
+    prior = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ft = int(fts[y])
+        row = data[y]
+        if ft == 0:
+            rec = row.copy()
+        elif ft == 1:
+            # recon[i] = raw[i] + recon[i-bpp]: wrapping uint8 cumsum
+            # down the pixel axis per channel lane
+            rec = np.cumsum(
+                row.reshape(w, bpp), axis=0, dtype=np.uint8
+            ).reshape(stride)
+        elif ft == 2:
+            rec = row + prior
+        elif ft == 3:
+            rec = np.empty(stride, dtype=np.uint8)
+            px = row.reshape(w, bpp)
+            pr = prior.reshape(w, bpp).astype(np.uint16)
+            left = np.zeros(bpp, dtype=np.uint16)
+            rv = rec.reshape(w, bpp)
+            for x in range(w):
+                left = (px[x] + ((left + pr[x]) >> 1)).astype(np.uint8)
+                rv[x] = left
+                left = left.astype(np.uint16)
+        elif ft == 4:
+            rec = np.empty(stride, dtype=np.uint8)
+            px = row.reshape(w, bpp)
+            prw = prior.reshape(w, bpp).astype(np.int16)
+            rv = rec.reshape(w, bpp)
+            left = np.zeros(bpp, dtype=np.int16)
+            upleft = np.zeros(bpp, dtype=np.int16)
+            for x in range(w):
+                b_ = prw[x]
+                p = left + b_ - upleft
+                pa = np.abs(p - left)
+                pb = np.abs(p - b_)
+                pc = np.abs(p - upleft)
+                pred = np.where((pa <= pb) & (pa <= pc), left,
+                                np.where(pb <= pc, b_, upleft))
+                cur = (px[x] + pred.astype(np.uint8)).astype(np.uint8)
+                rv[x] = cur
+                left = cur.astype(np.int16)
+                upleft = b_
+        else:
+            raise ValueError(f"bad filter type {ft} in row {y}")
+        out[y] = rec
+        prior = rec
+    return out.reshape(h, w, ch)
+
+
+def png_fixture_shape(doc_id: int) -> tuple[int, int, int]:
+    """(width, height, channels) of the PNG pixel fixture — pure
+    function of doc_id so a SQL oracle can restate it."""
+    return (4 + doc_id % 13, 4 + (doc_id * 5) % 11, 1 + doc_id % 4)
+
+
+def synth_png_pixels(doc_id: int) -> "np.ndarray":
+    """Deterministic pixel array with a SQL-stateable sample formula:
+    sample[y, x, k] = (doc_id*31 + y*7 + x*3 + k*11) % 256."""
+    w, h, ch = png_fixture_shape(doc_id)
+    y = np.arange(h).reshape(h, 1, 1)
+    x = np.arange(w).reshape(1, w, 1)
+    k = np.arange(ch).reshape(1, 1, ch)
+    return ((doc_id * 31 + y * 7 + x * 3 + k * 11) % 256).astype(np.uint8)
+
+
+def attach_png_fixture(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload) of spec-valid PNGs (CRCs, cycled filter types
+    0-4 across rows) whose pixels follow the formula above."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = [
+                encode_png(synth_png_pixels(int(i)), filter_mode="cycle")
+                for i in ids
+            ]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()),
+         T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(fn, schema)
+
+
+PIXEL_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("pixel_sum", T.LongType()),
+        T.StructField("pixel_sha256", T.StringType()),
+    ]
+)
+
+
+def decode_image_pixels(df: DataFrame, id_col: str = "doc_id",
+                        payload_col: str = "payload") -> DataFrame:
+    """REAL pixel decode over a PNG binary column (mapInPandas,
+    Arrow-batched): per image, the decoded dimensions plus pixel_sum
+    (sum of every sample) and sha256 of the raw sample bytes — the
+    projections a feature-extraction stage hangs off, in a shape a
+    SQL oracle can verify when the pixels follow a stated formula."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, cs, sums, shas = [], [], [], [], [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                arr = decode_png(bytes(p))
+                h, w, ch = arr.shape
+                ids.append(int(i)); ws.append(w); hs.append(h)
+                cs.append(ch)
+                sums.append(int(arr.astype(np.int64).sum()))
+                shas.append(hashlib.sha256(arr.tobytes()).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "width": ws, "height": hs,
+                 "channels": cs, "pixel_sum": sums,
+                 "pixel_sha256": shas}
+            )
+
+    return df.mapInPandas(fn, PIXEL_META_SCHEMA)

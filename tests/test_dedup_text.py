@@ -397,3 +397,75 @@ def test_redact_pii_matches_python_re(spark):
     # 1.2.3 has no 4th group; 1.2.3.4.5 DOES contain a \b-bounded quad
     # prefix ("1.2.3.4" — '.' is a word boundary), all dialects agree
     assert got[1].i == 3
+
+
+def test_png_codec_roundtrip_all_filters_and_channels():
+    from osm_pbf_parquet_spark.operators.multimodal import (
+        decode_png, encode_png, parse_image_header,
+    )
+
+    rng = np.random.default_rng(11)
+    for ch in (1, 2, 3, 4):
+        for (h, w) in ((1, 1), (7, 5), (33, 17)):
+            a = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+            for mode in ("none", "cycle"):  # cycle hits filters 0-4
+                p = encode_png(a, filter_mode=mode)
+                got = decode_png(p)
+                assert got.shape == (h, w, ch)
+                assert (got == a).all()
+            fmt, pw, ph, pc = parse_image_header(p)
+            assert (fmt, pw, ph) == ("png", w, h)
+
+
+def test_png_decode_rejects_corruption_and_unsupported():
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from osm_pbf_parquet_spark.operators.multimodal import (
+        _PNG_MAGIC, decode_png, encode_png,
+    )
+
+    a = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    p = encode_png(a)
+    bad = bytearray(p)
+    bad[40] ^= 0xFF  # inside IDAT body -> CRC mismatch
+    with _pytest.raises(ValueError):
+        decode_png(bytes(bad))
+    with _pytest.raises(ValueError):
+        decode_png(b"\x89PNGnope")
+    with _pytest.raises(ValueError):
+        decode_png(p[: len(p) - 8])  # truncated chunk
+    # palette color type refused loudly, not silently mis-decoded
+    ihdr = _struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    import binascii as _ba
+    chunk = (_struct.pack(">I", 13) + b"IHDR" + ihdr
+             + _struct.pack(">I", _ba.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF))
+    idat_body = b"\x00" * 4
+    import zlib as _z
+    comp = _z.compress(idat_body)
+    idat = (_struct.pack(">I", len(comp)) + b"IDAT" + comp
+            + _struct.pack(">I", _ba.crc32(b"IDAT" + comp) & 0xFFFFFFFF))
+    iend = (_struct.pack(">I", 0) + b"IEND"
+            + _struct.pack(">I", _ba.crc32(b"IEND") & 0xFFFFFFFF))
+    with _pytest.raises(NotImplementedError):
+        decode_png(_PNG_MAGIC + chunk + idat + iend)
+
+
+def test_decode_image_pixels_operator(spark):
+    from osm_pbf_parquet_spark.operators.multimodal import (
+        attach_png_fixture, decode_image_pixels, png_fixture_shape,
+        synth_png_pixels,
+    )
+
+    docs = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    out = {
+        r.doc_id: r
+        for r in decode_image_pixels(attach_png_fixture(docs)).collect()
+    }
+    assert len(out) == 40
+    for i in range(40):
+        w, h, ch = png_fixture_shape(i)
+        r = out[i]
+        assert (r.width, r.height, r.channels) == (w, h, ch)
+        assert r.pixel_sum == int(synth_png_pixels(i).astype(np.int64).sum())
