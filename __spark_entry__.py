@@ -182,6 +182,7 @@ _EXTRA_QUERIES = (
     "substring_strip",        # Lee-et-al dedup-by-removal (md5 of rebuilt text); oracle-checked
     "text_pii_redact",        # PII scrub (email/IP/phone regexp chain); oracle-checked
     "multimodal_png_pixels",  # REAL from-scratch PNG pixel decode; oracle-checked sample sums
+    "pack_sequences_nextfit", # LLM sample packing (next-fit); oracle = recursive-CTE twin
 )
 
 
@@ -1537,6 +1538,31 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_png_pixels"] = multimodal_png_pixels_q
 
+    def pack_sequences_q(s, d):
+        """Sequence packing (extras, oracle-checked): next-fit packing
+        of the corpus into 512-token bins over docs sorted by id —
+        the sample-packing step in front of LLM pre-training. The
+        policy is deliberately next-fit (not first-fit-decreasing):
+        deterministic, one pass, and a LINEAR recursion, so the
+        oracle restates it exactly as a recursive CTE. Single shard
+        at validation scale; the operator is applyInPandas per shard
+        (packing parallelizes across shards, the recurrence within
+        one is the spec)."""
+        _ensure_workers_see_package(s)
+        from osm_pbf_parquet_spark.functions.text import token_count
+        from osm_pbf_parquet_spark.operators.packing import (
+            pack_sequences,
+        )
+
+        docs = _load(s, d, "documents").select(
+            "doc_id", token_count(F.col("text")).alias("nt")
+        )
+        return pack_sequences(docs, "nt", budget=512).select(
+            "doc_id", "bin_id", "n_tokens"
+        )
+
+    q["pack_sequences_nextfit"] = pack_sequences_q
+
     # ---- engine observability (rows-only: partitioning uses xxhash64) ----
     def encode_chunk_stats_q(s, d):
         _utc(s)
@@ -2169,6 +2195,33 @@ def _all_oracle_sql() -> dict[str, str]:
                CASE doc_id % 3 WHEN 0 THEN 4 ELSE 3 END AS channels
         FROM documents
     """
+    from osm_pbf_parquet_spark.functions.text import (
+        sql_token_count as _sql_tc,
+    )
+
+    # acc > 0 guard mirrors the operator's `if acc and ...`: a run of
+    # zero-token docs must not close a bin ahead of an oversized doc
+    o["pack_sequences_nextfit"] = f"""
+        WITH RECURSIVE
+        toks AS (
+          SELECT doc_id, CAST({_sql_tc("text")} AS BIGINT) AS t,
+                 row_number() OVER (ORDER BY doc_id) AS rn
+          FROM documents
+        ),
+        walk(rn, doc_id, t, bin, acc) AS (
+          SELECT rn, doc_id, t, CAST(0 AS BIGINT), t
+          FROM toks WHERE rn = 1
+          UNION ALL
+          SELECT x.rn, x.doc_id, x.t,
+                 CASE WHEN w.acc > 0 AND w.acc + x.t > 512
+                      THEN w.bin + 1 ELSE w.bin END,
+                 CASE WHEN w.acc > 0 AND w.acc + x.t > 512
+                      THEN x.t ELSE w.acc + x.t END
+          FROM walk w JOIN toks x ON x.rn = w.rn + 1
+        )
+        SELECT doc_id, bin AS bin_id, t AS n_tokens FROM walk
+    """
+
     # pixel formula: sample[y,x,k] = (doc_id*31 + y*7 + x*3 + k*11) % 256
     # over w = 4 + doc_id%13, h = 4 + (doc_id*5)%11, ch = 1 + doc_id%4
     # (multimodal.png_fixture_shape / synth_png_pixels) — the oracle
