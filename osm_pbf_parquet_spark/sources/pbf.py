@@ -1104,26 +1104,37 @@ def scan_osm_blobs(path: str, spark=None) -> list[tuple[int, int]]:
 
         spark = SparkSession.getActiveSession()
     if spark is not None:
-        jvm = spark._jvm
-        p = jvm.org.apache.hadoop.fs.Path(path)
-        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-        size = int(fs.getFileStatus(p).getLen())
-        stream = fs.open(p)
-        ioutils = jvm.org.apache.commons.io.IOUtils
+        # open through the JVM FileSystem when it HAS a client for the
+        # scheme (viewfs://, hdfs://, s3a:// with hadoop-aws); if it
+        # does not (stock PySpark has no hadoop-aws, so s3:// raises
+        # 'No FileSystem for scheme'), fall through to the pyarrow
+        # object-store path below. Only the OPEN is guarded —
+        # corruption found while scanning must propagate, not retry.
+        stream = None
         try:
+            jvm = spark._jvm
+            p = jvm.org.apache.hadoop.fs.Path(path)
+            fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+            size = int(fs.getFileStatus(p).getLen())
+            stream = fs.open(p)
+            ioutils = jvm.org.apache.commons.io.IOUtils
+        except Exception:
+            stream = None
+        if stream is not None:
+            try:
 
-            def read_at(off: int, n: int) -> bytes:
-                stream.seek(off)
-                try:
-                    return bytes(ioutils.toByteArray(stream, n))
-                except Exception as e:  # py4j IOException on EOF
-                    raise ValueError(
-                        f"truncated blob header length at {off} ({e})"
-                    ) from e
+                def read_at(off: int, n: int) -> bytes:
+                    stream.seek(off)
+                    try:
+                        return bytes(ioutils.toByteArray(stream, n))
+                    except Exception as e:  # py4j IOException on EOF
+                        raise ValueError(
+                            f"truncated blob header length at {off} ({e})"
+                        ) from e
 
-            return _scan_loop(size, read_at)
-        finally:
-            stream.close()
+                return _scan_loop(size, read_at)
+            finally:
+                stream.close()
     # no session (e.g. a bare tool): pyarrow object-store path
     import pyarrow.fs as pafs
 
@@ -1140,11 +1151,14 @@ def resolve_worker_path(spark, path: str) -> str:
     """Resolve client-side-indirection URIs (viewfs:// mount tables)
     to their concrete target so executor PYTHON workers — which have
     pyarrow.fs but no Hadoop client — can open the file directly.
-    Direct schemes (s3a://, file:/) resolve to themselves."""
+    Direct schemes (s3a://, file:/) resolve to themselves — including
+    when the JVM has no client for them at all (stock PySpark ships
+    no hadoop-aws, so s3:// URIs raise 'No FileSystem for scheme';
+    the python workers still serve them via pyarrow)."""
     jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
     try:
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
         return fs.resolvePath(p).toString()
     except Exception:
         return path
