@@ -183,6 +183,7 @@ _EXTRA_QUERIES = (
     "text_pii_redact",        # PII scrub (email/IP/phone regexp chain); oracle-checked
     "multimodal_png_pixels",  # REAL from-scratch PNG pixel decode; oracle-checked sample sums
     "pack_sequences_nextfit", # LLM sample packing (next-fit); oracle = recursive-CTE twin
+    "text_lm_score",          # CCNet-style bigram-LM quality score; oracle-checked
 )
 
 
@@ -1563,6 +1564,21 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pack_sequences_nextfit"] = pack_sequences_q
 
+    def text_lm_score_q(s, d):
+        """CCNet-style LM quality score (extras, oracle-checked):
+        add-1-smoothed bigram LM trained on the corpus itself, every
+        doc scored by mean token log-prob. Count tables via groupBy
+        with partial agg; scoring joins the doc-bigram stream against
+        them shuffle-side (no broadcast assumption — web-scale vocab
+        tables exceed the driver). avg rounded to 4 so float
+        summation order cannot flip the hash."""
+        _ensure_workers_see_package(s)
+        from osm_pbf_parquet_spark.functions.text import ngram_lm_scores
+
+        return ngram_lm_scores(_load(s, d, "documents"))
+
+    q["text_lm_score"] = text_lm_score_q
+
     # ---- engine observability (rows-only: partitioning uses xxhash64) ----
     def encode_chunk_stats_q(s, d):
         _utc(s)
@@ -2196,8 +2212,11 @@ def _all_oracle_sql() -> dict[str, str]:
         FROM documents
     """
     from osm_pbf_parquet_spark.functions.text import (
+        sql_ngram_lm_scores as _sql_lm,
         sql_token_count as _sql_tc,
     )
+
+    o["text_lm_score"] = _sql_lm()
 
     # acc > 0 guard mirrors the operator's `if acc and ...`: a run of
     # zero-token docs must not close a bin ahead of an oversized doc

@@ -357,3 +357,96 @@ def sql_pii_counts(col: str) -> dict[str, str]:
         "n_ipv4": f"length(regexp_extract_all({col}, '{PII_IPV4}'))",
         "n_phones": f"length(regexp_extract_all({col}, '{PII_PHONE}'))",
     }
+
+
+def ngram_lm_scores(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 1.0,
+):
+    """CCNet-style n-gram LM quality score: train an add-k-smoothed
+    BIGRAM language model on the corpus itself (two groupBy count
+    tables), then score every doc by its mean token log-probability —
+    the "does this read like the corpus" signal a pre-training
+    pipeline thresholds on (CCNet buckets by LM perplexity; this is
+    the in-corpus equivalent with no external model). Docs with < 2
+    tokens carry no bigram evidence and are omitted, matching the SQL
+    twin.
+
+        P(w2 | w1) = (c(w1,w2) + k) / (c(w1) + k·V)
+
+    with V the corpus-wide distinct-unigram count. Output:
+    (id, n_bigrams, avg_logprob ROUND(...,4)) — rounded so the DuckDB
+    oracle value-hashes equal despite summation-order float drift.
+
+    Scale shape: bigram/unigram count tables are O(vocab²-observed)
+    and O(vocab) — a groupBy each with map-side partial agg; scoring
+    is two shuffle hash joins of the doc-bigram stream against them
+    (counts co-partition by their join keys; no broadcast assumption,
+    vocab tables can exceed driver memory at web scale), then one
+    per-doc avg. Everything codegen; the HOF zip_with runs per row
+    over the token array to form adjacent pairs."""
+    toks = F.regexp_extract_all(
+        F.coalesce(F.col(text_col), F.lit("")), F.lit(TOKEN_RE), F.lit(0)
+    )
+    bg = df.select(F.col(id_col), toks.alias("_ws")).select(
+        id_col,
+        F.explode(
+            F.expr(
+                "CASE WHEN size(_ws) >= 2 THEN "
+                "zip_with(slice(_ws, 1, size(_ws) - 1), "
+                "slice(_ws, 2, size(_ws) - 1), "
+                "(a, b) -> struct(a AS w1, b AS w2)) "
+                "ELSE array() END"
+            )
+        ).alias("bg"),
+    ).select(id_col, "bg.w1", "bg.w2")
+    bigram_counts = bg.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    uni = df.select(F.explode(toks).alias("w"))
+    unigram_counts = uni.groupBy("w").agg(F.count("*").alias("cu"))
+    v_df = unigram_counts.agg(
+        F.count("*").cast("double").alias("_V")
+    )
+    scored = (
+        bg.join(bigram_counts, ["w1", "w2"])   # every bigram exists in
+        .join(unigram_counts.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(v_df))          # its own training corpus
+        .select(
+            id_col,
+            F.log(
+                (F.col("cb") + F.lit(float(k)))
+                / (F.col("cu") + F.lit(float(k)) * F.col("_V"))
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("lp"), 4).alias("avg_logprob"),
+    )
+
+
+def sql_ngram_lm_scores(k: float = 1.0) -> str:
+    """DuckDB twin of ngram_lm_scores over the `documents` view."""
+    tc = f"regexp_extract_all(coalesce(text, ''), '{TOKEN_RE}')"
+    return f"""
+        WITH t AS (
+          SELECT doc_id, {tc} AS ws FROM documents
+        ),
+        bg AS (
+          SELECT doc_id, ws[CAST(p AS INT)] AS w1,
+                 ws[CAST(p AS INT) + 1] AS w2
+          FROM t, UNNEST(range(1, CAST(greatest(len(ws) - 1, 0) AS BIGINT) + 1)) AS u(p)
+        ),
+        cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+        cu AS (SELECT ws_u.w AS w1, count(*) AS cu FROM
+               (SELECT unnest(ws) AS w FROM t) ws_u GROUP BY 1),
+        v AS (SELECT CAST(count(*) AS DOUBLE) AS V FROM cu)
+        SELECT bg.doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(avg(ln((cb.cb + {float(k)})
+                            / (cu.cu + {float(k)} * v.V))), 4)
+                   AS avg_logprob
+        FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1), v
+        GROUP BY bg.doc_id
+    """

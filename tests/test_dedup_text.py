@@ -469,3 +469,40 @@ def test_decode_image_pixels_operator(spark):
         r = out[i]
         assert (r.width, r.height, r.channels) == (w, h, ch)
         assert r.pixel_sum == int(synth_png_pixels(i).astype(np.int64).sum())
+
+
+def test_ngram_lm_scores_match_python_truth(spark):
+    import math
+    from collections import Counter
+
+    from osm_pbf_parquet_spark.functions.text import ngram_lm_scores
+
+    rows = [
+        (0, "a b a b c"),
+        (1, "a b"),
+        (2, "c c c"),
+        (3, "solo"),   # < 2 tokens: omitted
+        (4, None),     # omitted
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in ngram_lm_scores(df).collect()}
+    # python truth
+    toks = {i: (t or "").split() for i, t in rows}
+    uni = Counter(w for ws in toks.values() for w in ws)
+    bgs = Counter(
+        (ws[j], ws[j + 1]) for ws in toks.values()
+        for j in range(len(ws) - 1)
+    )
+    V = len(uni)
+    assert set(got) == {0, 1, 2}
+    for i in (0, 1, 2):
+        ws = toks[i]
+        lps = [
+            math.log((bgs[(ws[j], ws[j + 1])] + 1.0) / (uni[ws[j]] + V))
+            for j in range(len(ws) - 1)
+        ]
+        assert got[i].n_bigrams == len(lps)
+        assert abs(got[i].avg_logprob - round(sum(lps) / len(lps), 4)) < 1e-9
+    # higher-probability doc scores higher: "a b" (the corpus's most
+    # common bigram) must beat the mixed doc 0
+    assert got[1].avg_logprob > got[0].avg_logprob
