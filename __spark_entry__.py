@@ -184,6 +184,7 @@ _EXTRA_QUERIES = (
     "multimodal_png_pixels",  # REAL from-scratch PNG pixel decode; oracle-checked sample sums
     "pack_sequences_nextfit", # LLM sample packing (next-fit); oracle = recursive-CTE twin
     "text_lm_score",          # CCNet-style bigram-LM quality score; oracle-checked
+    "url_host_stats",         # URL hygiene: host extract + normalize + blocklist; oracle-checked
 )
 
 
@@ -1579,6 +1580,61 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_lm_score"] = text_lm_score_q
 
+    def url_host_stats_q(s, d):
+        """URL hygiene pass (extras, oracle-checked): varied-host URLs
+        derived per doc_id residue (mixed case, non-default and
+        default ports, fragments, query strings — the derivation is
+        restated in SQL like rt_pages), blocklisted host dropped via
+        BROADCAST anti-join, then per-host doc counts plus the min
+        NORMALIZED url (lowercased scheme+host, default port stripped
+        only when it matches the scheme, fragment removed)."""
+        _ensure_workers_see_package(s)
+        from osm_pbf_parquet_spark.functions.urls import (
+            filter_blocked_hosts,
+            url_host,
+            url_normalize,
+        )
+
+        did = F.col("doc_id")
+        # % 7 (coprime with the scheme's % 2): every host sees BOTH
+        # schemes, so the default-port strip fires exactly when the
+        # scheme matches (http://example.com:80 strips, https://...:80
+        # keeps) — the coupling the oracle must reproduce
+        host = (
+            F.when(did % 7 == 0, "News.Example.COM")
+            .when(did % 7 == 1, "blog.example.org:8080")
+            .when(did % 7 == 2, "cdn.mirror.io:443")
+            .when(did % 7 == 3, "example.com:80")
+            .when(did % 7 == 4, "sub.deep.example.co.uk")
+            .when(did % 7 == 5, "static.example.net")
+            .otherwise("Tracker.ADS.example")
+        )
+        scheme = F.when(did % 2 == 0, "http").otherwise("https")
+        url = F.concat(
+            scheme, F.lit("://"), host, F.lit("/p/"),
+            did.cast("string"),
+            F.when(did % 3 == 0,
+                   F.concat(F.lit("?q="), did.cast("string")))
+            .otherwise(F.lit("")),
+            F.when(did % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+        )
+        pages = _load(s, d, "documents").select(did.alias("doc_id"),
+                                                url.alias("url"))
+        kept = filter_blocked_hosts(pages, ["Tracker.ADS.example"])
+        return (
+            kept.select(
+                url_host(F.col("url")).alias("host"),
+                url_normalize(F.col("url")).alias("norm"),
+            )
+            .groupBy("host")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.min("norm").alias("min_norm_url"),
+            )
+        )
+
+    q["url_host_stats"] = url_host_stats_q
+
     # ---- engine observability (rows-only: partitioning uses xxhash64) ----
     def encode_chunk_stats_q(s, d):
         _utc(s)
@@ -2217,6 +2273,42 @@ def _all_oracle_sql() -> dict[str, str]:
     )
 
     o["text_lm_score"] = _sql_lm()
+
+    from osm_pbf_parquet_spark.functions.urls import (
+        sql_url_host as _sql_uh,
+        sql_url_normalize as _sql_un,
+    )
+
+    o["url_host_stats"] = f"""
+        WITH pages AS (
+          SELECT doc_id,
+                 (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+                 || '://'
+                 || (CASE doc_id % 7
+                       WHEN 0 THEN 'News.Example.COM'
+                       WHEN 1 THEN 'blog.example.org:8080'
+                       WHEN 2 THEN 'cdn.mirror.io:443'
+                       WHEN 3 THEN 'example.com:80'
+                       WHEN 4 THEN 'sub.deep.example.co.uk'
+                       WHEN 5 THEN 'static.example.net'
+                       ELSE 'Tracker.ADS.example' END)
+                 || '/p/' || CAST(doc_id AS VARCHAR)
+                 || (CASE WHEN doc_id % 3 = 0
+                          THEN '?q=' || CAST(doc_id AS VARCHAR)
+                          ELSE '' END)
+                 || (CASE WHEN doc_id % 5 = 0 THEN '#frag'
+                          ELSE '' END) AS url
+          FROM documents
+        ),
+        kept AS (
+          SELECT url, {_sql_uh("url")} AS host, {_sql_un("url")} AS norm
+          FROM pages
+          WHERE {_sql_uh("url")} <> 'tracker.ads.example'
+        )
+        SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+               min(norm) AS min_norm_url
+        FROM kept GROUP BY host
+    """
 
     # acc > 0 guard mirrors the operator's `if acc and ...`: a run of
     # zero-token docs must not close a bin ahead of an oversized doc

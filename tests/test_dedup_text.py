@@ -506,3 +506,38 @@ def test_ngram_lm_scores_match_python_truth(spark):
     # higher-probability doc scores higher: "a b" (the corpus's most
     # common bigram) must beat the mixed doc 0
     assert got[1].avg_logprob > got[0].avg_logprob
+
+
+def test_url_ops(spark):
+    from osm_pbf_parquet_spark.functions.urls import (
+        filter_blocked_hosts, host_stats, url_host, url_normalize,
+    )
+
+    rows = [
+        (0, "HTTP://News.Example.COM:80/p/1?q=a#frag"),
+        (1, "https://user:pw@Blog.example.org:443/x"),
+        (2, "https://cdn.io:8443/y#z"),
+        (3, "http://tracker.ads.example/t"),
+        (4, "not a url at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            url_host(F.col("url")).alias("h"),
+            url_normalize(F.col("url")).alias("n"),
+        ).collect()
+    }
+    assert got[0].h == "news.example.com"
+    assert got[0].n == "http://news.example.com/p/1?q=a"  # :80 + #frag gone
+    assert got[1].h == "blog.example.org"  # userinfo skipped
+    assert got[1].n == "https://user:pw@blog.example.org/x"
+    assert got[2].h == "cdn.io"
+    assert got[2].n == "https://cdn.io:8443/y"  # non-default port kept
+    assert got[4].h == "" and got[4].n == "not a url at all"
+
+    kept = filter_blocked_hosts(df, ["Tracker.ADS.example"])
+    assert {r.doc_id for r in kept.collect()} == {0, 1, 2, 4}
+    stats = {r.host: r.n_docs for r in host_stats(df).collect()}
+    assert stats["news.example.com"] == 1 and stats[""] == 1
