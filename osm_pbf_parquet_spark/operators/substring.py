@@ -21,10 +21,11 @@ Shape, at 100 TB:
                        can miss aligned-but-offset overlaps.
   substring_dup_pairs  gram emission -> optional document-frequency cut
                        (broadcast anti-join, same rationale as
-                       ngram_jaccard_pairs.max_df) -> ONE groupBy over
-                       gram hash -> in-bucket pair gen with the shared
-                       star-pair cap (dedup._bucket_pairs_expr). Never
-                       a self-join of the corpus.
+                       ngram_jaccard_pairs.max_df) -> ONE window pass
+                       over gram hash -> in-bucket pair gen with the
+                       shared memory-bounded cap
+                       (dedup.bounded_bucket_pairs). Never a self-join
+                       of the corpus, never an over-cap collect_list.
   decontaminate        corpus grams semi-joined against the BROADCAST
                        benchmark fingerprint set -> LEFT ANTI on doc
                        ids. The benchmark side is small by definition
@@ -51,7 +52,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import DEFAULT_MAX_BUCKET, _bucket_pairs_expr
+from .dedup import DEFAULT_MAX_BUCKET, bounded_bucket_pairs
 
 #: FNV-style odd multiplier (shared with dedup._minhash_kernel) and its
 #: modular inverse — C is odd, so it is a unit mod 2^64 and the prefix
@@ -297,11 +298,12 @@ def substring_dup_pairs(
 
     Without winnowing the result is EXACT — equal to the SQL substring
     self-join — which is what the driver grades (k=30 over sf0.01
-    documents; buckets there max out at 3 docs, far under the star-pair
-    cap, so the default cap does not alter the graded output).
+    documents; buckets there max out at 3 docs, far under the cap, so
+    the default cap does not alter the graded output).
 
-    Scale: ONE groupBy on the 63-bit gram hash; in-bucket pair gen is
-    JVM-side with the shared over-cap star fallback. ``max_gram_docs``
+    Scale: ONE window pass on the 63-bit gram hash; in-bucket pair gen
+    is JVM-side with the shared memory-bounded over-cap chain fallback
+    (dedup.bounded_bucket_pairs). ``max_gram_docs``
     is the document-frequency cut for corpus-scale runs (boilerplate
     spans shared by millions of docs would otherwise dominate both the
     bucket rows and the pair space — same argument as
@@ -317,20 +319,9 @@ def substring_dup_pairs(
             .select("gram")
         )
         grams = grams.join(F.broadcast(frequent), "gram", "left_anti")
-    buckets = (
-        grams.groupBy("gram")
-        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
-        .filter(F.size("ids") >= 2)
-    )
-    pairs = _bucket_pairs_expr(
-        "ids",
-        "named_struct('doc_a', x, 'doc_b', y)",
-        "named_struct('doc_a', ids[0], 'doc_b', y)",
-        max_bucket,
-    )
     return (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select("p.doc_a", "p.doc_b")
+        bounded_bucket_pairs(grams, ["gram"], id_col, max_bucket)
+        .select(F.col("a").alias("doc_a"), F.col("b").alias("doc_b"))
         .distinct()
     )
 
@@ -402,14 +393,21 @@ def strip_dup_spans(
     docs. Returns the input columns with ``text_col`` replaced by the
     stripped text plus ``dup_bytes`` (bytes removed).
 
-    The rebuild is Catalyst-native: spans aggregate to ONE sorted
-    array per doc (sort_array(collect_list(struct))), the keep-region
-    complement comes from shifting that array (slice/transform), and
-    the stripped text is array_join of JVM substrings. The HOF lambdas
-    here run per-SPAN (a handful per doc), not per-byte — the actual
-    byte movement is JVM substring/concat, so the interpreted-HOF
-    penalty the repo measures elsewhere does not bite. One extra
-    shuffle (spans groupBy doc) + one join against the input."""
+    The rebuild is Catalyst-native AND runs in BYTE space (r5 advice:
+    span positions are UTF-8 byte offsets, so a character-indexed
+    substr() silently corrupted any multibyte doc): spans aggregate to
+    ONE sorted array per doc (sort_array(collect_list(struct))), the
+    keep-region complement comes from shifting that array, the doc is
+    cast to BINARY so JVM substring slices bytes, the kept slices
+    concat in byte space, and ONE decode('UTF-8') at the end restores
+    the string. Span boundaries are byte k-gram positions, so a cut
+    may split a codepoint (the Lee et al. tool has the same property —
+    it deduplicates bytes); only such junction bytes decode to
+    U+FFFD, never an unrelated region. The HOF lambdas here run
+    per-SPAN (a handful per doc), not per-byte — the actual byte
+    movement is JVM substring/concat, so the interpreted-HOF penalty
+    the repo measures elsewhere does not bite. One extra shuffle
+    (spans groupBy doc) + one join against the input."""
     spans = dup_spans(df, text_col, id_col, k, min_count)
     agg = spans.groupBy(id_col).agg(
         F.sort_array(
@@ -422,21 +420,22 @@ def strip_dup_spans(
         F.array().cast("array<struct<start_pos:int,end_pos:int>>"),
     )
     # keep regions: starts = 0 ++ span ends; ends = span starts ++ len
+    # (all BYTE offsets — matching the kernel's gram positions)
     ks = F.concat(
         F.array(F.lit(0)), F.transform(sp, lambda x: x["end_pos"])
     )
     ke = F.concat(
         F.transform(sp, lambda x: x["start_pos"]),
-        F.array(F.length(F.col(text_col))),
+        F.array(F.octet_length(F.col(text_col))),
+    )
+    bin_ = F.col(text_col).cast("binary")
+    kept = F.aggregate(
+        F.zip_with(ks, ke, lambda a, b: F.substring(bin_, a + 1, b - a)),
+        F.lit(b""),
+        lambda acc, x: F.concat(acc, x),
     )
     stripped = F.when(F.col(text_col).isNull(), F.lit(None)).otherwise(
-        F.array_join(
-            F.zip_with(
-                ks, ke,
-                lambda a, b: F.col(text_col).substr(a + 1, b - a),
-            ),
-            "",
-        )
+        F.decode(kept, "UTF-8")
     )
     dup_bytes = F.aggregate(
         sp,

@@ -56,6 +56,62 @@ def test_minhash_lsh_finds_planted_near_dups(spark, docs_with_dups):
     assert all(a < b for a, b in found)
 
 
+def test_bounded_bucket_pairs_never_collects_over_cap(spark):
+    """r5 verdict #1 (the one real 100 TB hazard): a degenerate bucket
+    must complete WITHOUT any task materializing the bucket as a list.
+    Functional contract on the shared builder: an over-cap bucket of N
+    members emits exactly N-1 chain pairs that connect every member
+    (never O(N²), never a dropped member), under-cap buckets emit all
+    pairs, and the plan's collect_list is gated by the bucket count so
+    no collected array can exceed max_bucket. One ~100k-member
+    degenerate bucket runs end to end."""
+    from osm_pbf_parquet_spark.operators.dedup import bounded_bucket_pairs
+
+    n = 100_000
+    banded = spark.range(n).select(
+        F.lit(0).alias("band"), F.lit(7).alias("bh"), F.col("id").alias("m")
+    ).unionByName(
+        # one small bucket of 3 (disjoint id range) → all 3 pairs
+        spark.range(3).select(
+            F.lit(1).alias("band"), F.lit(9).alias("bh"),
+            (F.col("id") + 1_000_000).alias("m"),
+        )
+    )
+    pairs = bounded_bucket_pairs(banded, ["band", "bh"], "m", 256)
+    # the collect_list is count-gated in the plan: over-cap buckets
+    # collect an EMPTY list, so no task ever holds > max_bucket members
+    optimized = pairs._jdf.queryExecution().optimizedPlan().toString()
+    assert "_cnt" in optimized  # gate survives optimization
+    got = pairs.collect()
+    big = sorted((r["a"], r["b"]) for r in got if r["b"] < 1_000_000)
+    small = sorted((r["a"], r["b"]) for r in got if r["b"] >= 1_000_000)
+    assert big == [(i - 1, i) for i in range(1, n)], "chain must cover all"
+    base = 1_000_000
+    assert small == [(base, base + 1), (base, base + 2),
+                     (base + 1, base + 2)], "under-cap keeps all pairs"
+    # exactly ONE exchange: window + gated collect + pair projection
+    # all reuse the (band, bh) partitioning
+    executed = pairs._jdf.queryExecution().executedPlan().toString()
+    final = executed.split("== Initial Plan ==")[0]  # AQE echoes both
+    assert final.count("Exchange hashpartitioning") == 1, executed
+
+
+def test_minhash_degenerate_corpus_completes_bounded(spark):
+    """End-to-end guard: 30k identical docs — identical signature in
+    every band — must run through minhash_lsh_pairs without any
+    collect_list of the 30k-member buckets, and every doc must stay
+    reachable for connected-components collapse."""
+    from osm_pbf_parquet_spark.operators.dedup import minhash_lsh_pairs
+
+    boiler = "identical boilerplate page body repeated across the crawl"
+    df = spark.createDataFrame(
+        [(i, boiler) for i in range(30_000)], ["doc_id", "text"]
+    )
+    pairs = minhash_lsh_pairs(df)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert got == {(i - 1, i) for i in range(1, 30_000)}
+
+
 def test_simhash_finds_exact_dups(spark, docs_with_dups):
     from osm_pbf_parquet_spark.operators.dedup import simhash_pairs
 
@@ -64,12 +120,13 @@ def test_simhash_finds_exact_dups(spark, docs_with_dups):
         assert (g * 5, g * 5 + 1) in found
 
 
-def test_simhash_max_bucket_star_caps_degenerate_band(spark):
+def test_simhash_max_bucket_chain_caps_degenerate_band(spark):
     """A degenerate band (here: many exact copies sharing ALL bands)
     must not fan out O(bucket²) when max_bucket is set — the oversized
-    bucket emits LINEAR star pairs against its representative (r4
-    advice: dropping the bucket lost the whole cluster), while small
-    buckets keep producing full pairs."""
+    bucket emits LINEAR chain pairs between consecutive members (r6:
+    never even collect_list-ed; r4 advice: dropping the bucket lost
+    the whole cluster), while small buckets keep producing full
+    pairs."""
     from osm_pbf_parquet_spark.operators.dedup import simhash_pairs
 
     boiler = "shared boilerplate navigation footer text appears everywhere"
@@ -82,9 +139,9 @@ def test_simhash_max_bucket_star_caps_degenerate_band(spark):
               for r in simhash_pairs(df, max_bucket=10).collect()}
     assert (100, 101) in capped, "small bucket must still pair"
     cluster = {(a, b) for a, b in capped if a < 40 and b < 40}
-    # star, not drop: every cluster member stays reachable through the
-    # min-id representative; fan-out is linear, not 40·39/2
-    assert cluster == {(0, b) for b in range(1, 40)}
+    # chain, not drop: consecutive-member edges keep every cluster
+    # member connected; fan-out is linear, not 40·39/2
+    assert cluster == {(b - 1, b) for b in range(1, 40)}
     # uncapped: the boilerplate cluster produces its full pair set
     uncapped = simhash_pairs(df, max_bucket=None).count()
     assert uncapped == 40 * 39 // 2 + 1
@@ -94,7 +151,7 @@ def test_simhash_max_bucket_star_caps_degenerate_band(spark):
         [(i, boiler) for i in range(300)], ["doc_id", "text"]
     )
     dflt = {(r["doc_a"], r["doc_b"]) for r in simhash_pairs(big).collect()}
-    assert dflt == {(0, b) for b in range(1, 300)}
+    assert dflt == {(b - 1, b) for b in range(1, 300)}
 
 
 def test_ngram_jaccard_exact_on_planted(spark, docs_with_dups):
@@ -287,9 +344,9 @@ def test_ngram_freq_cut_is_broadcast_antijoin(spark, docs_with_dups):
 def test_embedding_lsh_degenerate_bucket_bounded(spark):
     """r3 verdict: a boilerplate cluster (many identical vectors) must
     NOT generate O(cluster²) candidate pairs — over-cap buckets emit a
-    linear representative star, exactly like the minhash/simhash
-    guards (r5: star replaced the r4 drop, which lost dense clusters
-    entirely)."""
+    linear consecutive-member chain, exactly like the minhash/simhash
+    guards (r5: bounded fan-out replaced the r4 drop, which lost dense
+    clusters entirely; r6: chain pairs, no bucket list ever built)."""
     import numpy as np
 
     from osm_pbf_parquet_spark.operators.dedup import embedding_lsh_pairs
@@ -309,10 +366,11 @@ def test_embedding_lsh_degenerate_bucket_bounded(spark):
     cluster = {(p["vec_a"], p["vec_b"]) for p in pairs
                if p["vec_a"] >= 1000 or p["vec_b"] >= 1000}
     # the degenerate cluster's 79800 within-pairs are NOT built; the
-    # linear star against the representative keeps the cluster
-    # connected (r4 advice: dropping made the recall loss total,
-    # because an over-cap cluster shares ONE bucket in every band)
-    assert cluster == {(1000, b) for b in range(1001, 1400)}
+    # linear consecutive-member chain keeps the cluster connected
+    # (r4 advice: dropping made the recall loss total, because an
+    # over-cap cluster shares ONE bucket in every band; r6: chain
+    # replaced star so the bucket is never materialized as a list)
+    assert cluster == {(b - 1, b) for b in range(1001, 1400)}
     # with the cap lifted the full pair set IS found (sanity that the
     # cap, not a bug, reduced it) — small n so the n² is affordable
     some = embedding_lsh_pairs(
@@ -322,10 +380,10 @@ def test_embedding_lsh_degenerate_bucket_bounded(spark):
     assert some == 20 * 19 // 2
 
 
-def test_minhash_default_cap_star_keeps_cluster_connected(spark):
+def test_minhash_default_cap_keeps_cluster_connected(spark):
     """r4 verdict #4: the minhash default must bound degenerate-bucket
     fan-out WITHOUT being asked. 300 boilerplate copies exceed
-    DEFAULT_MAX_BUCKET=256: candidates stay linear (star), and the
+    DEFAULT_MAX_BUCKET=256: candidates stay linear (chain), and the
     cluster still collapses to ONE component under connected-
     components dedup — the property the downstream pipeline needs."""
     from osm_pbf_parquet_spark.operators.components import (
@@ -341,16 +399,16 @@ def test_minhash_default_cap_star_keeps_cluster_connected(spark):
     rows += [(900, "a genuinely unique document about owls and rivers"),
              (901, "a genuinely unique document about owls and rivers")]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
-    pairs = minhash_lsh_pairs(df)  # defaults: max_bucket=256 + star
+    pairs = minhash_lsh_pairs(df)  # defaults: max_bucket=256 + chain
     got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
     assert (900, 901) in got, "small bucket must still pair"
     cluster = {(a, b) for a, b in got if a < 900 and b < 900}
-    assert cluster == {(0, b) for b in range(1, 300)}, (
-        "over-cap bucket must star against the representative"
+    assert cluster == {(b - 1, b) for b in range(1, 300)}, (
+        "over-cap bucket must chain consecutive members"
     )
     comp = connected_components(pairs)
     n_comp = comp.select("component").distinct().count()
-    assert n_comp == 2, "star must keep the boilerplate cluster ONE component"
+    assert n_comp == 2, "chain must keep the boilerplate cluster ONE component"
 
 
 def test_redact_pii_matches_python_re(spark):

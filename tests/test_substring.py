@@ -144,7 +144,7 @@ def test_max_gram_docs_cuts_boilerplate(spark):
     assert got == {(100, 101)}
 
 
-def test_star_pairs_over_cap_stay_connected(spark):
+def test_chain_pairs_over_cap_stay_connected(spark):
     from osm_pbf_parquet_spark.operators.substring import substring_dup_pairs
 
     t = "every single one of these documents is exactly the same text"
@@ -153,8 +153,9 @@ def test_star_pairs_over_cap_stay_connected(spark):
     )
     got = {tuple(r) for r in
            substring_dup_pairs(df, k=20, max_bucket=8).collect()}
-    # star fan-out: linear in bucket size, every doc reachable from rep
-    assert got == {(0, i) for i in range(1, 50)}
+    # chain fan-out: linear in bucket size, every doc connected to the
+    # next — no bucket list is ever materialized (r6)
+    assert got == {(i - 1, i) for i in range(1, 50)}
 
 
 def test_decontaminate_matches_python_truth(spark):
@@ -284,6 +285,50 @@ def test_strip_dup_spans_rebuilds_text(spark, span_strip_docs):
     # docs 0/1/5 lose their duplicated block; doc 2 is untouched
     assert out[2].text == rows[2][1] and out[2].dup_bytes == 0
     assert out[5].text == "" and out[5].dup_bytes == 30
+
+
+def test_strip_dup_spans_multibyte_byte_space(spark):
+    """r5 ADVICE (medium): span positions are UTF-8 BYTE offsets, so
+    the rebuild must slice bytes, not characters — a char-indexed
+    substr() misaligns every cut on a non-ASCII doc. Truth is computed
+    in pure-Python byte space (the Lee et al. semantics)."""
+    from osm_pbf_parquet_spark.operators.substring import strip_dup_spans
+
+    k = 12
+    dup = "düplicätés—" * 3            # multibyte, 16 bytes/11 chars per rep
+    rows = [
+        (0, f"прелюдия один {dup} хвост один"),     # cyrillic around dup
+        (1, f"préfix deux {dup} suffix deux"),
+        (2, "どこにも重複のない完全に独自の文書です"),  # unique, untouched
+    ]
+    cnt: dict[bytes, int] = {}
+    enc = {i: t.encode("utf-8") for i, t in rows}
+    for b in enc.values():
+        for p in range(len(b) - k + 1):
+            g = b[p:p + k]
+            cnt[g] = cnt.get(g, 0) + 1
+    expect = {}
+    for i, b in enc.items():
+        spans: list[list[int]] = []
+        for p in range(len(b) - k + 1):
+            if cnt[b[p:p + k]] >= 2:
+                if spans and p <= spans[-1][1]:
+                    spans[-1][1] = max(spans[-1][1], p + k)
+                else:
+                    spans.append([p, p + k])
+        keep, prev = bytearray(), 0
+        for s, e in spans:
+            keep += b[prev:s]
+            prev = e
+        keep += b[prev:]
+        expect[i] = (bytes(keep).decode("utf-8"),
+                     sum(e - s for s, e in spans))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in strip_dup_spans(df, k=k).collect()}
+    for i in expect:
+        assert (out[i].text, out[i].dup_bytes) == expect[i], i
+    assert out[2].dup_bytes == 0 and out[2].text == rows[2][1]
+    assert out[0].dup_bytes > 0, "fixture must actually strip something"
 
 
 def test_strip_dup_spans_min_count_3_spares_two_copies(spark,
