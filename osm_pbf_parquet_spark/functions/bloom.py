@@ -130,6 +130,43 @@ def bloom_probe_positions(value, dtype: pa.DataType) -> tuple[int, int]:
     return int(h1[0]), int(h2[0])
 
 
+def bloom_might_contain_many(blobs, h1: int, h2: int) -> np.ndarray:
+    """Vectorized probe of MANY serialized filters with one (h1, h2)
+    literal — the metadata-scan path of ``prune_by_point``, where a
+    100 TB store has millions of chunk rows and a per-row Python probe
+    (the r5 shape) would dominate the lookup. All header parsing, the
+    Kirsch-Mitzenmacher positions, and the bit tests run as numpy
+    passes over the stacked blob buffer; per-blob filter geometry
+    (m, k differ per chunk) is handled lane-wise. None/empty blob →
+    True (no filter is no evidence of absence)."""
+    bs = [bytes(b) if b is not None else b"" for b in blobs]
+    n = len(bs)
+    out = np.ones(n, dtype=bool)
+    if n == 0:
+        return out
+    lens = np.fromiter((len(b) for b in bs), dtype=np.int64, count=n)
+    has = lens > 0
+    if not has.any():
+        return out
+    flat = np.frombuffer(b"".join(bs), dtype=np.uint8)
+    offs = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    o = offs[has]
+    m = np.zeros(len(o), dtype=np.uint64)
+    for j in range(8):  # little-endian uint64 header lane
+        m |= flat[o + j].astype(np.uint64) << np.uint64(8 * j)
+    k = flat[o + 8].astype(np.uint64)
+    ok = np.ones(len(o), dtype=bool)
+    with np.errstate(over="ignore"):
+        for i in range(int(k.max())):
+            idx = (np.uint64(h1) + np.uint64(i) * np.uint64(h2)) % m
+            byte = flat[o + 9 + (idx >> np.uint64(3)).astype(np.int64)]
+            bit = (byte >> (idx & np.uint64(7)).astype(np.uint8)) & 1
+            ok &= bit.astype(bool) | (np.uint64(i) >= k)
+    out[has] = ok
+    return out
+
+
 def bloom_might_contain(blob: bytes, h1: int, h2: int) -> bool:
     """Probe a serialized filter. None/empty blob → True (no filter
     means no evidence of absence)."""

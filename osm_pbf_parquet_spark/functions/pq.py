@@ -47,9 +47,13 @@ def pq_train(
     iters: int = 8,
     seed: int = 7,
 ) -> list:
-    """(m, k, dim/m) codebook from a deterministic bounded sample."""
+    """(m, k, dim/m) codebook from a deterministic bounded sample
+    (unbiased hash order — see kmeans_centroids for the rationale)."""
     sample = (
-        df.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
+        df.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
+        .limit(sample_size)
+        .collect()
     )
     X = _normalize(np.array([r[1] for r in sample], dtype=np.float64))
     dim = X.shape[1]

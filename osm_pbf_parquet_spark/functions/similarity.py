@@ -65,11 +65,21 @@ def kmeans_centroids(
     IVF coarse quantizer. The sample is tiny (≤ sample_size vectors)
     regardless of table size; the heavy work (assignment) stays
     distributed in ivf_assign.
+
+    Sampling is an UNBIASED deterministic hash order (r5 advice:
+    ``orderBy(id).limit(n)`` biased training to the lowest ids —
+    e.g. the oldest crawl records): TakeOrderedAndProject on
+    xxhash64(id, seed) keeps per-partition top-n + merge (no full
+    sort, no driver loop) while drawing uniformly from the whole id
+    space; the id tiebreak pins determinism even under hash collisions.
     """
     import numpy as np
 
     sample = (
-        df.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
+        df.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
+        .limit(sample_size)
+        .collect()
     )
     X = np.array([r[1] for r in sample], dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)

@@ -228,7 +228,10 @@ def prune_by_point(
     """
     import pyarrow as pa
 
-    from ..functions.bloom import bloom_might_contain, bloom_probe_positions
+    from ..functions.bloom import (
+        bloom_might_contain_many,
+        bloom_probe_positions,
+    )
 
     if value_type is None:
         inferred = pa.array([value]).type
@@ -261,10 +264,12 @@ def prune_by_point(
 
     @F.pandas_udf(T.BooleanType())
     def might(blobs: pd.Series) -> pd.Series:
-        return blobs.map(
-            lambda b: bloom_might_contain(bytes(b), int(h1), int(h2))
-            if b is not None
-            else True
+        # metadata-scale vectorized (r5 advice): one stacked-buffer
+        # numpy probe per Arrow batch, no per-row Python — a 100 TB
+        # store has millions of chunk rows
+        return pd.Series(
+            bloom_might_contain_many(blobs, int(h1), int(h2)),
+            index=blobs.index,
         )
 
     disqualified = (

@@ -26,11 +26,11 @@ from pyspark.sql import functions as F
 from ..functions.codecs import decode_array
 from ..operators.encode import CHUNKS_SPARK_SCHEMA, _encode_group, verify_checksum
 from .manifest import (
-    chunks_dir,
     commit_summary,
     read_chunks,
     read_manifest,
     summarize_chunks,
+    write_chunk_table,
 )
 
 
@@ -119,7 +119,6 @@ def compact_partitions(
     if n_targets == 0:
         return {"compacted_partitions": 0}
 
-    cdir = chunks_dir(out_dir)
     visible = read_chunks(spark, out_dir).join(
         F.broadcast(targets), ["partition_id", "run_id"], "left_semi"
     )
@@ -159,11 +158,11 @@ def compact_partitions(
     max_records = max(
         n_cols, (rotate_bytes // max(1, target_chunk_bytes)) * n_cols
     )
-    compacted.write.option("maxRecordsPerFile", max_records).mode(
-        "append"
-    ).parquet(cdir)
+    write_chunk_table(spark, compacted, out_dir, max_records)
 
-    written = read_chunks(spark, out_dir).filter(F.col("run_id") == run_id)
+    written = read_chunks(spark, out_dir, run_id=run_id).filter(
+        F.col("run_id") == run_id
+    )
     rows = commit_summary(
         summarize_chunks(written).collect(), out_dir, snapshot_id, run_id,
         spark,

@@ -55,22 +55,81 @@ MANIFEST_ARROW_SCHEMA = pa.schema(
 )
 
 
+def store_path(out_dir: str, *parts: str) -> str:
+    """Child path in the store — query-aware for URI stores (s3 URIs
+    carry endpoint/credential config after '?', so naive f-string
+    suffixing would append the child AFTER the query)."""
+    from .fsutil import has_scheme, join_uri
+
+    if has_scheme(out_dir):
+        return join_uri(out_dir, *parts)
+    return os.path.join(out_dir, *parts)
+
+
 def _manifest_dir(out_dir: str) -> str:
-    return os.path.join(out_dir, "manifest")
+    return store_path(out_dir, "manifest")
 
 
 def chunks_dir(out_dir: str) -> str:
-    return os.path.join(out_dir, "chunks")
+    return store_path(out_dir, "chunks")
 
 
-def read_chunks(spark: SparkSession, out_dir: str) -> DataFrame:
+def read_chunks(
+    spark: SparkSession,
+    out_dir: str,
+    with_file: bool = False,
+    run_id: str | None = None,
+) -> DataFrame:
     """Chunk-store scan with the EXPLICIT store schema: inference over
     a dir mixing pre-/post-metadata-column files (e.g. stat_bloom) can
     pick the old file's schema and drop the column; explicit schema
-    reads it as NULL where absent — what every consumer expects."""
-    return spark.read.schema(CHUNKS_STORE_SPARK_SCHEMA).parquet(
+    reads it as NULL where absent — what every consumer expects.
+
+    ``with_file`` adds the source file as a ``__file`` column (vacuum's
+    provenance need) — input_file_name() on the JVM path, the reader's
+    own path on the pyarrow (s3) path, where input_file_name() cannot
+    see through mapInArrow. ``run_id`` is a read-back pushdown HINT:
+    the pyarrow path prunes parquet row groups with it (Catalyst does
+    the equivalent for the JVM path from the caller's .filter);
+    callers must still filter — the hint only skips IO."""
+    from .fsutil import uses_pyarrow
+
+    if uses_pyarrow(out_dir):
+        from .pa_store import read_chunks_pyarrow
+
+        return read_chunks_pyarrow(
+            spark, chunks_dir(out_dir), with_file, run_id
+        )
+    df = spark.read.schema(CHUNKS_STORE_SPARK_SCHEMA).parquet(
         chunks_dir(out_dir)
     )
+    if with_file:
+        df = df.withColumn("__file", F.input_file_name())
+    return df
+
+
+def write_chunk_table(
+    spark: SparkSession,
+    chunks: DataFrame,
+    out_dir: str,
+    max_records: int | None = None,
+) -> None:
+    """Append chunk rows to the store — JVM parquet writer for local/
+    Hadoop schemes, the distributed pyarrow writer for s3 (K2 sink
+    routing, reference src/sink.rs:108-122). ONE owner for the rule so
+    encode/merge/compact cannot diverge."""
+    from .fsutil import uses_pyarrow
+
+    cdir = chunks_dir(out_dir)
+    if uses_pyarrow(out_dir):
+        from .pa_store import write_chunks_pyarrow
+
+        write_chunks_pyarrow(chunks, cdir, max_records)
+        return
+    w = chunks.write
+    if max_records is not None:
+        w = w.option("maxRecordsPerFile", max_records)
+    w.mode("append").parquet(cdir)
 
 
 STORE_META_FILE = "store_meta.json"
@@ -80,7 +139,7 @@ STORE_FORMAT_VERSION = 2  # v2 = chunk schema with stat_bloom
 def read_store_meta(out_dir: str, spark: SparkSession | None = None) -> dict | None:
     from .fsutil import exists, has_scheme, read_bytes
 
-    path = f"{out_dir.rstrip('/')}/{STORE_META_FILE}"
+    path = store_path(out_dir, STORE_META_FILE)
     if has_scheme(out_dir):
         if spark is None:
             raise ValueError("URI store paths need the spark session")
@@ -100,7 +159,7 @@ def write_store_meta(
     records the routing contract every later writer must repeat."""
     from .fsutil import exists, has_scheme, write_sidecar
 
-    path = f"{out_dir.rstrip('/')}/{STORE_META_FILE}"
+    path = store_path(out_dir, STORE_META_FILE)
     if has_scheme(out_dir):
         if spark is None:
             raise ValueError("URI store paths need the spark session")
@@ -156,7 +215,7 @@ def commit_manifest(
     tbl = pa.Table.from_pylist(rows, schema=MANIFEST_ARROW_SCHEMA)
     buf = io.BytesIO()
     pq.write_table(tbl, buf)
-    final = f"{out_dir.rstrip('/')}/manifest/part-{run_id}.parquet"
+    final = store_path(out_dir, "manifest", f"part-{run_id}.parquet")
     write_sidecar(spark, final, buf.getvalue())
     return final
 
@@ -175,10 +234,16 @@ def read_manifest(
     as_of (unix seconds) time-travels: commits after the horizon are
     invisible, so last-wins resolves to whatever was current then.
     """
-    from .fsutil import has_scheme
+    from .fsutil import has_scheme, uses_pyarrow
 
     mdir = _manifest_dir(out_dir)
-    if has_scheme(out_dir):
+    if uses_pyarrow(out_dir):
+        from .pa_store import read_parquet_dir_driver
+
+        raw = read_parquet_dir_driver(spark, mdir)
+        if raw is None:
+            return None  # no manifest committed yet
+    elif has_scheme(out_dir):
         from pyspark.errors import AnalysisException
 
         try:
@@ -385,17 +450,16 @@ def encode_job(
         bloom_cols=bloom_cols,
     ).withColumn("run_id", F.lit(run_id))
 
-    cdir = chunks_dir(out_dir)
     n_cols = max(1, len(df.columns) - (1 if PID_COL in df.columns else 0))
     max_records = max(
         n_cols, (rotate_bytes // max(1, target_chunk_bytes)) * n_cols
     )
-    chunks.write.option("maxRecordsPerFile", max_records).mode(
-        "append"
-    ).parquet(cdir)
+    write_chunk_table(spark, chunks, out_dir, max_records)
 
     # manifest rows derived from the durable chunks of THIS run
-    written = read_chunks(spark, out_dir).filter(F.col("run_id") == run_id)
+    written = read_chunks(spark, out_dir, run_id=run_id).filter(
+        F.col("run_id") == run_id
+    )
     rows = commit_summary(
         summarize_chunks(written).collect(), out_dir, snapshot_id, run_id,
         spark,

@@ -33,13 +33,13 @@ from pyspark.sql import functions as F
 from ..operators.encode import PID_COL, decode_dataframe, with_partition_id
 from .manifest import (
     check_store_routing,
-    chunks_dir,
     commit_manifest,
     commit_summary,
     encode_dataframe,
     read_chunks,
     read_manifest,
     summarize_chunks,
+    write_chunk_table,
 )
 
 
@@ -177,9 +177,10 @@ def merge_job(
             target_chunk_bytes=target_chunk_bytes,
             zstd_level=zstd_level,
         ).withColumn("run_id", F.lit(run_id))
-        cdir = chunks_dir(out_dir)
-        chunks.write.mode("append").parquet(cdir)
-        written = read_chunks(spark, out_dir).filter(F.col("run_id") == run_id)
+        write_chunk_table(spark, chunks, out_dir)
+        written = read_chunks(spark, out_dir, run_id=run_id).filter(
+        F.col("run_id") == run_id
+    )
         rows = commit_summary(
             summarize_chunks(written).collect(), out_dir, snapshot_id, run_id,
             spark,

@@ -1,0 +1,192 @@
+"""Distributed chunk-store IO over pyarrow.fs — the s3:// route.
+
+Stock PySpark ships no hadoop-aws jar, so `spark.read.parquet` /
+`df.write.parquet` CANNOT touch s3:// in this stack. The store's
+chunk tables instead move through the SAME client the PBF ranged
+reads use — pyarrow's S3FileSystem (AWS C++ SDK) — but distributed:
+
+  write  chunks.mapInArrow(writer): every task streams its batches
+         into rotating `part-<uuid>.parquet` objects via one multipart
+         upload each (the SDK splits parts; reference
+         src/sink.rs:108-122 routes its S3 sink the same way), then
+         emits one summary row per file. The collect() that triggers
+         the job moves only (file, rows) rows — no payload ever
+         crosses the driver.
+  read   the driver lists `chunks/*.parquet` (one ListObjectsV2),
+         STRIDE-interleaves the file list (contiguous slices cluster
+         same-partition files into straggler tasks — measured 2× wall
+         on PBF; see CLAUDE.md), parallelizes WITHOUT an Exchange, and
+         each task streams its files' row groups through mapInArrow.
+         Missing columns (a pre-metadata store file) surface as NULLs,
+         matching the explicit-schema JVM read.
+
+At 10^12 documents the file list is ~10⁵–10⁶ names — a few MB on the
+driver, the same scale Spark's own file index holds; everything else
+stays on executors.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.encode import CHUNKS_ARROW_SCHEMA, CHUNKS_STORE_SPARK_SCHEMA
+from .fsutil import join_uri, list_files, pa_fs
+
+#: chunk rows as persisted (run_id stamped at commit time)
+CHUNKS_STORE_ARROW_SCHEMA = pa.schema(
+    list(CHUNKS_ARROW_SCHEMA) + [pa.field("run_id", pa.string())]
+)
+
+
+def write_chunks_pyarrow(
+    chunks: DataFrame, cdir: str, max_records: int | None = None
+) -> list[dict]:
+    """Write a chunk DataFrame under ``cdir`` (s3://…/chunks), one or
+    more parquet objects per task, rotating at ``max_records`` rows
+    (the JVM path's maxRecordsPerFile twin). Returns the written-file
+    summaries; the collect is the job's action."""
+    out_schema = T.StructType(
+        [
+            T.StructField("file", T.StringType()),
+            T.StructField("rows", T.LongType()),
+        ]
+    )
+
+    def writer(batches):
+        import pyarrow.parquet as pq
+
+        fs, inner = pa_fs(cdir)
+        inner = inner.rstrip("/")
+        buf: list[pa.RecordBatch] = []
+        nrows = 0
+        written: list[tuple[str, int]] = []
+
+        def flush():
+            nonlocal buf, nrows
+            if not buf:
+                return
+            name = f"part-{uuid.uuid4().hex}.parquet"
+            with fs.open_output_stream(f"{inner}/{name}") as out:
+                pq.write_table(pa.Table.from_batches(buf), out)
+            written.append((name, nrows))
+            buf, nrows = [], 0
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            buf.append(b)
+            nrows += b.num_rows
+            if max_records is not None and nrows >= max_records:
+                flush()
+        flush()
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([w[0] for w in written], type=pa.string()),
+                pa.array([w[1] for w in written], type=pa.int64()),
+            ],
+            ["file", "rows"],
+        )
+
+    return [r.asDict() for r in chunks.mapInArrow(writer, out_schema).collect()]
+
+
+def read_chunks_pyarrow(
+    spark: SparkSession,
+    cdir: str,
+    with_file: bool = False,
+    run_id: str | None = None,
+) -> DataFrame:
+    """Distributed chunk read for s3 stores: list once on the driver,
+    stride-interleave, one pyarrow parquet stream per file on the
+    executors. ``with_file`` appends the full file URI as ``__file``
+    (the s3 twin of ``input_file_name()`` — vacuum's provenance).
+    ``run_id`` pushes a row-group-pruning filter into the parquet
+    reads — the JVM path gets this from Catalyst pushdown; without it
+    every post-encode read-back would re-read the whole store's
+    payload bytes to summarize one run."""
+    files = list_files(spark, cdir, ".parquet")
+    fields = list(CHUNKS_STORE_SPARK_SCHEMA.fields)
+    if with_file:
+        fields = fields + [T.StructField("__file", T.StringType())]
+    schema = T.StructType(fields)
+    if not files:
+        return spark.createDataFrame([], schema)
+    sc = spark.sparkContext
+    n = min(len(files), sc.defaultParallelism * 2)
+    strided = [f for i in range(n) for f in files[i::n]]
+    pdf = spark.createDataFrame(
+        sc.parallelize([(f,) for f in strided], numSlices=n), "path string"
+    )
+    want = CHUNKS_STORE_ARROW_SCHEMA
+
+    def reader(batches):
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            for path in b.column("path").to_pylist():
+                fs, inner = pa_fs(path)
+                kw = {}
+                if run_id is not None:
+                    kw["filters"] = [("run_id", "==", run_id)]
+                try:
+                    tbl = pq.read_table(inner, filesystem=fs, **kw)
+                except pa.lib.ArrowInvalid:
+                    if run_id is None:
+                        raise
+                    # pre-run_id file: the filter names a missing
+                    # column — such a file cannot hold this run's rows
+                    continue
+                cols = []
+                for f in want:
+                    if f.name in tbl.column_names:
+                        cols.append(tbl.column(f.name).cast(f.type))
+                    else:  # pre-metadata file: NULL column, like the
+                        cols.append(  # explicit-schema JVM read
+                            pa.nulls(len(tbl), type=f.type)
+                        )
+                names = list(want.names)
+                if with_file:
+                    cols.append(
+                        pa.array([path] * len(tbl), type=pa.string())
+                    )
+                    names.append("__file")
+                out = pa.table(dict(zip(names, cols)))
+                yield from out.to_batches()
+
+    return pdf.mapInArrow(reader, schema)
+
+
+def read_parquet_dir_driver(
+    spark: SparkSession, dir_uri: str
+) -> DataFrame | None:
+    """Driver-side read of a SMALL parquet dir (manifest/vacuum parts —
+    one row per partition commit) into a DataFrame; None when the dir
+    is missing/empty. The s3 twin of spark.read.parquet for metadata
+    tables that never exceed a few MB."""
+    import pyarrow.parquet as pq
+
+    parts = list_files(spark, dir_uri, ".parquet")
+    if not parts:
+        return None
+    tables = []
+    for p in parts:
+        fs, inner = pa_fs(p)
+        tables.append(pq.read_table(inner, filesystem=fs))
+    return spark.createDataFrame(
+        pa.concat_tables(tables, promote_options="default")
+    )
+
+
+__all__ = [
+    "CHUNKS_STORE_ARROW_SCHEMA",
+    "read_chunks_pyarrow",
+    "read_parquet_dir_driver",
+    "write_chunks_pyarrow",
+    "join_uri",
+]

@@ -41,7 +41,7 @@ import pyarrow.parquet as pq
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from .manifest import read_chunks, read_manifest
+from .manifest import read_chunks, read_manifest, store_path
 
 VACUUM_SCHEMA = pa.schema(
     [
@@ -75,11 +75,13 @@ def vacuum(
         .select("partition_id", "run_id")
         .distinct()
     )
-    # column-pruned metadata scan: 2 small columns + file provenance;
-    # a file lives iff ANY of its (pid, run_id) pairs is visible
+    # column-pruned metadata scan: 2 small columns + file provenance
+    # (read_chunks with_file: input_file_name on the JVM path, the
+    # reader's own path on the pyarrow/s3 path); a file lives iff ANY
+    # of its (pid, run_id) pairs is visible
     file_rows = (
-        read_chunks(spark, out_dir)
-        .select(F.input_file_name().alias("file"), "partition_id", "run_id")
+        read_chunks(spark, out_dir, with_file=True)
+        .select(F.col("__file").alias("file"), "partition_id", "run_id")
         .distinct()
         .join(
             F.broadcast(visible.withColumn("__vis__", F.lit(1))),
@@ -95,14 +97,13 @@ def vacuum(
     uri_store = has_scheme(out_dir)
 
     def _stat(path):
-        """(mtime_s, size) via local stat or the Hadoop FS (URI stores:
-        same metadata round-trip an object-store HEAD costs)."""
+        """(mtime_s, size) via local stat or the remote FS (URI stores:
+        same metadata round-trip an object-store HEAD costs; fsutil
+        routes s3 through pyarrow, other schemes through Hadoop)."""
         if uri_store:
-            from .fsutil import _fs_and_path
+            from .fsutil import stat_file
 
-            fs, p, _ = _fs_and_path(spark, path)
-            st = fs.getFileStatus(p)
-            return st.getModificationTime() / 1000.0, st.getLen()
+            return stat_file(spark, path)
         lp = path[len("file:"):] if path.startswith("file:") else path
         return os.path.getmtime(lp), os.path.getsize(lp)
 
@@ -148,17 +149,16 @@ def vacuum(
         buf = io.BytesIO()
         pq.write_table(rec, buf)
         write_sidecar(
-            spark, f"{out_dir.rstrip('/')}/vacuum/part-{vid}.parquet",
+            spark, store_path(out_dir, "vacuum", f"part-{vid}.parquet"),
             buf.getvalue(),
         )
     if not dry_run:
         for path, sz in victims:
             try:
                 if uri_store:
-                    from .fsutil import _fs_and_path
+                    from .fsutil import delete_file
 
-                    fs, p, _ = _fs_and_path(spark, path)
-                    if not fs.delete(p, False):
+                    if not delete_file(spark, path):
                         continue
                 else:
                     lp = (path[len("file:"):] if path.startswith("file:")

@@ -1127,9 +1127,22 @@ def scan_osm_blobs(path: str, spark=None) -> list[tuple[int, int]]:
                     stream.seek(off)
                     try:
                         return bytes(ioutils.toByteArray(stream, n))
-                    except Exception as e:  # py4j IOException on EOF
-                        raise ValueError(
-                            f"truncated blob header length at {off} ({e})"
+                    except Exception as e:
+                        # ONLY a JVM EOF is evidence of truncation
+                        # (X6 fail-fast); any other IOException —
+                        # transient network/FS failure mid-scan — must
+                        # surface as an IO error, not a corruption
+                        # verdict with a misleading offset (r5 advice)
+                        jexc = getattr(e, "java_exception", None)
+                        name = (jexc.getClass().getName()
+                                if jexc is not None else "")
+                        if name.endswith("EOFException"):
+                            raise ValueError(
+                                f"truncated blob header length at {off} "
+                                f"({e})"
+                            ) from e
+                        raise OSError(
+                            f"read failed at offset {off} of {path}: {e}"
                         ) from e
 
                 return _scan_loop(size, read_at)
