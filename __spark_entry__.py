@@ -117,6 +117,31 @@ def entry(spark: SparkSession) -> DataFrame:
     return _roundtrip(spark, "/root/testdata/sf0.001", "documents", "doc_id")
 
 
+def _skewed_host_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Zipf-skewed web-page projection of `documents`:
+    ~60% of rows land on ONE heavy host, the rest spread over 97 light
+    hosts — the url-hash skew fixture for salted_pids. Twinned exactly
+    by the rt_skewed_hosts oracle SQL."""
+    return _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.when(
+                F.col("doc_id") % 5 < 3, F.lit("heavy.example.com")
+            ).otherwise(
+                F.concat(
+                    F.lit("host-"),
+                    (F.col("doc_id") % 97).cast("string"),
+                    F.lit(".example.org"),
+                )
+            ),
+            F.lit("/page/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "text",
+    )
+
+
 # ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
@@ -179,12 +204,22 @@ _EXTRA_QUERIES = (
     # window-algebra interval merge / string rebuild in DuckDB), so
     # the judge's local gate checks them end to end:
     "substring_dup_spans",    # maximal duplicated spans per doc; oracle-checked
-    "substring_strip",        # Lee-et-al dedup-by-removal (md5 of rebuilt text); oracle-checked
     "text_pii_redact",        # PII scrub (email/IP/phone regexp chain); oracle-checked
-    "multimodal_png_pixels",  # REAL from-scratch PNG pixel decode; oracle-checked sample sums
     "pack_sequences_nextfit", # LLM sample packing (next-fit); oracle = recursive-CTE twin
-    "text_lm_score",          # CCNet-style bigram-LM quality score; oracle-checked
-    "url_host_stats",         # URL hygiene: host extract + normalize + blocklist; oracle-checked
+
+    # round-6 swaps (r5 verdict #8: the graded window must reflect the
+    # engine's frontier): PROMOTED into the graded 50 — substring_strip
+    # (Lee-et-al dedup-by-removal, now byte-space correct),
+    # multimodal_png_pixels (real from-scratch PNG pixel decode),
+    # text_lm_score (CCNet bigram-LM quality), url_host_stats (C4 URL
+    # hygiene), rt_skewed_hosts (NEW: §2.8 skew handling end to end,
+    # r5 verdict #5). Demoted in exchange — each capability stays
+    # graded via a sibling and its green record stands in r05:
+    "rt_orders_auto",          # auto-selector graded via rt_documents/events/lineitem_auto + rt_pages; r05-green
+    "multimodal_decode",       # stub-decode plumbing superseded by the REAL multimodal_png_pixels; meta parse stays graded via multimodal_meta; r05-green
+    "text_quality",            # same signals computed INSIDE the graded text_quality_filter; r05-green
+    "ivf_topk_partial_recall", # IVF machinery graded via ivf_store_probe (stricter: persisted store + PushedFilters cell pruning); r05-green
+    "rt_zorder_pruned",        # zone-map pruning graded via rt_sorted_pruned + rt_rowfilter_decode + rt_bloom_point; z-order layout unit-tested; r05-green
 )
 
 
@@ -551,6 +586,34 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).filter(F.col("doc_id") == 123)
 
     q["rt_bloom_point"] = rt_bloom_point
+
+    def rt_skewed_hosts(s, d):
+        """SURVEY §2.8 skew handling, graded END TO END (r5 verdict
+        #5: salted_pids was unit-tested but no oracle row demonstrated
+        it): derive a Zipf-skewed url per document (one heavy host
+        carries ~60% of the corpus — the web-crawl regime the
+        north_rule names), attach SALTED partition ids
+        (operators/partitioning.salted_pids: frequency pre-pass +
+        per-host fanout, heavy host split by url-hash salt), encode
+        with those pids authoritative, decode bit-identically. The
+        oracle is the same url derivation in SQL (round-trip is
+        identity); the BALANCE property (max/mean partition rows
+        bounded despite the heavy host) is asserted in
+        tests/test_partitioning.py::test_rt_skewed_hosts_balance."""
+        _utc(s)
+        _ensure_workers_see_package(s)
+        from osm_pbf_parquet_spark.operators.encode import (
+            decode_dataframe,
+            encode_dataframe,
+        )
+        from osm_pbf_parquet_spark.operators.partitioning import salted_pids
+
+        src = _skewed_host_docs(s, d)
+        pids = salted_pids(src, "url", num_partitions=8)
+        chunks = encode_dataframe(pids, key_col="url", num_partitions=8)
+        return decode_dataframe(chunks, src.schema)
+
+    q["rt_skewed_hosts"] = rt_skewed_hosts
 
     # ---- §2.9 relational validation semantics (V1–V4) ----
     def v1_dup_check(s, d):
@@ -1772,6 +1835,16 @@ def _all_oracle_sql() -> dict[str, str]:
     """
     o["rt_bloom_point"] = """
         SELECT doc_id, lang, n_chars FROM documents WHERE doc_id = 123
+    """
+    o["rt_skewed_hosts"] = """
+        SELECT doc_id,
+               'https://'
+               || CASE WHEN doc_id % 5 < 3 THEN 'heavy.example.com'
+                       ELSE 'host-' || (doc_id % 97) || '.example.org'
+                  END
+               || '/page/' || doc_id AS url,
+               text
+        FROM documents
     """
     o["rt_merge_upsert"] = """
         SELECT doc_id,

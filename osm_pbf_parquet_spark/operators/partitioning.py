@@ -7,14 +7,22 @@ Zipf-like and a single pathological host can hold a double-digit
 percentage of rows. A naive pmod(xxhash64(host), N) would send that
 host's whole mass to one encode task.
 
-Strategy (frequency pre-pass + salted splits):
+Strategy (frequency pre-pass + round-robin salted splits):
   1. one cheap aggregation: rows per host (this is the only extra job,
      and it reads a single projected column — Catalyst prunes the scan)
-  2. fanout(host) = ceil(rows / target_rows_per_partition), broadcast
-     back (host-count tables are small: distinct hosts ≪ rows)
-  3. salt = pmod(xxhash64(url), fanout)   — deterministic, resumable
-     pid  = pmod(xxhash64(host, salt), N)
+  2. fanout(host) = ceil(rows / target_rows_per_partition), rounded UP
+     to a multiple of N when it exceeds N; broadcast back (host-count
+     tables are small: distinct hosts ≪ rows)
+  3. salt = pmod(xxhash64(url), fanout)      — deterministic, resumable
+     pid  = pmod(xxhash64(host) + salt, N)   — ROUND-ROBIN placement
 
+Round-robin (r6): hashing (host, salt) placed a heavy host's fanout
+groups into bins RANDOMLY — with fanout ~ tens of groups the binomial
+variance left max/mean ≈ 1.8 (measured at 20k rows). Adding the salt
+to the host's base hash instead makes consecutive salts hit DISTINCT
+consecutive pids: a host with fanout ≤ N spreads exactly evenly over
+fanout partitions, and rounding fanout to a multiple of N makes a
+mega-host (the 60%-of-corpus case) spread exactly evenly over ALL N.
 Light hosts keep fanout 1 (locality: one host → one partition, which
 maximizes dictionary/FSST sharing); heavy hosts split into exactly as
 many partitions as their mass requires. The whole scheme is two
@@ -52,12 +60,18 @@ def salted_pids(
         # host-salt groups place far more evenly under hashing
         # (balls-into-bins variance shrinks with group count)
         target_rows_per_partition = max(1, total // (num_partitions * 4))
+    raw = F.greatest(
+        F.lit(1),
+        F.ceil(F.col("count") / F.lit(target_rows_per_partition)),
+    ).cast("int")
+    # fanout > N rounds UP to a multiple of N so the round-robin wraps
+    # a whole number of times — a mega-host spreads exactly evenly
+    fanout = F.when(
+        raw > num_partitions,
+        (F.ceil(raw / F.lit(num_partitions)) * num_partitions).cast("int"),
+    ).otherwise(raw)
     freq = host_frequencies(df, url_col).withColumn(
-        "fanout",
-        F.greatest(
-            F.lit(1),
-            F.ceil(F.col("count") / F.lit(target_rows_per_partition)),
-        ).cast("int"),
+        "fanout", fanout
     ).select("host", "fanout")
 
     with_host = df.withColumn("__host__", host_col(url_col))
@@ -65,7 +79,8 @@ def salted_pids(
         F.broadcast(freq), with_host["__host__"] == freq["host"], "left"
     ).drop("host")
     salt = F.pmod(F.xxhash64(F.col(url_col)), F.coalesce(F.col("fanout"), F.lit(1)))
-    pid = F.pmod(F.xxhash64(F.col("__host__"), salt), F.lit(num_partitions))
+    # round-robin: consecutive salts land on DISTINCT consecutive pids
+    pid = F.pmod(F.xxhash64(F.col("__host__")) + salt, F.lit(num_partitions))
     return joined.withColumn(PID_COL, pid.cast("long")).drop("__host__", "fanout")
 
 
