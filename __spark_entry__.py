@@ -220,6 +220,12 @@ _EXTRA_QUERIES = (
     "text_quality",            # same signals computed INSIDE the graded text_quality_filter; r05-green
     "ivf_topk_partial_recall", # IVF machinery graded via ivf_store_probe (stricter: persisted store + PushedFilters cell pruning); r05-green
     "rt_zorder_pruned",        # zone-map pruning graded via rt_sorted_pruned + rt_rowfilter_decode + rt_bloom_point; z-order layout unit-tested; r05-green
+
+    # round-6 addition (window full at 50): REAL baseline JPEG pixel
+    # decode — extras WITH full oracle (DC-only closed form), so the
+    # local gate checks it end to end; entropy/IDCT paths are also
+    # pytest-verified against a definition-based IDCT
+    "multimodal_jpeg_pixels",
 )
 
 
@@ -1603,6 +1609,35 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_png_pixels"] = multimodal_png_pixels_q
 
+    def multimodal_jpeg_pixels_q(s, d):
+        """REAL baseline JPEG pixel decode (extras, oracle-checked; r5
+        verdict #7): spec-valid grayscale JPEGs (Annex K Huffman
+        tables, DC-difference coding, EOB) built by the from-scratch
+        encoder twin; the decoder (operators/jpeg.py — canonical
+        Huffman + batched separable IDCT, numpy only) must reproduce
+        dims and the exact pixel SUM. The fixture is DC-only with a
+        flat q=8 table, so reconstruction is EXACTLY dc + 128 per
+        pixel and the oracle restates the sums arithmetically; the AC/
+        ZRL/restart/color paths are pytest-verified against a
+        definition-based IDCT (tests/test_multimodal.py)."""
+        _ensure_workers_see_package(s)
+        from osm_pbf_parquet_spark.operators.multimodal import (
+            attach_jpeg_fixture,
+            decode_image_pixels,
+        )
+
+        docs = _load(s, d, "documents")
+        px = decode_image_pixels(attach_jpeg_fixture(docs))
+        return px.select(
+            "doc_id",
+            F.col("width").cast("long").alias("width"),
+            F.col("height").cast("long").alias("height"),
+            F.col("channels").cast("long").alias("channels"),
+            "pixel_sum",
+        )
+
+    q["multimodal_jpeg_pixels"] = multimodal_jpeg_pixels_q
+
     def pack_sequences_q(s, d):
         """Sequence packing (extras, oracle-checked): next-fit packing
         of the corpus into 512-token bins over docs sorted by id —
@@ -2421,6 +2456,19 @@ def _all_oracle_sql() -> dict[str, str]:
                  FROM UNNEST(range(0, 4 + (d.doc_id * 5) % 11)) AS y(y),
                       UNNEST(range(0, 4 + d.doc_id % 13)) AS x(x),
                       UNNEST(range(0, 1 + d.doc_id % 4)) AS k(k)
+               ) AS BIGINT) AS pixel_sum
+        FROM documents d
+    """
+    o["multimodal_jpeg_pixels"] = """
+        SELECT d.doc_id,
+               CAST(8 * (1 + d.doc_id % 4) AS BIGINT) AS width,
+               CAST(8 * (1 + (d.doc_id * 3) % 3) AS BIGINT) AS height,
+               CAST(1 AS BIGINT) AS channels,
+               CAST((
+                 SELECT 64 * sum((d.doc_id * 7 + b.b * 13) % 251 + 3)
+                 FROM UNNEST(range(0,
+                   (1 + d.doc_id % 4) * (1 + (d.doc_id * 3) % 3)
+                 )) AS b(b)
                ) AS BIGINT) AS pixel_sum
         FROM documents d
     """

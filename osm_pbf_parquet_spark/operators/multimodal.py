@@ -100,16 +100,21 @@ def attach_binary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def decode_image(payload: bytes):
-    """Pixel decode dispatch: PNG is decoded FOR REAL (from-scratch
-    critical path below — stdlib zlib + numpy unfiltering, no image
-    lib); JPEG/GIF raise — their entropy coders (Huffman/arithmetic
-    DCT, LZW) are a codec library in themselves and out of scope for
-    column plumbing."""
+    """Pixel decode dispatch: PNG and baseline JPEG are decoded FOR
+    REAL (from-scratch critical paths — stdlib zlib + numpy
+    unfiltering for PNG; canonical-Huffman + batched IDCT for JPEG,
+    operators/jpeg.py, new in r6 per the r5 "What's missing" #1).
+    GIF raises — LZW stays the one honest stub; progressive/
+    subsampled JPEG raise inside decode_jpeg the same way."""
     if payload and payload.startswith(_PNG_MAGIC):
         return decode_png(payload)
+    if payload and payload.startswith(b"\xff\xd8"):
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "only PNG pixel decode is implemented from scratch; JPEG/GIF "
-        "need an image library not present in this container"
+        "PNG and baseline JPEG pixel decode are implemented from "
+        "scratch; GIF needs an LZW codec not built here"
     )
 
 
@@ -449,6 +454,41 @@ def attach_png_fixture(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(fn, schema)
 
 
+def jpeg_fixture_blocks(doc_id: int) -> "np.ndarray":
+    """Quantized DC-only coefficient blocks with a SQL-stateable
+    reconstruction: with the flat q=8 table a lone DC decodes to
+    EXACTLY dc + 128 per pixel, and dc(b) = (doc_id*7 + b*13) % 251
+    - 125 over raster block index b. Block grid: (1 + doc_id % 4) ×
+    (1 + doc_id*3 % 3) blocks of 8×8."""
+    bw = 1 + doc_id % 4
+    bh = 1 + (doc_id * 3) % 3
+    b = np.arange(bh * bw).reshape(bh, bw)
+    blocks = np.zeros((bh, bw, 8, 8), dtype=np.int64)
+    blocks[:, :, 0, 0] = (doc_id * 7 + b * 13) % 251 - 125
+    return blocks
+
+
+def attach_jpeg_fixture(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload) of spec-valid baseline grayscale JPEGs
+    (Annex K Huffman tables, DC diffs, EOB/ZRL run coding) whose
+    decoded pixels follow the closed form above."""
+    from .jpeg import encode_jpeg_gray
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = [
+                encode_jpeg_gray(jpeg_fixture_blocks(int(i))) for i in ids
+            ]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()),
+         T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(fn, schema)
+
+
 PIXEL_META_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -463,7 +503,7 @@ PIXEL_META_SCHEMA = T.StructType(
 
 def decode_image_pixels(df: DataFrame, id_col: str = "doc_id",
                         payload_col: str = "payload") -> DataFrame:
-    """REAL pixel decode over a PNG binary column (mapInPandas,
+    """REAL pixel decode over a PNG/JPEG binary column (mapInPandas,
     Arrow-batched): per image, the decoded dimensions plus pixel_sum
     (sum of every sample) and sha256 of the raw sample bytes — the
     projections a feature-extraction stage hangs off, in a shape a
@@ -473,7 +513,9 @@ def decode_image_pixels(df: DataFrame, id_col: str = "doc_id",
         for pdf in batches:
             ids, ws, hs, cs, sums, shas = [], [], [], [], [], []
             for i, p in zip(pdf[id_col], pdf[payload_col]):
-                arr = decode_png(bytes(p))
+                arr = decode_image(bytes(p))
+                if arr.ndim == 2:  # grayscale JPEG → 1 channel
+                    arr = arr[:, :, None]
                 h, w, ch = arr.shape
                 ids.append(int(i)); ws.append(w); hs.append(h)
                 cs.append(ch)

@@ -257,13 +257,25 @@ def test_multimodal_plumbing(spark):
     assert sql_view[0]["sha256"] == by_id[0]["sha256"]
 
 
-def test_decode_image_is_stubbed():
+def test_decode_image_dispatch():
+    """PNG and baseline JPEG decode for real (r6: jpeg.py); GIF stays
+    an HONEST stub; a truncated PNG magic is unrecognized."""
+    import numpy as np
+
+    from osm_pbf_parquet_spark.operators.jpeg import encode_jpeg_gray
     from osm_pbf_parquet_spark.operators.multimodal import decode_image
 
     import pytest as _pytest
 
     with _pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+        decode_image(b"GIF89a" + b"\x00" * 32)
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")  # truncated magic: not a real PNG
+    blocks = np.zeros((1, 2, 8, 8), dtype=np.int64)
+    blocks[:, :, 0, 0] = [[10, -10]]
+    img = decode_image(encode_jpeg_gray(blocks))
+    assert img.shape == (8, 16)
+    assert img[0, 0] == 138 and img[0, 8] == 118
 
 
 def test_parse_image_header_real_formats():
