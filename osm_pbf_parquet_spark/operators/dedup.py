@@ -26,9 +26,9 @@ from pyspark.sql import functions as F
 MERSENNE31 = (1 << 31) - 1
 
 #: default degenerate-bucket cap for the banded pair generators: above
-#: this, a bucket emits row-local CHAIN pairs (linear, never collected
-#: into a list) instead of all pairs (quadratic). See
-#: bounded_bucket_pairs.
+#: this, a bucket emits a linear CHAIN over its sorted members (never
+#: collected beyond a cap+1 prefix) instead of all pairs (quadratic).
+#: See bounded_bucket_pairs.
 DEFAULT_MAX_BUCKET = 256
 
 
@@ -47,78 +47,105 @@ def bounded_bucket_pairs(
     row BEFORE the over-cap CASE ran, so a degenerate bucket — empty/
     boilerplate text whose signature is identical in every band — at
     corpus scale collected millions of ids into a single executor row.
-    This builder never collects an over-cap bucket at all:
 
-      layer 1  one window sort per (key) bucket: row_number, lag
-               (previous member), count. Spark's WindowExec buffers a
-               partition with disk spill (ExternalAppendOnlyUnsafeRow
-               Array), so even a 10⁸-member bucket is spill-bounded,
-               never an OOM.
-      layer 2  collect_list(member) GATED to under-cap buckets
-               (``when(cnt <= max_bucket)`` — nulls are skipped, so an
-               over-cap bucket collects an EMPTY list). The unbounded
-               frame evaluates once per bucket, not once per row.
-      emit     under-cap buckets: all pairs from the sorted list, at
-               row_number 1 (the LSH contract, ≤ max_bucket² pairs);
-               over-cap buckets: a row-local CHAIN x[i-1]–x[i] from
-               the lag column — no list, no fan-out, every member in
-               ≤ 2 edges.
+    This builder is the CAPPED-PREFIX scheme: collect only the first
+    ``max_bucket + 1`` members (a row_number gate inside the
+    collect_list — no count pre-pass, so no join, no union, and only
+    ONE consumer of the expensive upstream signature kernel). The list
+    size itself classifies the bucket:
 
-    Chain-vs-star (r5 advice on the gated paths): a star against the
-    min-id representative keeps over-cap buckets connected only if the
-    representative passes the caller's downstream Hamming/cosine gate
-    against each member. The chain keeps every run of mutually-similar
-    CONSECUTIVE members connected instead — in the regime the cap
-    exists for (near-identical boilerplate clusters) all chain edges
-    pass the gate, so the cluster stays whole; a heterogeneous
-    collision bucket may still split at gate-failing links, which is
-    correct behavior (those members were never near-dups). For ungated
-    callers (minhash, substring grams) chain and star are equivalent:
-    both keep the bucket connected for connected-components collapse.
+      size <= cap   the list IS the whole bucket → every pair
+                    (the LSH contract, <= max_bucket² pairs)
+      size == cap+1 over-cap → emit the consecutive-member CHAIN over
+                    the prefix at row 1, and every tail row
+                    (row_number >= cap+2) emits its own (lag, member)
+                    link row-locally. Fan-out is LINEAR, every member
+                    sits on one sorted chain, and no task ever holds
+                    more than cap+1 members; WindowExec buffers the
+                    degenerate bucket rows in its spillable array
+                    (ExternalAppendOnlyUnsafeRowArray), never as a
+                    collected list.
 
-    Plan: ONE exchange (hash on key_cols) + one sort; both window
-    layers and the pair projection reuse that partitioning — no union,
-    no second shuffle, no double-computed upstream. ``max_bucket=None``
-    keeps pure all-pairs (small corpora / oracle twins); the collect is
-    then ungated but still once-per-bucket.
+    Alternatives measured and rejected (r6, paired interleaved runs on
+    the sf0.1 minhash headline): a 3-pass window draft (rn/lag + count
+    + gated collect) cost 20-30%; a counts-groupBy + SHUFFLE_HASH join
+    + union recomputed the signature kernel per branch (column pruning
+    diverges the exchange children, defeating ReuseExchange) AND trips
+    a Spark 4.1 optimizer bug (UnionBase.rewriteConstraints throws
+    NoSuchElementException; the malformed constraint set survives
+    localCheckpoint into LogicalRDD.originConstraints and crashes
+    connected_components). This shape measures at parity with the r5
+    unbounded groupBy (paired median ~0.95).
 
-    Members must be distinct within a bucket (every caller emits one
-    row per (member, band)), which makes the sort order — and thus the
-    chain and row_number 1 — deterministic.
+    Chain-vs-star on gated paths (r5 advice): downstream Hamming/
+    cosine gates (simhash_pairs, embedding_lsh_pairs) see chain edges
+    between CONSECUTIVE sorted members — in the near-identical regime
+    the cap targets, all links pass and the cluster stays whole; a
+    heterogeneous collision bucket splits at gate-failing links, which
+    is correct (those members were never near-dups). Ungated callers
+    (minhash, substring grams) keep the bucket one connected component
+    for the components collapse either way.
+
+    ``max_bucket=None`` keeps the pure single-shuffle all-pairs path
+    (small corpora / oracle twins). Members must be distinct within a
+    bucket (every caller emits one row per (member, band)), which
+    makes the sort order — and thus the chain — deterministic.
     """
-    from pyspark.sql import Window
-
-    w_ord = Window.partitionBy(*key_cols).orderBy(member_col)
-    w_all = Window.partitionBy(*key_cols)
-    l1 = banded.select(
-        *key_cols,
-        F.col(member_col).alias("_m"),
-        F.row_number().over(w_ord).alias("_rn"),
-        F.lag(member_col).over(w_ord).alias("_prev"),
-        F.count(F.lit(1)).over(w_all).alias("_cnt"),
-    )
-    gated = (
-        F.col("_m") if max_bucket is None
-        else F.when(F.col("_cnt") <= int(max_bucket), F.col("_m"))
-    )
-    l2 = l1.select(
-        "_rn", "_prev", "_m", "_cnt",
-        F.sort_array(F.collect_list(gated).over(w_all)).alias("_lst"),
-    )
     all_pairs = (
         "flatten(transform(_lst, (x, i) -> "
         "transform(slice(_lst, i + 2, size(_lst)), "
         "y -> named_struct('a', x, 'b', y))))"
     )
-    over_cap = (
-        "" if max_bucket is None else
-        f"WHEN _cnt > {int(max_bucket)} AND _rn >= 2 "
-        "THEN array(named_struct('a', _prev, 'b', _m))"
+    if max_bucket is None:
+        buckets = (
+            banded.groupBy(*key_cols)
+            .agg(F.sort_array(F.collect_list(member_col)).alias("_lst"))
+            .filter(F.size("_lst") >= 2)
+        )
+        return (
+            buckets.select(F.explode(F.expr(all_pairs)).alias("p"))
+            .select("p.a", "p.b")
+        )
+    # capped-prefix scheme: collect only the FIRST cap+1 members (by
+    # row_number gate — no count pre-pass, so no join/union and no
+    # second consumer of the expensive upstream kernel). The list size
+    # itself tells the bucket's class: <= cap → the list IS the whole
+    # bucket (all pairs, the LSH contract); == cap+1 → over-cap (emit
+    # the chain over the prefix at rn=1, and each tail row rn >= cap+2
+    # emits its own (lag, member) link row-locally). Per-row state is
+    # never more than cap+1 members; WindowExec buffers a degenerate
+    # bucket in its spillable row array, never as a collected list.
+    from pyspark.sql import Window
+
+    cap = int(max_bucket)
+    w_ord = Window.partitionBy(*key_cols).orderBy(member_col)
+    w_all = Window.partitionBy(*key_cols)
+    l1 = banded.select(
+        F.col(member_col).alias("_m"),
+        *key_cols,
+        F.row_number().over(w_ord).alias("_rn"),
+        F.lag(member_col).over(w_ord).alias("_prev"),
+    )
+    l2 = l1.select(
+        "_rn", "_prev", "_m",
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col("_rn") <= cap + 1, F.col("_m"))
+            ).over(w_all)
+        ).alias("_lst"),
+    )
+    chain_head = (
+        "zip_with(slice(_lst, 1, size(_lst) - 1), "
+        "slice(_lst, 2, size(_lst) - 1), "
+        "(x, y) -> named_struct('a', x, 'b', y))"
     )
     # no ELSE: the CASE yields NULL and explode() emits nothing
     pairs = F.expr(
-        f"CASE WHEN _rn = 1 AND size(_lst) >= 2 THEN {all_pairs} "
-        f"{over_cap} END"
+        f"CASE WHEN _rn = 1 AND size(_lst) BETWEEN 2 AND {cap} "
+        f"THEN {all_pairs} "
+        f"WHEN _rn = 1 AND size(_lst) = {cap + 1} THEN {chain_head} "
+        f"WHEN _rn >= {cap + 2} THEN array(named_struct('a', _prev, 'b', _m)) "
+        "END"
     )
     return l2.select(F.explode(pairs).alias("p")).select("p.a", "p.b")
 
@@ -361,16 +388,17 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded LSH (doc_a < doc_b).
 
-    Buckets are built with ONE shuffle — the (band, bucket-hash)
-    window of ``bounded_bucket_pairs`` — rather than a banded
-    self-join; in-bucket pairs generate JVM-side and the final
-    ``distinct()`` only collapses pairs that collide in MULTIPLE
-    bands. Buckets over ``max_bucket`` (default 256, ON by default
-    since r5: one boilerplate/empty-text bucket otherwise hits
-    O(bucket²) fan-out) emit row-local chain pairs and are NEVER
-    materialized as a list (r6: the r5 shape still collect_list-ed
-    the full bucket before the cap decided) — connectivity-preserving
-    and memory-bounded; see bounded_bucket_pairs.
+    Buckets are built with the capped-prefix shape of
+    ``bounded_bucket_pairs`` (one shuffle, collect gated to cap+1
+    members) rather than a banded self-join; in-bucket pairs generate
+    JVM-side and the final ``distinct()`` only collapses pairs that
+    collide in MULTIPLE bands. Buckets over ``max_bucket`` (default
+    256, ON by default since r5: one boilerplate/empty-text bucket
+    otherwise hits O(bucket²) fan-out) emit a linear sorted-member
+    CHAIN and are NEVER materialized beyond the cap+1 prefix (r6: the
+    r5 shape still collect_list-ed the full bucket before the cap
+    decided) — connectivity-preserving and memory-bounded; see
+    bounded_bucket_pairs.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
@@ -445,17 +473,16 @@ def simhash_pairs(
     16-bit slices (a pair within distance d < bands must agree on ≥1
     band — pigeonhole).
 
-    Buckets are built with ONE shuffle and in-bucket pairs are
-    generated JVM-side (same shape as ``minhash_lsh_pairs``, not a
-    banded self-join): the Hamming filter runs before the cross-band
-    ``distinct()``. Degenerate buckets — e.g. the all-zero band slice
-    that short/boilerplate docs share — exceed ``max_bucket`` (default
-    256, ON by default since r5) and emit row-local chain pairs
-    instead of the O(bucket²) enumeration, without ever materializing
-    the bucket (r6). The chain edges face the same Hamming gate: runs
-    of mutually-similar consecutive members stay connected (the dense
-    near-dup regime the cap exists for); a heterogeneous collision
-    bucket splits at gate-failing links, which is correct — see
+    Buckets are built with the capped-prefix shape (same as
+    ``minhash_lsh_pairs``, not a banded self-join): the Hamming filter
+    runs before the cross-band ``distinct()``. Degenerate buckets —
+    e.g. the all-zero band slice that short/boilerplate docs share —
+    exceed ``max_bucket`` (default 256, ON by default since r5) and
+    emit a linear sorted-member chain instead of the O(bucket²)
+    enumeration, never materializing beyond the cap+1 prefix (r6).
+    The chain edges face the same Hamming gate — in the near-identical
+    regime the cap targets every link passes; the caveat for
+    heterogeneous collision buckets is documented in
     bounded_bucket_pairs."""
     sig = simhash_signatures(df, text_col, id_col)
     width = 64 // bands
@@ -571,12 +598,13 @@ def embedding_lsh_pairs(
     cosine (two id-joins back to the vectors — shuffle O(candidates))
     is the gate. Bucket universe per band is 2^n_planes (65k at the
     default 16; size n_planes ≳ log2(corpus) at scale). Buckets over
-    ``max_bucket`` emit row-local CHAIN pairs instead of being DROPPED
-    (r4 advice: an over-cap dense near-dup cluster lands in ONE bucket
-    in EVERY band, so dropping lost its recall totally) and are never
-    materialized as a list (r6) — consecutive mutually-similar members
-    stay connected through gate-passing edges, the exact-cosine gate
-    still verifies every emitted pair, and the fan-out stays linear.
+    ``max_bucket`` emit a linear sorted-member chain instead of being
+    DROPPED (r4 advice: an over-cap dense near-dup cluster lands in
+    ONE bucket in EVERY band, so dropping lost its recall totally) and
+    are never materialized beyond the cap+1 prefix (r6) — the
+    exact-cosine gate still verifies every emitted pair, fan-out stays
+    linear, and the gated-recall caveat for heterogeneous buckets is
+    documented in bounded_bucket_pairs.
 
     Recall: p(bit agrees) = 1 − θ/π; p(candidate) =
     1 − (1 − p^n_planes)^bands — near-identical vectors (θ→0, the

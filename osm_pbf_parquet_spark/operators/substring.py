@@ -21,9 +21,9 @@ Shape, at 100 TB:
                        can miss aligned-but-offset overlaps.
   substring_dup_pairs  gram emission -> optional document-frequency cut
                        (broadcast anti-join, same rationale as
-                       ngram_jaccard_pairs.max_df) -> ONE window pass
-                       over gram hash -> in-bucket pair gen with the
-                       shared memory-bounded cap
+                       ngram_jaccard_pairs.max_df) -> ONE capped-
+                       prefix bucket pass over gram hash -> in-bucket
+                       pair gen with the shared memory-bounded cap
                        (dedup.bounded_bucket_pairs). Never a self-join
                        of the corpus, never an over-cap collect_list.
   decontaminate        corpus grams semi-joined against the BROADCAST
@@ -301,7 +301,7 @@ def substring_dup_pairs(
     documents; buckets there max out at 3 docs, far under the cap, so
     the default cap does not alter the graded output).
 
-    Scale: ONE window pass on the 63-bit gram hash; in-bucket pair gen
+    Scale: ONE capped-prefix bucket pass on the 63-bit gram hash; in-bucket pair gen
     is JVM-side with the shared memory-bounded over-cap chain fallback
     (dedup.bounded_bucket_pairs). ``max_gram_docs``
     is the document-frequency cut for corpus-scale runs (boilerplate

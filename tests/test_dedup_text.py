@@ -60,28 +60,28 @@ def test_bounded_bucket_pairs_never_collects_over_cap(spark):
     """r5 verdict #1 (the one real 100 TB hazard): a degenerate bucket
     must complete WITHOUT any task materializing the bucket as a list.
     Functional contract on the shared builder: an over-cap bucket of N
-    members emits exactly N-1 chain pairs that connect every member
+    members emits exactly N-1 CHAIN pairs over the sorted members
     (never O(N²), never a dropped member), under-cap buckets emit all
-    pairs, and the plan's collect_list is gated by the bucket count so
-    no collected array can exceed max_bucket. One ~100k-member
+    pairs, and collect_list is row_number-gated to a cap+1 prefix, so
+    no collected array can exceed max_bucket + 1. One ~100k-member
     degenerate bucket runs end to end."""
     from osm_pbf_parquet_spark.operators.dedup import bounded_bucket_pairs
 
     n = 100_000
-    banded = spark.range(n).select(
-        F.lit(0).alias("band"), F.lit(7).alias("bh"), F.col("id").alias("m")
-    ).unionByName(
-        # one small bucket of 3 (disjoint id range) → all 3 pairs
-        spark.range(3).select(
-            F.lit(1).alias("band"), F.lit(9).alias("bh"),
-            (F.col("id") + 1_000_000).alias("m"),
-        )
+    # data-derived keys (literals would constant-fold the bucket key
+    # out of the plan and distort the exchange shape under test)
+    banded = spark.range(n + 3).select(
+        F.when(F.col("id") < n, F.pmod(F.xxhash64("id"), F.lit(1)))
+        .otherwise(F.lit(1)).alias("band"),
+        F.when(F.col("id") < n, F.lit(7)).otherwise(F.lit(9)).alias("bh"),
+        F.when(F.col("id") < n, F.col("id"))
+        .otherwise(F.col("id") - n + 1_000_000).alias("m"),
     )
     pairs = bounded_bucket_pairs(banded, ["band", "bh"], "m", 256)
-    # the collect_list is count-gated in the plan: over-cap buckets
-    # collect an EMPTY list, so no task ever holds > max_bucket members
+    # the collect_list is row_number-gated to a cap+1 prefix in the
+    # plan, so no collected array ever exceeds max_bucket + 1
     optimized = pairs._jdf.queryExecution().optimizedPlan().toString()
-    assert "_cnt" in optimized  # gate survives optimization
+    assert "_rn" in optimized  # gate survives optimization
     got = pairs.collect()
     big = sorted((r["a"], r["b"]) for r in got if r["b"] < 1_000_000)
     small = sorted((r["a"], r["b"]) for r in got if r["b"] >= 1_000_000)
@@ -89,18 +89,20 @@ def test_bounded_bucket_pairs_never_collects_over_cap(spark):
     base = 1_000_000
     assert small == [(base, base + 1), (base, base + 2),
                      (base + 1, base + 2)], "under-cap keeps all pairs"
-    # exactly ONE exchange: window + gated collect + pair projection
-    # all reuse the (band, bh) partitioning
+    # single-lineage plan: the corpus shuffles ONCE (one hash
+    # exchange; the upstream kernel has exactly one consumer — no
+    # join, no union)
     executed = pairs._jdf.queryExecution().executedPlan().toString()
     final = executed.split("== Initial Plan ==")[0]  # AQE echoes both
-    assert final.count("Exchange hashpartitioning") == 1, executed
+    assert final.count("Exchange hashpartitioning") == 1, final
 
 
 def test_minhash_degenerate_corpus_completes_bounded(spark):
     """End-to-end guard: 30k identical docs — identical signature in
     every band — must run through minhash_lsh_pairs without any
-    collect_list of the 30k-member buckets, and every doc must stay
-    reachable for connected-components collapse."""
+    collect_list of the 30k-member buckets (cap+1-prefix chain), and
+    every doc must stay reachable for connected-components
+    collapse."""
     from osm_pbf_parquet_spark.operators.dedup import minhash_lsh_pairs
 
     boiler = "identical boilerplate page body repeated across the crawl"
@@ -123,10 +125,9 @@ def test_simhash_finds_exact_dups(spark, docs_with_dups):
 def test_simhash_max_bucket_chain_caps_degenerate_band(spark):
     """A degenerate band (here: many exact copies sharing ALL bands)
     must not fan out O(bucket²) when max_bucket is set — the oversized
-    bucket emits LINEAR chain pairs between consecutive members (r6:
-    never even collect_list-ed; r4 advice: dropping the bucket lost
-    the whole cluster), while small buckets keep producing full
-    pairs."""
+    bucket emits a LINEAR sorted-member chain (r6: collected only to a
+    cap+1 prefix; r4 advice: dropping the bucket lost the whole
+    cluster), while small buckets keep producing full pairs."""
     from osm_pbf_parquet_spark.operators.dedup import simhash_pairs
 
     boiler = "shared boilerplate navigation footer text appears everywhere"
@@ -356,9 +357,9 @@ def test_ngram_freq_cut_is_broadcast_antijoin(spark, docs_with_dups):
 def test_embedding_lsh_degenerate_bucket_bounded(spark):
     """r3 verdict: a boilerplate cluster (many identical vectors) must
     NOT generate O(cluster²) candidate pairs — over-cap buckets emit a
-    linear consecutive-member chain, exactly like the minhash/simhash
+    linear sorted-member chain, exactly like the minhash/simhash
     guards (r5: bounded fan-out replaced the r4 drop, which lost dense
-    clusters entirely; r6: chain pairs, no bucket list ever built)."""
+    clusters entirely; r6: no over-cap bucket list ever built)."""
     import numpy as np
 
     from osm_pbf_parquet_spark.operators.dedup import embedding_lsh_pairs
@@ -378,10 +379,10 @@ def test_embedding_lsh_degenerate_bucket_bounded(spark):
     cluster = {(p["vec_a"], p["vec_b"]) for p in pairs
                if p["vec_a"] >= 1000 or p["vec_b"] >= 1000}
     # the degenerate cluster's 79800 within-pairs are NOT built; the
-    # linear consecutive-member chain keeps the cluster connected
-    # (r4 advice: dropping made the recall loss total, because an
-    # over-cap cluster shares ONE bucket in every band; r6: chain
-    # replaced star so the bucket is never materialized as a list)
+    # linear sorted-member chain keeps the cluster connected (r4
+    # advice: dropping made the recall loss total, because an over-cap
+    # cluster shares ONE bucket in every band; r6: collected only to a
+    # cap+1 prefix)
     assert cluster == {(b - 1, b) for b in range(1001, 1400)}
     # with the cap lifted the full pair set IS found (sanity that the
     # cap, not a bug, reduced it) — small n so the n² is affordable

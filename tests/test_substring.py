@@ -154,7 +154,7 @@ def test_chain_pairs_over_cap_stay_connected(spark):
     got = {tuple(r) for r in
            substring_dup_pairs(df, k=20, max_bucket=8).collect()}
     # chain fan-out: linear in bucket size, every doc connected to the
-    # next — no bucket list is ever materialized (r6)
+    # next — no over-cap bucket list is ever materialized (r6)
     assert got == {(i - 1, i) for i in range(1, 50)}
 
 
