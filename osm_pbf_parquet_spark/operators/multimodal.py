@@ -100,21 +100,26 @@ def attach_binary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def decode_image(payload: bytes):
-    """Pixel decode dispatch: PNG and baseline JPEG are decoded FOR
-    REAL (from-scratch critical paths — stdlib zlib + numpy
-    unfiltering for PNG; canonical-Huffman + batched IDCT for JPEG,
-    operators/jpeg.py, new in r6 per the r5 "What's missing" #1).
-    GIF raises — LZW stays the one honest stub; progressive/
-    subsampled JPEG raise inside decode_jpeg the same way."""
+    """Pixel decode dispatch — all three web-image containers decode
+    FOR REAL, from scratch: PNG (stdlib zlib + numpy unfiltering),
+    baseline JPEG (canonical Huffman + batched IDCT, operators/
+    jpeg.py), GIF87a/89a (variable-width LZW + de-interlace,
+    operators/gif.py) — r6 closed the r5 "What's missing" #1 entirely.
+    Progressive/subsampled JPEG and animated-GIF tails still raise
+    honestly inside their codecs."""
     if payload and payload.startswith(_PNG_MAGIC):
         return decode_png(payload)
     if payload and payload.startswith(b"\xff\xd8"):
         from .jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload and payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+
+        return decode_gif(payload)
     raise NotImplementedError(
-        "PNG and baseline JPEG pixel decode are implemented from "
-        "scratch; GIF needs an LZW codec not built here"
+        "unrecognized image payload: PNG, baseline JPEG and GIF87a/89a "
+        "are decoded from scratch; no other container is implemented"
     )
 
 
@@ -480,6 +485,47 @@ def attach_jpeg_fixture(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             payloads = [
                 encode_jpeg_gray(jpeg_fixture_blocks(int(i))) for i in ids
             ]
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()),
+         T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(fn, schema)
+
+
+def gif_fixture(doc_id: int) -> tuple["np.ndarray", "np.ndarray", bool]:
+    """(indices, palette, interlace) with SQL-stateable pixels:
+    palette[i] = ((i*37)%256, (i*59)%256, (i*83)%256) over
+    n = 2^(2 + doc_id%3) colors; idx(y, x) = (doc_id + 3y + 5x) % n;
+    w = 6 + doc_id%9, h = 5 + (doc_id*7)%8; every odd doc_id writes
+    INTERLACED (decodes to the same pixels — the 4-pass reorder is
+    exercised on half the corpus)."""
+    n = 2 << (1 + doc_id % 3)
+    w = 6 + doc_id % 9
+    h = 5 + (doc_id * 7) % 8
+    i = np.arange(n)
+    pal = np.stack([(i * 37) % 256, (i * 59) % 256, (i * 83) % 256],
+                   axis=1).astype(np.uint8)
+    y = np.arange(h).reshape(h, 1)
+    x = np.arange(w).reshape(1, w)
+    idx = ((doc_id + 3 * y + 5 * x) % n).astype(np.uint8)
+    return idx, pal, bool(doc_id % 2)
+
+
+def attach_gif_fixture(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload) of spec-valid GIF89a images (LZW-compressed,
+    global color table, half interlaced) whose decoded RGB pixels
+    follow the closed form in ``gif_fixture``."""
+    from .gif import encode_gif
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                idx, pal, il = gif_fixture(int(i))
+                payloads.append(encode_gif(idx, pal, interlace=il))
             yield pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     schema = T.StructType(

@@ -259,24 +259,32 @@ def test_multimodal_plumbing(spark):
 
 
 def test_decode_image_dispatch():
-    """PNG and baseline JPEG decode for real (r6: jpeg.py); GIF stays
-    an HONEST stub; a truncated PNG magic is unrecognized."""
+    """All three web-image containers decode for real (r6: jpeg.py +
+    gif.py joined png); unrecognized containers raise an HONEST
+    NotImplementedError; corrupt recognized containers raise
+    ValueError."""
     import numpy as np
 
+    from osm_pbf_parquet_spark.operators.gif import encode_gif
     from osm_pbf_parquet_spark.operators.jpeg import encode_jpeg_gray
     from osm_pbf_parquet_spark.operators.multimodal import decode_image
 
     import pytest as _pytest
 
     with _pytest.raises(NotImplementedError):
-        decode_image(b"GIF89a" + b"\x00" * 32)
+        decode_image(b"BM" + b"\x00" * 32)  # BMP: not implemented
     with _pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")  # truncated magic: not a real PNG
+    with _pytest.raises(ValueError):
+        decode_image(b"GIF89a" + b"\x00" * 32)  # corrupt, not a stub
     blocks = np.zeros((1, 2, 8, 8), dtype=np.int64)
     blocks[:, :, 0, 0] = [[10, -10]]
     img = decode_image(encode_jpeg_gray(blocks))
     assert img.shape == (8, 16)
     assert img[0, 0] == 138 and img[0, 8] == 118
+    idx = np.array([[0, 1], [1, 0]], dtype=np.uint8)
+    pal = np.array([[1, 2, 3], [4, 5, 6]], dtype=np.uint8)
+    assert (decode_image(encode_gif(idx, pal)) == pal[idx]).all()
 
 
 def test_parse_image_header_real_formats():

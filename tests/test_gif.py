@@ -1,0 +1,92 @@
+"""From-scratch GIF87a/89a LZW codec (operators/gif.py) — closes the
+LAST multimodal pixel-decode stub. The encoder twin writes spec-valid
+single-frame GIFs from known (indices, palette), so the decoder is
+checked for exact pixel equality across palette sizes, LZW code-width
+transitions, the full-table CLEAR path, interlace, extension
+sub-blocks, and honest corruption errors. Pure numpy — no Spark."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from osm_pbf_parquet_spark.operators.gif import decode_gif, encode_gif
+
+
+@pytest.mark.parametrize(
+    "n,h,w,seed",
+    [(2, 5, 9, 1), (4, 16, 16, 2), (16, 33, 47, 3),
+     (64, 40, 30, 6), (256, 64, 80, 4)],
+)
+def test_roundtrip_palette_sizes(n, h, w, seed):
+    r = np.random.default_rng(seed)
+    pal = r.integers(0, 256, size=(n, 3)).astype(np.uint8)
+    # mix runs and noise: exercises dictionary growth + width bumps
+    idx = (r.integers(0, n, size=(h, w))
+           * (r.random((h, w)) < 0.7)).astype(np.uint8)
+    img = decode_gif(encode_gif(idx, pal))
+    assert img.shape == (h, w, 3)
+    assert (img == pal[idx]).all()
+
+
+def test_full_table_clear_path():
+    """High-entropy 120k-pixel image forces the 4096-entry table to
+    fill: the encoder must emit CLEAR + reset and the decoder must
+    follow — the width-12 boundary and the reset lockstep."""
+    r = np.random.default_rng(9)
+    idx = r.integers(0, 256, size=(300, 400)).astype(np.uint8)
+    pal = np.arange(256, dtype=np.uint8).repeat(3).reshape(256, 3)
+    assert (decode_gif(encode_gif(idx, pal)) == pal[idx]).all()
+
+
+def test_interlace_roundtrip():
+    idx = (np.arange(23 * 17) % 16).reshape(23, 17).astype(np.uint8)
+    pal = (np.arange(16, dtype=np.uint8).repeat(3).reshape(16, 3) * 15)
+    img = decode_gif(encode_gif(idx, pal, interlace=True))
+    assert (img == pal[idx]).all()
+    # and interlaced == non-interlaced pixels
+    assert (img == decode_gif(encode_gif(idx, pal))).all()
+
+
+def test_extensions_are_skipped():
+    """GCE + comment extensions spliced before the image descriptor
+    must be walked over via their sub-block chains."""
+    idx = (np.arange(8 * 8) % 4).reshape(8, 8).astype(np.uint8)
+    pal = np.arange(4, dtype=np.uint8).repeat(3).reshape(4, 3) * 80
+    payload = bytearray(encode_gif(idx, pal))
+    i = payload.index(0x2C, 13 + 3 * 4)
+    payload[i:i] = (b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+                    b"\x21\xfe\x05hello\x00")
+    assert (decode_gif(bytes(payload)) == pal[idx]).all()
+
+
+def test_corruption_honest():
+    idx = np.zeros((4, 4), dtype=np.uint8)
+    pal = np.zeros((2, 3), dtype=np.uint8)
+    ok = encode_gif(idx, pal)
+    with pytest.raises(ValueError):
+        decode_gif(b"NOTAGIF" + b"\x00" * 20)
+    with pytest.raises(ValueError):
+        decode_gif(ok[:15])
+    with pytest.raises(ValueError):
+        encode_gif(idx, np.zeros((3, 3), dtype=np.uint8))  # non-pow2
+
+
+def test_fixture_formula_matches_oracle_arithmetic():
+    """gif_fixture + encode + decode must land exactly on the SQL
+    oracle's closed form (multimodal_gif_pixels)."""
+    from osm_pbf_parquet_spark.operators.multimodal import gif_fixture
+
+    for doc_id in [0, 1, 2, 7, 123, 499]:
+        idx, pal, il = gif_fixture(doc_id)
+        img = decode_gif(encode_gif(idx, pal, interlace=il))
+        h, w = idx.shape
+        n = len(pal)
+        want = sum(
+            ((doc_id + 3 * y + 5 * x) % n * 37) % 256
+            + ((doc_id + 3 * y + 5 * x) % n * 59) % 256
+            + ((doc_id + 3 * y + 5 * x) % n * 83) % 256
+            for y in range(h) for x in range(w)
+        )
+        assert int(img.astype(np.int64).sum()) == want, doc_id
+        assert img.shape == (5 + (doc_id * 7) % 8, 6 + doc_id % 9, 3)
