@@ -135,3 +135,56 @@ def test_fixture_formula_matches_oracle_arithmetic():
         n = bh * bw
         want = 64 * sum((doc_id * 7 + b * 13) % 251 + 3 for b in range(n))
         assert int(img.astype(np.int64).sum()) == want, doc_id
+
+
+def test_color_444_roundtrip_vs_definition():
+    """3-component 4:4:4 path: YCbCr planes reconstruct per the
+    definition IDCT, then the decoder's color conversion must match
+    the reference BT.601 formulas exactly (round + clip)."""
+    from osm_pbf_parquet_spark.operators.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(7)
+    blocks = np.zeros((3, 2, 3, 8, 8), dtype=np.int64)
+    blocks[:, :, :, 0, 0] = rng.integers(-100, 101, size=(3, 2, 3))
+    for _ in range(40):
+        c, i, j = rng.integers(0, 3), rng.integers(0, 2), rng.integers(0, 3)
+        u, v = rng.integers(0, 8), rng.integers(0, 8)
+        blocks[c, i, j, u, v] = int(rng.integers(-25, 26))
+    img = decode_jpeg(encode_jpeg(blocks))
+    assert img.shape == (16, 24, 3)
+    planes = []
+    for c in range(3):
+        deq = blocks[c] * np.asarray(FLAT_Q8, dtype=np.int64)
+        p = np.zeros((16, 24))
+        for i in range(2):
+            for j in range(3):
+                p[i*8:(i+1)*8, j*8:(j+1)*8] = idct_ref(deq[i, j]) + 128
+        planes.append(p)
+    y, cb, cr = planes
+    want = np.stack([
+        y + 1.402 * (cr - 128.0),
+        y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+        y + 1.772 * (cb - 128.0),
+    ], axis=-1)
+    want = np.clip(np.round(want), 0, 255).astype(np.uint8)
+    assert (img == want).all()
+
+
+def test_restart_markers_roundtrip():
+    """DRI + RSTn every 2 MCUs: predictors reset, stream re-aligns —
+    decoded pixels identical to the no-restart encoding."""
+    from osm_pbf_parquet_spark.operators.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(8)
+    blocks = np.zeros((3, 4, 8, 8), dtype=np.int64)
+    blocks[:, :, 0, 0] = rng.integers(-120, 121, size=(3, 4))
+    blocks[1, 2, 0, 3] = 17
+    plain = decode_jpeg(encode_jpeg(blocks))
+    with_rst = encode_jpeg(blocks, restart_interval=2)
+    assert b"\xff\xdd" in with_rst and b"\xff\xd0" in with_rst
+    assert (decode_jpeg(with_rst) == plain).all()
+    # color + restarts together
+    cb = np.zeros((3, 2, 2, 8, 8), dtype=np.int64)
+    cb[:, :, :, 0, 0] = rng.integers(-90, 91, size=(3, 2, 2))
+    assert (decode_jpeg(encode_jpeg(cb, restart_interval=1))
+            == decode_jpeg(encode_jpeg(cb))).all()
