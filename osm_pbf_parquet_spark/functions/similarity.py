@@ -249,8 +249,10 @@ def ivf_build_store(
     payload = json.dumps(
         [[float(x) for x in c] for c in np.asarray(cents)]
     ).encode()
+    from ..plans.manifest import store_path
+
     write_sidecar(
-        spark, f"{out_dir.rstrip('/')}/ivf_centroids.json", payload
+        spark, store_path(out_dir, "ivf_centroids.json"), payload
     )
     return cents
 
@@ -279,7 +281,9 @@ def ivf_probe_chunks(spark, out_dir: str, query_vec: list[float],
 
     from ..plans.fsutil import has_scheme, read_bytes
 
-    cpath = f"{out_dir.rstrip('/')}/ivf_centroids.json"
+    from ..plans.manifest import store_path
+
+    cpath = store_path(out_dir, "ivf_centroids.json")
     if has_scheme(out_dir):
         cents = np.array(json.loads(read_bytes(spark, cpath).decode()),
                          dtype=np.float64)

@@ -159,3 +159,35 @@ def test_s3_stub_range_edge_cases(s3_store):
         with pytest.raises(HTTPError) as e:
             urllib.request.urlopen(f"http://127.0.0.1:{port}/{bad}")
         assert e.value.code == 404
+
+
+def test_persisted_ivf_over_s3(spark, s3_store):
+    """The persisted IVF index (cell-partitioned chunk store +
+    centroid sidecar) through the S3 wire protocol — build, then a
+    cell-pruned probe must equal the exact brute-force top-k."""
+    import numpy as np
+
+    from osm_pbf_parquet_spark.functions.similarity import (
+        cosine_topk,
+        ivf_build_store,
+        ivf_search_store,
+        ivf_store_spark_schema,
+    )
+
+    root, port = s3_store
+    rng = np.random.default_rng(2)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(500)],
+        "vec_id long, embedding array<float>",
+    )
+    out = s3_uri(port, "bkt", "ivf1")
+    ivf_build_store(spark, df, out, n_centroids=4)
+    assert os.path.isfile(os.path.join(root, "ivf1/ivf_centroids.json"))
+    q = [float(x) for x in rng.standard_normal(8)]
+    got = ivf_search_store(
+        spark, out, q, ivf_store_spark_schema(df), k=3, n_probe=4
+    )
+    exact = cosine_topk(df, q, k=3)
+    assert [r["vec_id"] for r in got.collect()] == [
+        r["vec_id"] for r in exact.collect()
+    ]
