@@ -182,15 +182,24 @@ def token_postings(
     text_col: str = "text",
     id_col: str = "doc_id",
     lowercase: bool = True,
+    max_postings: int | None = 65536,
 ):
-    """Inverted token index: (token, df_count, postings sorted array).
+    """Inverted token index: (token, df_count, postings sorted array —
+    truncated to the ``max_postings`` SMALLEST doc ids for Zipf-head
+    tokens; df_count is always exact).
 
-    The corpus-search building block (find every document containing a
-    term) as one explode + one groupBy — all built-ins. At 100 TB the
-    postings of Zipf-head tokens ("the") are huge: store df_count so
-    readers can skip/segment them, and search with search_all_tokens
-    (semi-join per term, smallest-df first) instead of materializing
-    head postings into one row when the corpus outgrows array limits.
+    r6 hardening (same hazard class as the LSH bucket fix): the
+    postings of a head token ("the") are O(corpus) — an ungated
+    collect_list materialized them into ONE aggregation row. The
+    capped-prefix scheme bounds it: row_number over (token, id-order)
+    gates the collect to the first ``max_postings`` ids, and the EXACT
+    df_count is max(row_number) over the same unbounded window frame —
+    the two share one WindowExec, so the cap costs one sort, not an
+    extra pass. Readers segment/skip head tokens via df_count (the
+    truncation the docstring always promised, now enforced); term
+    search uses search_all_tokens (containment semi-join), never the
+    materialized head postings. ``max_postings=None`` keeps the exact
+    groupBy path for small corpora.
     """
     tok = F.explode(
         F.array_distinct(
@@ -203,9 +212,29 @@ def token_postings(
     if lowercase:
         base = base.withColumn("token", F.lower(F.col("token")))
         base = base.distinct()  # lowercasing can merge variants per doc
-    return base.groupBy("token").agg(
-        F.count("*").alias("df_count"),
-        F.sort_array(F.collect_list(id_col)).alias("postings"),
+    if max_postings is None:
+        return base.groupBy("token").agg(
+            F.count("*").alias("df_count"),
+            F.sort_array(F.collect_list(id_col)).alias("postings"),
+        )
+    from pyspark.sql import Window
+
+    w_ord = Window.partitionBy("token").orderBy(id_col)
+    w_all = Window.partitionBy("token")
+    l1 = base.select(
+        "token",
+        F.col(id_col).alias("_id"),
+        F.row_number().over(w_ord).alias("_rn"),
+    )
+    gated = F.when(F.col("_rn") <= int(max_postings), F.col("_id"))
+    l2 = l1.select(
+        "_rn",
+        "token",
+        F.max("_rn").over(w_all).alias("df_count"),
+        F.sort_array(F.collect_list(gated).over(w_all)).alias("postings"),
+    )
+    return l2.filter(F.col("_rn") == 1).select(
+        "token", F.col("df_count").cast("long").alias("df_count"), "postings"
     )
 
 

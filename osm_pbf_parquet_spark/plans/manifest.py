@@ -294,6 +294,10 @@ def summarize_chunks(written: DataFrame) -> DataFrame:
     rows_per_pid = per_group.groupBy("partition_id").agg(
         F.sum("gnr").alias("n_rows"), F.count("*").alias("n_chunks")
     )
+    # collect_list audit (r6, the LSH-bucket hazard class): these two
+    # collects are BOUNDED BY CONSTRUCTION — one checksum per chunk of
+    # one (partition, column), i.e. partition_bytes/target_chunk_bytes
+    # entries (~hundreds), and one (column, codec) entry per column.
     per_col = (
         written.groupBy("partition_id", "column")
         .agg(

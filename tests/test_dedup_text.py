@@ -620,3 +620,31 @@ def test_url_ops(spark):
     assert {r.doc_id for r in kept.collect()} == {0, 1, 2, 4}
     stats = {r.host: r.n_docs for r in host_stats(df).collect()}
     assert stats["news.example.com"] == 1 and stats[""] == 1
+
+
+def test_token_postings_cap_bounds_head_tokens(spark):
+    """r6 hardening (same class as the LSH bucket fix): a Zipf-head
+    token's postings must truncate to the max_postings SMALLEST ids
+    while df_count stays exact; rare tokens are unaffected; the
+    default high cap reproduces the exact groupBy path."""
+    from osm_pbf_parquet_spark.functions.text import token_postings
+
+    df = spark.createDataFrame(
+        [(i, "the common word" if i % 2 else "the rare" + str(i))
+         for i in range(200)],
+        ["doc_id", "text"],
+    )
+    exact = {r.token: (r.df_count, r.postings)
+             for r in token_postings(df, max_postings=None).collect()}
+    dflt = {r.token: (r.df_count, r.postings)
+            for r in token_postings(df).collect()}
+    assert exact == dflt, "default cap must not alter a small corpus"
+    capped = {r.token: (r.df_count, r.postings)
+              for r in token_postings(df, max_postings=10).collect()}
+    assert capped["the"][0] == 200, "df_count stays exact"
+    assert capped["the"][1] == list(range(10)), "smallest ids survive"
+    assert capped["common"] == (100, [i for i in range(200) if i % 2][:10])
+    rare = [t for t, (dfc, _) in exact.items() if dfc <= 10]
+    assert rare, "fixture must have rare tokens"
+    for t in rare:
+        assert capped[t] == exact[t], f"rare token {t} unaffected"
