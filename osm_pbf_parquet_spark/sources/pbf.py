@@ -429,11 +429,55 @@ def _packed_delta_field(fno: int, vals) -> bytes:
 # ---------------------------------------------------------------------------
 
 def _parse_stringtable(buf: bytes) -> pa.Array:
-    """Inline scanner (same rationale as _parse_way_like phase 1: the
-    generator walk was ~10% of mixed decode; entries are a flat run of
-    single-byte-tag length-delimited fields)."""
+    """Stringtable → Arrow StringArray with NO per-string Python
+    objects (r6: the per-entry slice+decode+list loop was ~19% of the
+    whole blob decode). The fast path walks only (start, len) ints —
+    every real-world entry is tag 0x0A (field 1, wiretype 2) — then
+    materializes all strings with ONE numpy gather into a contiguous
+    buffer and builds the array from raw offsets+data; the binary→
+    string CAST validates UTF-8 vectorized in C++. Any non-0x0A tag
+    or invalid UTF-8 falls back to the general scanner (which keeps
+    the decode(errors='replace') semantics)."""
+    end = len(buf)
+    starts: list[int] = []
+    lens: list[int] = []
+    pos = 0
+    simple = True
+    while pos < end:
+        if buf[pos] != 0x0A:
+            simple = False
+            break
+        ln = buf[pos + 1]
+        pos += 2
+        if ln >= 0x80:
+            ln, pos = _uvarint(buf, pos - 1)
+        if pos + ln > end:
+            raise ValueError("stringtable entry overruns — corrupt PBF")
+        starts.append(pos)
+        lens.append(ln)
+        pos += ln
+    if simple:
+        k = len(lens)
+        if k == 0:
+            return pa.array([], type=pa.string())
+        st = np.fromiter(starts, np.int64, k)
+        ls = np.fromiter(lens, np.int64, k)
+        offsets = np.zeros(k + 1, dtype=np.int32)
+        np.cumsum(ls, out=offsets[1:])
+        total = int(offsets[-1])
+        data = np.frombuffer(buf, np.uint8)
+        idx = np.repeat(st - offsets[:-1], ls) + np.arange(total)
+        flat = np.ascontiguousarray(data[idx])
+        binarr = pa.Array.from_buffers(
+            pa.binary(), k,
+            [None, pa.py_buffer(offsets), pa.py_buffer(flat)],
+        )
+        try:
+            return binarr.cast(pa.string())  # vectorized UTF-8 check
+        except pa.lib.ArrowInvalid:
+            pass  # rare: fall through to replace-semantics scanner
     strings = []
-    pos, end = 0, len(buf)
+    pos = 0
     while pos < end:
         tag = buf[pos]
         pos += 1
