@@ -28,34 +28,95 @@ def bits_needed(max_delta: int) -> int:
     return int(max_delta).bit_length()
 
 
+#: pack/unpack strategy crossover (measured on this host, widths
+#: 13/30/63): below it the C bit-matrix (unpackbits/packbits, O(n·64)
+#: byte ops all in C) wins — the word-residue loop's up-to-64 strided
+#: passes dominate tiny inputs; above it the word formulation's O(n)
+#: word ops win (pack 10 ms vs 22 ms, unpack 9 ms vs 37 ms at n=600k).
+_WORDWISE_MIN_N = 32768
+
+
 def pack_uints(v: np.ndarray, width: int) -> bytes:
     """Bit-pack non-negative uint64 values < 2**width (LSB-first).
 
-    Vectorized: expands to an (n, width) bit matrix then np.packbits.
+    Hybrid (r6): value i occupies stream bits [i*width, (i+1)*width) —
+    byte-identical to the original (n, width)-bit-matrix layout. Small
+    inputs go through C unpackbits/packbits on the LE byte view; large
+    inputs use word-level scatter: values with the same bit offset
+    within a little-endian uint64 word recur with period
+    L = 64/gcd(width, 64), so the scatter is L strided |= passes (no
+    ufunc.at) plus a spill pass for word-straddling values.
     width == 0 ⇒ empty payload (all values are zero).
     """
     n = len(v)
     if n == 0 or width == 0:
         return b""
-    v = v.astype(_U64, copy=False)
-    shifts = np.arange(width, dtype=_U64)
-    bits = ((v[:, None] >> shifts) & _U64(1)).astype(np.uint8)
-    return np.packbits(bits.ravel(), bitorder="little").tobytes()
+    v = np.ascontiguousarray(v, dtype=_U64)
+    if n < _WORDWISE_MIN_N:
+        bits = np.unpackbits(
+            v.view(np.uint8).reshape(n, 8), axis=1, bitorder="little"
+        )[:, :width]
+        return np.packbits(bits.ravel(), bitorder="little").tobytes()
+    import math
+
+    L = 64 // math.gcd(width, 64)
+    nwords = (n * width + 63) // 64
+    out = np.zeros(nwords + 1, dtype=_U64)  # +1: spill slack for the tail
+    for r in range(L):
+        vr = v[r::L]
+        if len(vr) == 0:
+            break
+        bitpos = r * width
+        off = bitpos & 63
+        w0 = bitpos >> 6
+        step = (L * width) >> 6  # words advanced per period (integer)
+        words = w0 + np.arange(len(vr), dtype=np.int64) * step
+        out[words] |= vr << _U64(off)
+        if off + width > 64:  # straddles into the next word
+            out[words + 1] |= vr >> _U64(64 - off)
+    total_bytes = (n * width + 7) // 8
+    return out.tobytes()[:total_bytes]
 
 
 def unpack_uints(payload: bytes, width: int, n: int) -> np.ndarray:
-    """Inverse of pack_uints → uint64 array of length n."""
+    """Inverse of pack_uints → uint64 array of length n (hybrid like
+    the packer: C bit-matrix for small n, word-level residue-class
+    strided gathers above _WORDWISE_MIN_N)."""
     if n == 0:
         return np.empty(0, dtype=_U64)
     if width == 0:
         return np.zeros(n, dtype=_U64)
-    bits = np.unpackbits(
-        np.frombuffer(payload, dtype=np.uint8), count=n * width, bitorder="little"
-    )
-    shifts = np.arange(width, dtype=_U64)
-    return (bits.reshape(n, width).astype(_U64) << shifts).sum(
-        axis=1, dtype=_U64
-    )
+    if n < _WORDWISE_MIN_N:
+        bits = np.unpackbits(
+            np.frombuffer(payload, dtype=np.uint8),
+            count=n * width, bitorder="little",
+        ).reshape(n, width)
+        full = np.zeros((n, 64), dtype=np.uint8)
+        full[:, :width] = bits
+        return np.packbits(full, axis=1, bitorder="little").view(_U64).ravel()
+    import math
+
+    nwords = (n * width + 63) // 64
+    buf = np.zeros((nwords + 1) * 8, dtype=np.uint8)  # +1: spill slack
+    buf[: len(payload)] = np.frombuffer(payload, dtype=np.uint8)
+    words = buf.view(_U64)
+    L = 64 // math.gcd(width, 64)
+    mask = _U64(0xFFFFFFFFFFFFFFFF) if width == 64 else _U64((1 << width) - 1)
+    out = np.empty(n, dtype=_U64)
+    for r in range(L):
+        cnt = len(out[r::L])
+        if cnt == 0:
+            break
+        bitpos = r * width
+        off = bitpos & 63
+        w0 = bitpos >> 6
+        step = (L * width) >> 6
+        idx = w0 + np.arange(cnt, dtype=np.int64) * step
+        vr = words[idx] >> _U64(off)
+        if off + width > 64:
+            vr |= words[idx + 1] << _U64(64 - off)
+        out[r::L] = vr & mask
+    return out
 
 
 def sub_wrap(v: np.ndarray, base: int) -> np.ndarray:

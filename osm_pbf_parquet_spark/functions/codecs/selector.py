@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from . import envelope as env
 from . import fsst as _fsst
@@ -82,16 +83,26 @@ def _str_estimates(lens: np.ndarray, data: bytes, n_total: int, total_bytes_est:
         "str_plain": total_bytes_est + lens_cost + _OVERHEAD,
         "str_zstd": total_bytes_est * _zstd_ratio(data) + lens_cost + _OVERHEAD,
     }
-    # cardinality probe on the sampled slots
+    # cardinality probe on the sampled slots — Arrow C++ unique over a
+    # zero-copy binary view (r6: the per-slot Python slice+set loop was
+    # 13% of the whole encode kernel)
     if n > 8:
-        offs = np.concatenate(([0], np.cumsum(lens, dtype=np.int64)))
+        offs = np.concatenate(
+            ([0], np.cumsum(lens, dtype=np.int64))
+        ).astype(np.int32)
         probe = min(n, 4096)
-        seen = {data[offs[i] : offs[i + 1]] for i in range(probe)}
-        card = len(seen)
+        view = pa.Array.from_buffers(
+            pa.binary(), probe,
+            [None, pa.py_buffer(offs[: probe + 1]), pa.py_buffer(data)],
+        )
+        uniq = pc.unique(view)
+        card = len(uniq)
         if card < probe / 2:
             card_total = card  # low-card columns: sample card ≈ total card
             cw = bits_needed(card_total - 1)
-            dict_bytes = sum(len(s) for s in seen) * 0.6  # dict values zstd'd
+            dict_bytes = (  # dict values zstd'd
+                int(pc.sum(pc.binary_length(uniq)).as_py() or 0) * 0.6
+            )
             est["str_dict"] = dict_bytes + n_total * max(1, cw) / 8 + _OVERHEAD
         if card > probe / 4:  # texty, not low-card → FSST candidate
             est["str_fsst"] = (
