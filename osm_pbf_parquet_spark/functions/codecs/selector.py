@@ -35,12 +35,14 @@ def _zstd_ratio(data: bytes) -> float:
     if len(data) < 64:
         return 1.0
     sample = data[:ZSTD_SAMPLE_BYTES]
-    # level-1 probe (r6): the estimate only RANKS codecs, and measured
-    # output ratios are bit-for-byte identical to the level-3 probe on
-    # every test table (lineitem/documents/events/orders/pages, chunk
-    # targets 1-64 MB) while the probe itself is ~3x cheaper; the
-    # actual payload still compresses at the configured level
-    return min(1.0, len(sc.zstd_compress(sample, level=1)) / len(sample))
+    # probe at the REAL level: a level-1 probe (tried in r6, ~18%
+    # faster kernel) ranks identically on short-range-redundant data
+    # but its fast match finder MISSES long-range repeats (measured: a
+    # 37 KB-period repetition read 0.26 at level 1 vs ~0.13 at level
+    # 3, flipping str_zstd -> str_dict for +1% table size) — and
+    # multi-KB boilerplate periods are exactly the web-corpus regime
+    # this engine targets. Ratio beats probe speed.
+    return min(1.0, len(sc.zstd_compress(sample)) / len(sample))
 
 
 def _fsst_ratio(data: bytes) -> float:
