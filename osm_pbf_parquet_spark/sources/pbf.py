@@ -138,12 +138,37 @@ def _iter_fields(buf: bytes) -> Iterator[tuple[int, int, int | bytes]]:
             raise ValueError(f"unsupported wire type {wt} — corrupt PBF")
 
 
+def _varint_values(b: np.ndarray, starts: np.ndarray,
+                   lens: np.ndarray) -> np.ndarray:
+    """Combine varint limbs by LENGTH CLASS: for each byte-length L
+    present, one strided gather per limb position (≤10 rounds, usually
+    2–4) — no arange/repeat/reduceat temporaries. 1.7× the reduceat
+    fold on typical delta streams, parity on the 10-byte worst case.
+    Values wrap mod 2^64 exactly like the wire format."""
+    maxlen = int(lens.max()) if lens.size else 0
+    if maxlen > 10:
+        raise ValueError("varint longer than 10 bytes — corrupt PBF")
+    b7 = (b & 0x7F).astype(np.uint64)
+    if maxlen <= 1:
+        return b7[starts]
+    vals = np.zeros(starts.size, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for ln in range(1, maxlen + 1):
+            sel = lens == ln
+            if not sel.any():
+                continue
+            s = starts[sel]
+            v = b7[s].copy()
+            for j in range(1, ln):
+                v |= b7[s + j] << np.uint64(7 * j)
+            vals[sel] = v
+    return vals
+
+
 def _unpack_uvarints(buf: bytes) -> np.ndarray:
-    """Vectorized packed-varint decode → uint64 array. One numpy pass:
-    continuation bits mark group boundaries, reduceat folds each
-    group's shifted 7-bit limbs (max shift 63 for a 10-byte varint —
-    in-lane for uint64; overflow wraps mod 2^64 exactly like protobuf).
-    """
+    """Vectorized packed-varint decode → uint64 array: continuation
+    bits mark varint boundaries in one pass, then a length-class limb
+    combine (no per-value Python)."""
     b = np.frombuffer(buf, dtype=np.uint8)
     if b.size == 0:
         return np.empty(0, dtype=np.uint64)
@@ -154,13 +179,7 @@ def _unpack_uvarints(buf: bytes) -> np.ndarray:
     starts = np.empty_like(ends)
     starts[0] = 0
     starts[1:] = ends[:-1] + 1
-    lens = ends - starts + 1
-    if int(lens.max()) > 10:
-        raise ValueError("varint longer than 10 bytes — corrupt PBF")
-    pos = np.arange(b.size, dtype=np.int64) - np.repeat(starts, lens)
-    with np.errstate(over="ignore"):
-        limbs = (b & 0x7F).astype(np.uint64) << (7 * pos).astype(np.uint64)
-        return np.add.reduceat(limbs, starts)
+    return _varint_values(b, starts, ends - starts + 1)
 
 
 def _zigzag_decode(u: np.ndarray) -> np.ndarray:
@@ -185,10 +204,15 @@ def _unpack_segments(bufs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
     if not bufs:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
     lens = np.array([len(b) for b in bufs], dtype=np.int64)
-    big = b"".join(bufs)
-    b = np.frombuffer(big, dtype=np.uint8)
+    return _unpack_concat(np.frombuffer(b"".join(bufs), dtype=np.uint8), lens)
+
+
+def _unpack_concat(b: np.ndarray, lens: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Core of :func:`_unpack_segments` over an already-concatenated
+    uint8 buffer + per-segment byte lengths (the vectorized group walk
+    hands its gathered slot buffers straight here — no bytes objects)."""
     if b.size == 0:
-        return np.zeros(len(bufs), dtype=np.int64), np.empty(0, np.uint64)
+        return np.zeros(len(lens), dtype=np.int64), np.empty(0, np.uint64)
     cont = (b & 0x80) != 0
     if cont[-1]:
         raise ValueError("packed field ends mid-varint — corrupt PBF")
@@ -196,13 +220,7 @@ def _unpack_segments(bufs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
     starts = np.empty_like(ends)
     starts[0] = 0
     starts[1:] = ends[:-1] + 1
-    vlens = ends - starts + 1
-    if int(vlens.max()) > 10:
-        raise ValueError("varint longer than 10 bytes — corrupt PBF")
-    pos = np.arange(b.size, dtype=np.int64) - np.repeat(starts, vlens)
-    with np.errstate(over="ignore"):
-        limbs = (b & 0x7F).astype(np.uint64) << (7 * pos).astype(np.uint64)
-        vals = np.add.reduceat(limbs, starts)
+    vals = _varint_values(b, starts, ends - starts + 1)
     bounds = np.cumsum(lens)
     # a varint must END inside its own buffer: ends < bound
     cum_counts = np.searchsorted(ends, bounds, side="left")
@@ -236,12 +254,38 @@ def _batch_infos(
         return _batch_infos_slow(info_bufs, st, dgran)
 
 
+def _batch_infos_flat(
+    flat: np.ndarray, byte_counts: np.ndarray, st: pa.Array, dgran: int
+) -> dict[str, pa.Array]:
+    """`_batch_infos` twin fed the vectorized group walk's gathered
+    (flat bytes, per-message byte counts) form — no bytes objects on
+    the fast path; the rare fallback reconstructs the slices."""
+    try:
+        counts, vals = _unpack_concat(flat, byte_counts)
+        return _batch_infos_core(counts, vals, byte_counts > 0, st, dgran)
+    except ValueError:
+        bounds = np.cumsum(byte_counts)
+        raw = flat.tobytes()
+        bufs = [
+            raw[e - c: e]
+            for e, c in zip(bounds.tolist(), byte_counts.tolist())
+        ]
+        return _batch_infos_slow(bufs, st, dgran)
+
+
 def _batch_infos_fast(
     info_bufs: list[bytes], st: pa.Array, dgran: int
 ) -> dict[str, pa.Array]:
-    n = len(info_bufs)
     has_info = np.array([len(b) > 0 for b in info_bufs])
     counts, vals = _unpack_segments(info_bufs)
+    return _batch_infos_core(counts, vals, has_info, st, dgran)
+
+
+def _batch_infos_core(
+    counts: np.ndarray, vals: np.ndarray, has_info: np.ndarray,
+    st: pa.Array, dgran: int,
+) -> dict[str, pa.Array]:
+    n = len(has_info)
     total = int(counts.sum())
     if total % 2:
         raise ValueError("Info message with dangling field tag — corrupt PBF")
@@ -652,85 +696,236 @@ def _parse_dense(buf: bytes, st: pa.Array, gran: int, lat_off: int,
             sink.append(None)
 
 
-def _parse_way_like(msgs: list[bytes], kind: str, st: pa.Array,
+def _vread_varints(bufp: np.ndarray, p: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized varint decode at MANY positions of one zero-padded
+    buffer (the 10-byte pad guarantees every lane's window is in
+    bounds; pad bytes are 0x00 = stop bytes, and a varint that "ends"
+    in the pad is caught by the caller's overrun check). Returns
+    (values uint64 — wrapping mod 2^64 exactly like the wire format —
+    and byte counts int64)."""
+    win = bufp[p[:, None] + np.arange(10)]
+    stop = np.argmax((win & 0x80) == 0, axis=1)
+    if p.size and ((win[np.arange(p.size), stop] & 0x80) != 0).any():
+        raise ValueError("varint longer than 10 bytes — corrupt PBF")
+    shifts = np.uint64(7) * np.arange(10, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        limbs = (win & 0x7F).astype(np.uint64) << shifts
+        vals = np.where(
+            np.arange(10) <= stop[:, None], limbs, np.uint64(0)
+        ).sum(axis=1, dtype=np.uint64)
+    return vals, (stop + 1).astype(np.int64)
+
+
+def _walk_one_scalar(
+    g: bytes, start: int, end: int, slot: dict[int, int], nslots: int,
+) -> tuple[int, list[list[tuple[int, int]]]]:
+    """Per-message scalar walk (the vectorized walk's fallback for
+    spec-legal oddballs: multi-byte tags i.e. fno > 15). Returns the
+    id and per-slot (abs_start, len) spans in occurrence order."""
+    spans: list[list[tuple[int, int]]] = [[] for _ in range(nslots)]
+    el_id = 0
+    pos = start
+    while pos < end:
+        tag, pos = _uvarint(g, pos)
+        fno = tag >> 3
+        wt = tag & 7
+        if wt == 0:
+            v, pos = _uvarint(g, pos)
+            if fno == 1:
+                # wrap uint64 wire value to int64 (scalar twin of the
+                # numpy .view(int64))
+                el_id = v - (1 << 64) if v >= (1 << 63) else v
+        elif wt == 2:
+            ln, pos = _uvarint(g, pos)
+            if pos + ln > end:
+                raise ValueError(
+                    f"field {fno} overruns message — corrupt PBF"
+                )
+            s = slot.get(fno)
+            if s is not None:
+                spans[s].append((pos, ln))
+            pos += ln
+        elif wt == 5:
+            pos += 4
+        elif wt == 1:
+            pos += 8
+        else:
+            raise ValueError(f"unsupported wire type {wt} — corrupt PBF")
+    return el_id, spans
+
+
+def _walk_way_like(
+    g: bytes, gbuf: np.ndarray, starts: np.ndarray, ends: np.ndarray,
+    slot_fnos: tuple[int, ...],
+) -> tuple[np.ndarray, list[tuple[np.ndarray, np.ndarray, np.ndarray]]]:
+    """Round-based VECTORIZED protobuf walk over every way/relation
+    message of one group at once: round k processes each alive
+    message's k-th field lane-wise (tag gather, one batched varint
+    decode per wire-type class, cursor advance), so the Python cost is
+    O(max fields per message) numpy calls instead of O(total fields)
+    bytecode — the per-message scanner this replaces was the largest
+    single cost of mixed blob decode (~33%). Way/relation messages
+    have ~6 fields, so ~6 rounds cover a whole group.
+
+    Returns (ids int64[n], per-slot span triples (msg, start, len)
+    stable-sorted by msg — occurrence order preserved within a
+    message, so protobuf's split-packed-field concatenation rule
+    holds). Messages with multi-byte tags (fno > 15, spec-legal,
+    unseen in the wild) fall back to the scalar walk."""
+    n = starts.size
+    nslots = len(slot_fnos)
+    slot_lut = np.full(16, -1, dtype=np.int64)
+    for s, f in enumerate(slot_fnos):
+        slot_lut[f] = s
+    bufp = np.concatenate([gbuf, np.zeros(10, dtype=np.uint8)])
+    ids = np.zeros(n, dtype=np.int64)
+    acc: list[list[tuple[np.ndarray, np.ndarray, np.ndarray]]] = [
+        [] for _ in range(nslots)
+    ]
+    is_fb = np.zeros(n, dtype=bool)
+    cur = starts.astype(np.int64).copy()
+    end = ends.astype(np.int64)
+    alive = np.nonzero(cur < end)[0]
+    while alive.size:
+        c = cur[alive]
+        tag = bufp[c].astype(np.int64)
+        mb = tag >= 0x80
+        if mb.any():
+            is_fb[alive[mb]] = True
+            alive, c, tag = alive[~mb], c[~mb], tag[~mb]
+            if alive.size == 0:
+                break
+        fno = tag >> 3
+        wt = tag & 7
+        newc = np.empty(alive.size, dtype=np.int64)
+        w0 = wt == 0
+        if w0.any():
+            v, nb = _vread_varints(bufp, c[w0] + 1)
+            newc[w0] = c[w0] + 1 + nb
+            is_id = fno[w0] == 1
+            if is_id.any():
+                ids[alive[w0][is_id]] = v[is_id].view(np.int64)
+        w2 = wt == 2
+        if w2.any():
+            ln_u, nb = _vread_varints(bufp, c[w2] + 1)
+            if (ln_u >> np.uint64(31)).any():
+                f_bad = int(fno[w2][(ln_u >> np.uint64(31)) != 0][0])
+                raise ValueError(
+                    f"field {f_bad} overruns message — corrupt PBF"
+                )
+            ln = ln_u.view(np.int64)
+            fstart = c[w2] + 1 + nb
+            newc[w2] = fstart + ln
+            slots = slot_lut[fno[w2]]  # fno ≤ 15 here (single-byte tag)
+            for s in range(nslots):
+                sel = slots == s
+                if sel.any():
+                    acc[s].append(
+                        (alive[w2][sel], fstart[sel], ln[sel])
+                    )
+        w5 = wt == 5
+        if w5.any():
+            newc[w5] = c[w5] + 5
+        w1 = wt == 1
+        if w1.any():
+            newc[w1] = c[w1] + 9
+        other = ~(w0 | w2 | w5 | w1)
+        if other.any():
+            raise ValueError(
+                f"unsupported wire type {int(wt[other][0])} — corrupt PBF"
+            )
+        over = newc > end[alive]
+        if over.any():
+            bad = over & (w0 | w2)
+            if bad.any():
+                raise ValueError(
+                    f"field {int(fno[bad][0])} overruns message — "
+                    "corrupt PBF"
+                )
+            # wire types 5/1 may skip past the end (the scalar walk
+            # tolerates this); clamp so the message just terminates
+            newc = np.minimum(newc, end[alive])
+        cur[alive] = newc
+        alive = alive[newc < end[alive]]
+    fb = is_fb.any()
+    if fb:
+        # a fallback message may have had early fields recorded by the
+        # vector rounds before the oddball tag was hit — drop those and
+        # let the scalar walk (which restarts at the message start)
+        # own the whole message
+        for s in range(nslots):
+            acc[s] = [
+                (a[0][~is_fb[a[0]]], a[1][~is_fb[a[0]]],
+                 a[2][~is_fb[a[0]]])
+                for a in acc[s]
+            ]
+        slot = {f: s for s, f in enumerate(slot_fnos)}
+        for i in np.nonzero(is_fb)[0].tolist():
+            el_id, spans = _walk_one_scalar(
+                g, int(starts[i]), int(ends[i]), slot, nslots
+            )
+            ids[i] = el_id
+            for s in range(nslots):
+                if spans[s]:
+                    a = np.array(spans[s], dtype=np.int64)
+                    acc[s].append(
+                        (np.full(len(a), np.int64(i)), a[:, 0], a[:, 1])
+                    )
+    out: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+    empty = np.empty(0, dtype=np.int64)
+    for s in range(nslots):
+        if not acc[s]:
+            out.append((empty, empty, empty))
+            continue
+        m = np.concatenate([a[0] for a in acc[s]])
+        st_ = np.concatenate([a[1] for a in acc[s]])
+        ln = np.concatenate([a[2] for a in acc[s]])
+        o = np.argsort(m, kind="stable")
+        out.append((m[o], st_[o], ln[o]))
+    return ids, out
+
+
+def _gather_slot(
+    gbuf: np.ndarray, span: tuple[np.ndarray, np.ndarray, np.ndarray],
+    n: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Spans → (flat concatenated bytes, per-message byte counts): one
+    fancy-index gather builds the same concatenation the old
+    per-message bytes-join produced, without any bytes objects."""
+    m, st_, ln = span
+    if m.size == 0:
+        return np.empty(0, dtype=np.uint8), np.zeros(n, dtype=np.int64)
+    counts = np.bincount(m, weights=ln, minlength=n).astype(np.int64)
+    total = int(ln.sum())
+    ofs = np.cumsum(ln) - ln
+    idx = np.repeat(st_ - ofs, ln) + np.arange(total, dtype=np.int64)
+    return gbuf[idx], counts
+
+
+def _parse_way_like(g: bytes, gbuf: np.ndarray, starts: np.ndarray,
+                    ends: np.ndarray, kind: str, st: pa.Array,
                     dgran: int, cols: _Columns) -> None:
     """Ways and relations share everything except the ref/member
-    fields; one pass accumulates a whole group as a segment."""
-    n = len(msgs)
-    ids = np.empty(n, dtype=np.int64)
-    # phase 1 — python walk at MESSAGE granularity only: collect each
-    # packed field's raw bytes; all value decoding is batched below.
-    # The walk is an INLINE scanner, not _iter_fields: profiling put
-    # 60% of mixed-decode time in generator resumption + _uvarint
-    # calls for these ~6-field messages. Way/relation field numbers
-    # are all ≤ 15, so the tag is a single byte on the wire; the
-    # varint fallbacks keep spec-legal oddball encoders working.
+    fields; the vectorized walk collects every packed field's spans,
+    then ONE gather + ONE batched varint decode per field covers the
+    whole group. Split packed fields concatenate in occurrence order
+    (the walk's stable sort), matching protobuf's merge rule — delta
+    chains continue across the split because each field is one
+    logical array."""
+    n = starts.size
     if kind == "way":
-        slot = {2: 0, 3: 1, 4: 2, 8: 3}  # keys vals info refs
+        slot_fnos = (2, 3, 4, 8)  # keys vals info refs
     else:
-        slot = {2: 0, 3: 1, 4: 2, 9: 3, 8: 4, 10: 5}  # + roles types
-    bufs = [[b""] * n for _ in range(6)]
-    for i, msg in enumerate(msgs):
-        pos, end = 0, len(msg)
-        while pos < end:
-            tag = msg[pos]
-            pos += 1
-            if tag >= 0x80:  # multi-byte tag (fno > 15) — spec-legal
-                tag, pos = _uvarint(msg, pos - 1)
-            fno = tag >> 3
-            wt = tag & 7
-            if wt == 0:
-                b = msg[pos]
-                pos += 1
-                if b >= 0x80:
-                    v = b & 0x7F
-                    shift = 7
-                    while True:
-                        b = msg[pos]
-                        pos += 1
-                        v |= (b & 0x7F) << shift
-                        if b < 0x80:
-                            break
-                        shift += 7
-                else:
-                    v = b
-                if fno == 1:
-                    # wrap uint64 wire value to int64 (scalar twin of
-                    # the numpy .view(int64) — ~6 µs/call saved)
-                    ids[i] = v - (1 << 64) if v >= (1 << 63) else v
-            elif wt == 2:
-                ln = msg[pos]
-                pos += 1
-                if ln >= 0x80:
-                    ln, pos = _uvarint(msg, pos - 1)
-                if pos + ln > end:
-                    raise ValueError(
-                        f"field {fno} overruns message — corrupt PBF"
-                    )
-                s = slot.get(fno)
-                if s is not None:
-                    # protobuf allows one packed field to be SPLIT
-                    # across several occurrences in a message —
-                    # concatenate raw bytes (delta chains continue
-                    # across the split because it is one logical
-                    # array); same rule merges a split Info message
-                    prev = bufs[s][i]
-                    bufs[s][i] = prev + msg[pos:pos + ln] if prev \
-                        else msg[pos:pos + ln]
-                pos += ln
-            elif wt == 5:
-                pos += 4
-            elif wt == 1:
-                pos += 8
-            else:
-                raise ValueError(
-                    f"unsupported wire type {wt} — corrupt PBF"
-                )
-    keys_bufs, vals_bufs, info_bufs, refs_bufs, roles_bufs, types_bufs = bufs
+        slot_fnos = (2, 3, 4, 9, 8, 10)  # + memids(9)→refs, roles, types
+    ids, spans = _walk_way_like(g, gbuf, starts, ends, slot_fnos)
     # phase 2 — ONE vectorized decode per field across the whole group
-    tag_counts, flat_keys = _unpack_segments(keys_bufs)
-    _, flat_vals = _unpack_segments(vals_bufs)
-    ref_counts, raw_refs = _unpack_segments(refs_bufs)
+    keys_b, keys_c = _gather_slot(gbuf, spans[0], n)
+    vals_b, vals_c = _gather_slot(gbuf, spans[1], n)
+    info_b, info_c = _gather_slot(gbuf, spans[2], n)
+    refs_b, refs_c = _gather_slot(gbuf, spans[3], n)
+    tag_counts, flat_keys = _unpack_concat(keys_b, keys_c)
+    _, flat_vals = _unpack_concat(vals_b, vals_c)
+    ref_counts, raw_refs = _unpack_concat(refs_b, refs_c)
     flat_refs = _segmented_delta_decode(raw_refs, ref_counts)
     cols.ids.append(ids)
     cols.types.append(kind)
@@ -749,8 +944,10 @@ def _parse_way_like(msgs: list[bytes], kind: str, st: pa.Array,
         cols.nds_refs.append(flat_refs)
         cols.mem_offsets.append(None)
     else:
-        _, flat_roles = _unpack_segments(roles_bufs)
-        _, flat_types = _unpack_segments(types_bufs)
+        roles_b, roles_c = _gather_slot(gbuf, spans[4], n)
+        types_b, types_c = _gather_slot(gbuf, spans[5], n)
+        _, flat_roles = _unpack_concat(roles_b, roles_c)
+        _, flat_types = _unpack_concat(types_b, types_c)
         cols.nds_offsets.append(None)
         cols.mem_offsets.append(offsets)
         cols.mem_refs.append(flat_refs)
@@ -759,7 +956,7 @@ def _parse_way_like(msgs: list[bytes], kind: str, st: pa.Array,
             st.take(pa.array(flat_roles.astype(np.int64)))
         )
     # info scalars: one batched varint pass for the whole group
-    info = _batch_infos(info_bufs, st, dgran)
+    info = _batch_infos_flat(info_b, info_c, st, dgran)
     cols.changeset.append(info["changeset"])
     cols.ts_ms.append(info["ts_ms"])
     cols.uid.append(info["uid"])
@@ -844,13 +1041,27 @@ def _seg_array(seg, n: int, typ: pa.DataType) -> pa.Array:
     return pa.array(seg, type=typ)
 
 
+def _const_str_array(s: str, n: int) -> pa.Array:
+    """n copies of one string as a StringArray built straight from
+    offset/data buffers — the numpy-unicode → Arrow conversion that
+    pa.array(np.repeat(...)) does per element was ~8% of whole-blob
+    decode for the type column."""
+    bt = s.encode()
+    offsets = np.arange(n + 1, dtype=np.int32) * np.int32(len(bt))
+    return pa.StringArray.from_buffers(
+        n, pa.py_buffer(offsets), pa.py_buffer(bt * n)
+    )
+
+
 def _finish_table(cols: _Columns) -> pa.Table:
     schema = unified_osm_schema()
     lens = cols.seg_lens
     n = sum(lens)
     if not lens:  # spec-legal empty PrimitiveBlock (or all-empty groups)
         return schema.empty_table()
-    type_arr = pa.array(np.repeat(np.array(cols.types), lens))
+    type_arr = pa.concat_arrays(
+        [_const_str_array(t, ln) for t, ln in zip(cols.types, lens)]
+    )
     tags = pa.MapArray.from_arrays(
         pa.array(_concat_offsets(cols.tag_offsets, lens), type=pa.int32()),
         pa.concat_arrays([a.cast(pa.string()) for a in cols.tag_keys]),
@@ -961,28 +1172,69 @@ def parse_primitive_block(raw: bytes) -> pa.Table:
     )
     cols = _Columns()
     for g in groups:
+        # inline group scan (one iteration per MESSAGE): record way/
+        # relation message positions without slicing — the vectorized
+        # walk reads them straight out of the group buffer. Generator
+        # + slice overhead here was ~14% of mixed blob decode.
         plain_nodes: list[bytes] = []
-        ways: list[bytes] = []
-        rels: list[bytes] = []
         dense = None
-        for f, w, v in _iter_fields(g):
-            if f == 1:
-                plain_nodes.append(v)
-            elif f == 2:
-                dense = v
-            elif f == 3:
-                ways.append(v)
-            elif f == 4:
-                rels.append(v)
+        way_pos: list[int] = []
+        rel_pos: list[int] = []
+        pos, gend = 0, len(g)
+        while pos < gend:
+            tag = g[pos]
+            pos += 1
+            if tag >= 0x80:  # multi-byte tag (fno > 15) — spec-legal
+                tag, pos = _uvarint(g, pos - 1)
+            fno = tag >> 3
+            wt = tag & 7
+            if wt == 2:
+                ln = g[pos]
+                pos += 1
+                if ln >= 0x80:
+                    ln, pos = _uvarint(g, pos - 1)
+                if pos + ln > gend:
+                    raise ValueError(
+                        f"field {fno} overruns message — corrupt PBF"
+                    )
+                if fno == 3:
+                    way_pos.append(pos)
+                    way_pos.append(pos + ln)
+                elif fno == 4:
+                    rel_pos.append(pos)
+                    rel_pos.append(pos + ln)
+                elif fno == 1:
+                    plain_nodes.append(g[pos:pos + ln])
+                elif fno == 2:
+                    dense = g[pos:pos + ln]
+                pos += ln
+            elif wt == 0:
+                while g[pos] >= 0x80:
+                    pos += 1
+                pos += 1
+            elif wt == 5:
+                pos += 4
+            elif wt == 1:
+                pos += 8
+            else:
+                raise ValueError(
+                    f"unsupported wire type {wt} — corrupt PBF"
+                )
         if plain_nodes:
             _parse_plain_nodes(plain_nodes, st, gran, lat_off, lon_off,
                                dgran, cols)
         if dense is not None:
             _parse_dense(dense, st, gran, lat_off, lon_off, dgran, cols)
-        if ways:
-            _parse_way_like(ways, "way", st, dgran, cols)
-        if rels:
-            _parse_way_like(rels, "relation", st, dgran, cols)
+        gbuf = np.frombuffer(g, dtype=np.uint8) if way_pos or rel_pos \
+            else None
+        if way_pos:
+            p = np.array(way_pos, dtype=np.int64).reshape(-1, 2)
+            _parse_way_like(g, gbuf, p[:, 0], p[:, 1], "way", st, dgran,
+                            cols)
+        if rel_pos:
+            p = np.array(rel_pos, dtype=np.int64).reshape(-1, 2)
+            _parse_way_like(g, gbuf, p[:, 0], p[:, 1], "relation", st,
+                            dgran, cols)
     return _finish_table(cols)
 
 

@@ -389,6 +389,56 @@ def test_info_unknown_extension_skipped():
     assert r["visible"] is True  # message exists -> protobuf default
 
 
+def test_way_with_multibyte_tag_falls_back_scalar():
+    """A way message carrying an unknown field with fno > 15 (2-byte
+    tag on the wire, ≥ 0x80 first byte) must route that MESSAGE through
+    the scalar fallback of the vectorized group walk — including
+    dropping any spans the vector rounds recorded before the oddball
+    tag was hit, so fields aren't double-counted. Unknown fields are
+    skipped per protobuf; known fields decode identically."""
+    st = pbf._StringTable()
+    keys = [st.sid("highway")]
+    vals = [st.sid("primary")]
+
+    def way_bytes(with_unknown: bool) -> bytes:
+        parts = [
+            pbf._varint_field(1, 4242),
+            pbf._packed_field(2, keys),
+        ]
+        if with_unknown:
+            # fno=20 varint (tag 0xA0 0x01) AFTER keys were already
+            # vector-recorded, plus fno=21 length-delimited and
+            # fno=22 fixed64/fixed32 to exercise every skip path
+            parts.append(pbf._varint_field(20, 77))
+            parts.append(pbf._len_field(21, b"future"))
+            parts.append(pbf._field_key(22, 1) + b"\x00" * 8)
+            parts.append(pbf._field_key(23, 5) + b"\x00" * 4)
+        parts.append(pbf._packed_field(3, vals))
+        parts.append(pbf._packed_delta_field(8, [10, 20, 30]))
+        return b"".join(parts)
+
+    def block(with_unknown: bool, n_plain: int = 2) -> bytes:
+        # surround the oddball way with plain ways so the vectorized
+        # path and the fallback run side by side in ONE group
+        ways = b"".join(
+            pbf._len_field(3, way_bytes(False)) for _ in range(n_plain)
+        ) + pbf._len_field(3, way_bytes(with_unknown))
+        return b"".join([
+            pbf._len_field(1, st.message()),
+            pbf._len_field(2, ways),
+            pbf._varint_field(17, 100),
+            pbf._varint_field(18, 1000),
+        ])
+
+    normal = pbf.parse_primitive_block(block(False))
+    odd = pbf.parse_primitive_block(block(True))
+    assert odd.equals(normal)
+    r = odd.to_pylist()[-1]
+    assert r["id"] == 4242
+    assert dict(r["tags"]) == {"highway": "primary"}
+    assert [x["ref"] for x in r["nds"]] == [10, 20, 30]
+
+
 def test_writer_rejects_subsecond_ts_everywhere(tmp_path):
     """ts alignment is enforced consistently: the dense-node path must
     raise like the way/relation path, not silently floor."""
