@@ -1373,17 +1373,67 @@ def _scan_loop(size: int, read_at) -> list[tuple[int, int]]:
     return idx
 
 
-def scan_osm_blobs(path: str, spark=None) -> list[tuple[int, int]]:
+def _file_size_fast(spark, path: str) -> int | None:
+    """Best-effort file size (one metadata call) for the scan-mode
+    choice; None when no backend can serve the scheme."""
+    scheme = _path_scheme(path)
+    if scheme in (None, "file"):
+        return os.path.getsize(_local_path(path))
+    if spark is not None:
+        try:
+            jvm = spark._jvm
+            p = jvm.org.apache.hadoop.fs.Path(path)
+            fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+            return int(fs.getFileStatus(p).getLen())
+        except Exception:
+            pass
+    try:
+        import pyarrow.fs as pafs
+
+        uri = path
+        if scheme in ("s3a", "s3n"):
+            uri = "s3://" + path.split("://", 1)[1]
+        fs, inner = pafs.FileSystem.from_uri(uri)
+        return fs.get_file_info(inner).size
+    except Exception:
+        return None
+
+
+def scan_osm_blobs(path: str, spark=None,
+                   distributed: bool | None = None,
+                   range_bytes: int = 64 << 20,
+                   probe_bytes: int = 4 << 20) -> list[tuple[int, int]]:
     """Index of OSMData blobs [(payload_offset, payload_len)] — reads
     only the tiny BlobHeaders (seek past payloads), validates the
     OSMHeader's required_features. Raises on truncation/corruption
     (reference panics on corrupt blobs — X6).
+
+    `distributed=None` auto-routes big files (≥ 256 MB) through the
+    executor-parallel resync scan when a session is available — its
+    tiling proof guarantees the result is identical to the sequential
+    walk, falling back here when it can't prove it. True forces it,
+    False forbids it.
 
     Remote paths (reference src/pbf.rs:22-31 create_s3_buf_reader +
     dispatch src/lib.rs:34-37): any Hadoop URI routes through the JVM
     FileSystem already in the SparkContext (credentials/config
     inherited — viewfs://, s3a://, hdfs://, …); without a session,
     pyarrow.fs serves object-store schemes directly."""
+    if spark is None:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+    if spark is not None and distributed is not False:
+        if distributed or (
+            (sz := _file_size_fast(spark, path)) is not None
+            and sz >= _DISTRIBUTED_SCAN_MIN
+        ):
+            try:
+                return scan_osm_blobs_distributed(
+                    spark, path, range_bytes, probe_bytes
+                )
+            except _ResyncFailed:
+                pass  # provably-safe: re-walk sequentially below
     scheme = _path_scheme(path)
     if scheme in (None, "file"):
         local = _local_path(path)
@@ -1395,10 +1445,6 @@ def scan_osm_blobs(path: str, spark=None) -> list[tuple[int, int]]:
                 return f.read(n)
 
             return _scan_loop(size, read_at)
-    if spark is None:
-        from pyspark.sql import SparkSession
-
-        spark = SparkSession.getActiveSession()
     if spark is not None:
         # open through the JVM FileSystem when it HAS a client for the
         # scheme (viewfs://, hdfs://, s3a:// with hadoop-aws); if it
@@ -1454,6 +1500,181 @@ def scan_osm_blobs(path: str, spark=None) -> list[tuple[int, int]]:
     size = fs.get_file_info(inner).size
     with fs.open_input_file(inner) as f:
         return _scan_loop(size, lambda off, n: f.read_at(n, off))
+
+
+#: BlobHeader signatures for resync: field 1 (`type`, tag 0x0A) is a
+#: length-prefixed string, so a spec-typical header starts
+#: `\x0a\x07OSMData` / `\x0a\x09OSMHeader` exactly 4 bytes after the
+#: frame's big-endian length prefix. Files that order BlobHeader
+#: fields differently are spec-legal but unseen in the wild; they
+#: fail the tiling proof below and fall back to the sequential scan.
+_BLOB_SIGS = (b"\x0a\x07OSMData", b"\x0a\x09OSMHeader")
+
+#: below this size the sequential driver walk is cheap; above it the
+#: distributed resync scan wins (a planet file is ~70 GB / ~200k
+#: chained header round-trips — an hour of latency over an object
+#: store, seconds across executors)
+_DISTRIBUTED_SCAN_MIN = 256 << 20
+
+
+class _ResyncFailed(ValueError):
+    """Distributed resync scan could not PROVE equivalence to the
+    sequential walk (tiling check failed) — caller must fall back."""
+
+
+def _frame_at(path: str, off: int, size: int):
+    """Parse ONE blob frame at `off`; returns (data_off, datasize,
+    btype) or None if anything is implausible. Used both to validate
+    resync candidates and to chain frames — identical bounds to
+    _scan_loop so a chain that tiles the file IS the sequential walk."""
+    if off + 4 > size:
+        return None
+    hdr = _read_range(path, off, 4)
+    if len(hdr) < 4:
+        return None
+    (hlen,) = FRAME_HEADER.unpack(hdr)
+    if hlen > 64 << 10 or off + 4 + hlen > size:
+        return None
+    try:
+        btype, datasize = _parse_blob_header(_read_range(path, off + 4, hlen))
+    except ValueError:
+        return None
+    data_off = off + 4 + hlen
+    if datasize > MAX_BLOB_BYTES or data_off + datasize > size:
+        return None
+    return data_off, datasize, btype
+
+
+def _scan_range_resync(
+    path: str, start: int, end: int, size: int, probe_bytes: int,
+) -> list[tuple[int, int, int, str]]:
+    """Worker side of the distributed scan: find the first blob frame
+    whose 4-byte length prefix starts in [start, end) by signature
+    search, then chain frames header-only (seek past payloads) while
+    they start inside the range. Emits (header_off, data_off,
+    datasize, btype) — every frame belongs to exactly one range by
+    header_off, so ranges are disjoint by construction. A false-
+    positive signature (possible inside a stored/uncompressed payload)
+    either fails candidate validation here or breaks the driver's
+    tiling proof, which falls back to the sequential walk."""
+    probe_bytes = max(probe_bytes, 1 << 16)
+    hoff = None
+    if start == 0:
+        hoff = 0  # file start is a known frame boundary
+    else:
+        # a frame starting at end-1 has its signature ending within
+        # end+3+len(sig): search text must extend past the range end
+        limit = min(size, end + 3 + max(len(s) for s in _BLOB_SIGS))
+        spos = start
+        while hoff is None and spos < limit:
+            win = _read_range(path, spos, min(probe_bytes, size - spos))
+            cands = []
+            for sig in _BLOB_SIGS:
+                p = win.find(sig)
+                while p != -1:
+                    c = spos + p - 4  # sig sits 4 bytes after frame start
+                    if start <= c < end:
+                        cands.append(c)
+                    p = win.find(sig, p + 1)
+            for c in sorted(cands):
+                f = _frame_at(path, c, size)
+                if f is None:
+                    continue
+                # require the NEXT frame to parse too (or exact EOF):
+                # one extra header read kills nearly all false positives
+                nxt = f[0] + f[1]
+                if nxt == size or _frame_at(path, nxt, size) is not None:
+                    hoff = c
+                    break
+            if hoff is None:
+                if spos + len(win) >= limit:
+                    break
+                # overlap windows so a signature straddling two probe
+                # windows is still found
+                spos += len(win) - (max(len(s) for s in _BLOB_SIGS) + 3)
+    if hoff is None:
+        return []  # no frame starts in this range (range < blob size)
+    out: list[tuple[int, int, int, str]] = []
+    off = hoff
+    while off < end and off < size:
+        f = _frame_at(path, off, size)
+        if f is None:
+            break  # mid-chain corruption or false start → tiling fails
+        data_off, datasize, btype = f
+        out.append((off, data_off, datasize, btype))
+        off = data_off + datasize
+    return out
+
+
+def scan_osm_blobs_distributed(
+    spark, path: str, range_bytes: int = 64 << 20,
+    probe_bytes: int = 4 << 20,
+) -> list[tuple[int, int]]:
+    """Distributed blob index: executors resync-scan disjoint byte
+    ranges in parallel, the driver then PROVES the union equals the
+    sequential walk — frames must start at 0, tile the file
+    contiguously, and end exactly at EOF (induction: a contiguous
+    valid chain from offset 0 is precisely what _scan_loop follows).
+    Any gap/overlap/unparseable frame raises _ResyncFailed and the
+    caller falls back to the sequential scan, so this path can only
+    ever be faster, never different.
+
+    The reference scans sequentially on one node (src/pbf.rs:45-91);
+    at 100 TB the sequential header chain is latency-bound (~200k
+    dependent round-trips for a planet file over an object store) —
+    this spreads it across the cluster: ~seconds instead of ~an hour,
+    transferring one probe window + ~40 bytes per blob per range."""
+    scheme = _path_scheme(path)
+    if scheme in (None, "file"):
+        size = os.path.getsize(_local_path(path))
+        wpath = path
+    else:
+        wpath = resolve_worker_path(spark, path)
+        import pyarrow.fs as pafs
+
+        uri = wpath
+        if _path_scheme(wpath) in ("s3a", "s3n"):
+            uri = "s3://" + wpath.split("://", 1)[1]
+        fs, inner = pafs.FileSystem.from_uri(uri)
+        size = fs.get_file_info(inner).size
+    nr = max(1, (size + range_bytes - 1) // range_bytes)
+    ranges = [
+        (i * range_bytes, min(size, (i + 1) * range_bytes))
+        for i in range(nr)
+    ]
+    sc = spark.sparkContext
+    frames = (
+        sc.parallelize(ranges, len(ranges))
+        .flatMap(
+            lambda r: _scan_range_resync(wpath, r[0], r[1], size,
+                                         probe_bytes)
+        )
+        .collect()
+    )
+    frames.sort()
+    # tiling proof
+    prev_end = 0
+    idx: list[tuple[int, int]] = []
+    header_blobs: list[tuple[int, int]] = []
+    for hoff, data_off, datasize, btype in frames:
+        if hoff != prev_end:
+            raise _ResyncFailed(
+                f"resync scan does not tile the file at offset {hoff} "
+                f"(expected {prev_end})"
+            )
+        prev_end = data_off + datasize
+        if btype == "OSMData":
+            idx.append((data_off, datasize))
+        elif btype == "OSMHeader":
+            header_blobs.append((data_off, datasize))
+    if prev_end != size:
+        raise _ResyncFailed(
+            f"resync scan covers {prev_end} of {size} bytes"
+        )
+    for data_off, datasize in header_blobs:
+        _check_header_block(_blob_payload(_read_range(wpath, data_off,
+                                                      datasize)))
+    return idx
 
 
 def resolve_worker_path(spark, path: str) -> str:

@@ -389,6 +389,57 @@ def test_info_unknown_extension_skipped():
     assert r["visible"] is True  # message exists -> protobuf default
 
 
+def test_distributed_scan_matches_sequential(spark, tmp_path):
+    """The executor-parallel resync scan must return EXACTLY the
+    sequential walk's index — its driver-side tiling proof (frames
+    start at 0, tile contiguously, end at EOF) makes any divergence a
+    hard error instead of a wrong answer. Range sizes below one blob,
+    mid-blob boundaries, and single-range all covered."""
+    import os
+
+    path = str(tmp_path / "d.osm.pbf")
+    pbf.write_osm_pbf(path, _nodes(4000), _ways(400), _rels(60),
+                      nodes_per_block=250)
+    seq = pbf.scan_osm_blobs(path, distributed=False)
+    assert len(seq) > 10
+    size = os.path.getsize(path)
+    for rb in (1 << 12, 1 << 14, size):
+        dist = pbf.scan_osm_blobs_distributed(
+            spark, path, range_bytes=rb, probe_bytes=1 << 13
+        )
+        assert dist == seq, f"range_bytes={rb}"
+    # the public entry point routes through resync when forced
+    assert pbf.scan_osm_blobs(
+        path, spark=spark, distributed=True,
+        range_bytes=1 << 14, probe_bytes=1 << 13,
+    ) == seq
+
+
+def test_distributed_scan_rejects_planted_signature(spark, tmp_path):
+    """A BlobHeader signature PLANTED inside an uncompressed payload
+    (zlevel=0 stores the stringtable bytes literally) must not poison
+    the resync scan: candidate validation (frame parse + next-frame
+    chain) rejects it, or the tiling proof falls back — either way the
+    index equals the sequential walk."""
+    nodes = _nodes(600)
+    for nd in nodes[:50]:
+        nd["tags"] = {"note": "xx\x0a\x07OSMDatayy" * 3}
+    path = str(tmp_path / "fp.osm.pbf")
+    pbf.write_osm_pbf(path, nodes, nodes_per_block=100, zlevel=0)
+    with open(path, "rb") as f:
+        assert b"\x0a\x07OSMData" in f.read()  # the plant is on disk
+    seq = pbf.scan_osm_blobs(path, distributed=False)
+    dist = pbf.scan_osm_blobs_distributed(
+        spark, path, range_bytes=1 << 12, probe_bytes=1 << 12
+    )
+    assert dist == seq
+    # end-to-end through the auto entry point (fallback-safe)
+    assert pbf.scan_osm_blobs(
+        path, spark=spark, distributed=True,
+        range_bytes=1 << 12, probe_bytes=1 << 12,
+    ) == seq
+
+
 def test_way_with_multibyte_tag_falls_back_scalar():
     """A way message carrying an unknown field with fno > 15 (2-byte
     tag on the wire, ≥ 0x80 first byte) must route that MESSAGE through

@@ -44,6 +44,23 @@ def test_scan_blobs_over_s3_matches_local(spark, s3_pbf):
     assert scan_osm_blobs(uri, spark=spark) == scan_osm_blobs(local)
 
 
+def test_distributed_scan_over_s3_matches_local(spark, s3_pbf):
+    """Executor-parallel resync scan over the S3 protocol: each range
+    task issues its own pyarrow ranged GETs (signature probe + header
+    chain), the driver's tiling proof then certifies the index —
+    identical to the sequential walk of the local file."""
+    from osm_pbf_parquet_spark.sources.pbf import (
+        scan_osm_blobs, scan_osm_blobs_distributed,
+    )
+
+    local, uri = s3_pbf
+    seq = scan_osm_blobs(local, distributed=False)
+    dist = scan_osm_blobs_distributed(
+        spark, uri, range_bytes=1 << 18, probe_bytes=1 << 16
+    )
+    assert dist == seq and len(seq) > 3
+
+
 def test_read_osm_pbf_over_s3_end_to_end(spark, s3_pbf):
     """Full ingestion through the S3 protocol: every task issues
     ranged GETs per blob; result must match the local read exactly."""
