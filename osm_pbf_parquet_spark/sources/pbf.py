@@ -233,33 +233,23 @@ def _unpack_concat(b: np.ndarray, lens: np.ndarray) -> tuple[np.ndarray, np.ndar
     return counts, vals
 
 
-def _batch_infos(
-    info_bufs: list[bytes], st: pa.Array, dgran: int
-) -> dict[str, pa.Array]:
-    """Vectorized Info parsing for a whole way/relation group, with a
-    spec-complete fallback: every KNOWN Info field is wire-type-0, so
-    an Info message's varint stream is normally a strict [tag, value,
-    tag, value…] alternation — ONE batched varint decode + fancy
-    indexing replaces a Python walk per message. A spec-legal file may
-    still carry an unknown length-delimited Info extension (protobuf
-    requires unknown fields to be SKIPPED, not rejected); when the
-    strict alternating-varint assumption breaks, the group falls back
-    to the per-message _parse_info walk, which skips unknown wire
-    types. Genuinely corrupt bytes still fail loudly there (X6).
-    Missing info (empty buf) → all-null row; visible defaults true
-    when the message exists (protobuf default)."""
-    try:
-        return _batch_infos_fast(info_bufs, st, dgran)
-    except ValueError:
-        return _batch_infos_slow(info_bufs, st, dgran)
-
-
 def _batch_infos_flat(
     flat: np.ndarray, byte_counts: np.ndarray, st: pa.Array, dgran: int
 ) -> dict[str, pa.Array]:
-    """`_batch_infos` twin fed the vectorized group walk's gathered
-    (flat bytes, per-message byte counts) form — no bytes objects on
-    the fast path; the rare fallback reconstructs the slices."""
+    """Vectorized Info parsing for a whole way/relation group, fed the
+    group walk's gathered (flat bytes, per-message byte counts) form —
+    no bytes objects on the fast path. Every KNOWN Info field is
+    wire-type-0, so an Info message's varint stream is normally a
+    strict [tag, value, tag, value…] alternation — ONE batched varint
+    decode + fancy indexing replaces a Python walk per message. A
+    spec-legal file may still carry an unknown length-delimited Info
+    extension (protobuf requires unknown fields to be SKIPPED, not
+    rejected); when the strict alternating-varint assumption breaks,
+    the group falls back to the per-message _parse_info walk, which
+    skips unknown wire types. Genuinely corrupt bytes still fail
+    loudly there (X6). Missing info (empty buf) → all-null row;
+    visible defaults true when the message exists (protobuf
+    default)."""
     try:
         counts, vals = _unpack_concat(flat, byte_counts)
         return _batch_infos_core(counts, vals, byte_counts > 0, st, dgran)
@@ -271,14 +261,6 @@ def _batch_infos_flat(
             for e, c in zip(bounds.tolist(), byte_counts.tolist())
         ]
         return _batch_infos_slow(bufs, st, dgran)
-
-
-def _batch_infos_fast(
-    info_bufs: list[bytes], st: pa.Array, dgran: int
-) -> dict[str, pa.Array]:
-    has_info = np.array([len(b) > 0 for b in info_bufs])
-    counts, vals = _unpack_segments(info_bufs)
-    return _batch_infos_core(counts, vals, has_info, st, dgran)
 
 
 def _batch_infos_core(
@@ -541,8 +523,13 @@ def _parse_stringtable(buf: bytes) -> pa.Array:
                 )
             pos += ln
         elif wt == 0:
+            vstart = pos
             while buf[pos] >= 0x80:
                 pos += 1
+                if pos - vstart > 9:
+                    raise ValueError(
+                        "varint longer than 10 bytes — corrupt PBF"
+                    )
             pos += 1
         elif wt == 5:
             pos += 4
@@ -1209,8 +1196,13 @@ def parse_primitive_block(raw: bytes) -> pa.Table:
                     dense = g[pos:pos + ln]
                 pos += ln
             elif wt == 0:
+                vstart = pos
                 while g[pos] >= 0x80:
                     pos += 1
+                    if pos - vstart > 9:
+                        raise ValueError(
+                            "varint longer than 10 bytes — corrupt PBF"
+                        )
                 pos += 1
             elif wt == 5:
                 pos += 4
@@ -1327,13 +1319,8 @@ def _read_range(path: str, offset: int, length: int) -> bytes:
             return f.read(length)
     f = _RANGED_CACHE.get(path)
     if f is None:
-        import pyarrow.fs as pafs
-
-        uri = path
-        if scheme in ("s3a", "s3n"):
-            uri = "s3://" + path.split("://", 1)[1]
         try:
-            fs, inner = pafs.FileSystem.from_uri(uri)
+            fs, inner = _pyarrow_fs(path)
         except Exception as e:
             raise ValueError(
                 f"no python-side filesystem for {path!r} ({e}); "
@@ -1343,6 +1330,18 @@ def _read_range(path: str, offset: int, length: int) -> bytes:
             ) from e
         f = _RANGED_CACHE[path] = fs.open_input_file(inner)
     return f.read_at(length, offset)
+
+
+def _pyarrow_fs(path: str):
+    """pyarrow (filesystem, inner_path) for a URI, normalizing the
+    Hadoop-flavored s3a://"/s3n:// schemes to pyarrow's s3:// — the
+    ONE place that mapping lives."""
+    import pyarrow.fs as pafs
+
+    uri = path
+    if _path_scheme(path) in ("s3a", "s3n"):
+        uri = "s3://" + path.split("://", 1)[1]
+    return pafs.FileSystem.from_uri(uri)
 
 
 def _scan_loop(size: int, read_at) -> list[tuple[int, int]]:
@@ -1388,12 +1387,7 @@ def _file_size_fast(spark, path: str) -> int | None:
         except Exception:
             pass
     try:
-        import pyarrow.fs as pafs
-
-        uri = path
-        if scheme in ("s3a", "s3n"):
-            uri = "s3://" + path.split("://", 1)[1]
-        fs, inner = pafs.FileSystem.from_uri(uri)
+        fs, inner = _pyarrow_fs(path)
         return fs.get_file_info(inner).size
     except Exception:
         return None
@@ -1423,17 +1417,26 @@ def scan_osm_blobs(path: str, spark=None,
         from pyspark.sql import SparkSession
 
         spark = SparkSession.getActiveSession()
+    if distributed and spark is None:
+        raise ValueError("distributed=True requires an active SparkSession")
     if spark is not None and distributed is not False:
-        if distributed or (
-            (sz := _file_size_fast(spark, path)) is not None
-            and sz >= _DISTRIBUTED_SCAN_MIN
-        ):
+        sz = _file_size_fast(spark, path)
+        if distributed or (sz is not None and sz >= _DISTRIBUTED_SCAN_MIN):
             try:
                 return scan_osm_blobs_distributed(
-                    spark, path, range_bytes, probe_bytes
+                    spark, path, range_bytes, probe_bytes, size=sz
                 )
             except _ResyncFailed:
                 pass  # provably-safe: re-walk sequentially below
+            except Exception:
+                if distributed:
+                    raise  # forced mode surfaces environment failures
+                # auto mode treats the distributed path as a pure
+                # optimization: any environment failure (no python-side
+                # filesystem for the scheme, executors missing the
+                # package, …) falls back to the sequential walk, which
+                # re-detects genuine corruption with proper errors
+                pass
     scheme = _path_scheme(path)
     if scheme in (None, "file"):
         local = _local_path(path)
@@ -1522,22 +1525,40 @@ class _ResyncFailed(ValueError):
     sequential walk (tiling check failed) — caller must fall back."""
 
 
-def _frame_at(path: str, off: int, size: int):
+def _open_read_at(path: str):
+    """(read_at, close) pair with ONE underlying handle: local paths
+    open once per range task (not per ranged read — two reads per
+    frame would mean thousands of open/close cycles on a big local
+    file); URI paths reuse the worker-wide _RANGED_CACHE handle."""
+    if _path_scheme(path) in (None, "file"):
+        f = open(_local_path(path), "rb")
+
+        def read_at(off: int, n: int) -> bytes:
+            f.seek(off)
+            return f.read(n)
+
+        return read_at, f.close
+    return (lambda off, n: _read_range(path, off, n)), (lambda: None)
+
+
+def _frame_at(read_at, off: int, size: int):
     """Parse ONE blob frame at `off`; returns (data_off, datasize,
-    btype) or None if anything is implausible. Used both to validate
-    resync candidates and to chain frames — identical bounds to
-    _scan_loop so a chain that tiles the file IS the sequential walk."""
+    btype) or None if anything is implausible — including garbage
+    header bytes that end mid-varint (IndexError from the wire walk):
+    a rejected candidate must never crash the scan. Identical bounds
+    to _scan_loop so a chain that tiles the file IS the sequential
+    walk."""
     if off + 4 > size:
         return None
-    hdr = _read_range(path, off, 4)
+    hdr = read_at(off, 4)
     if len(hdr) < 4:
         return None
     (hlen,) = FRAME_HEADER.unpack(hdr)
     if hlen > 64 << 10 or off + 4 + hlen > size:
         return None
     try:
-        btype, datasize = _parse_blob_header(_read_range(path, off + 4, hlen))
-    except ValueError:
+        btype, datasize = _parse_blob_header(read_at(off + 4, hlen))
+    except (ValueError, IndexError):
         return None
     data_off = off + 4 + hlen
     if datasize > MAX_BLOB_BYTES or data_off + datasize > size:
@@ -1558,57 +1579,64 @@ def _scan_range_resync(
     either fails candidate validation here or breaks the driver's
     tiling proof, which falls back to the sequential walk."""
     probe_bytes = max(probe_bytes, 1 << 16)
-    hoff = None
-    if start == 0:
-        hoff = 0  # file start is a known frame boundary
-    else:
-        # a frame starting at end-1 has its signature ending within
-        # end+3+len(sig): search text must extend past the range end
-        limit = min(size, end + 3 + max(len(s) for s in _BLOB_SIGS))
-        spos = start
-        while hoff is None and spos < limit:
-            win = _read_range(path, spos, min(probe_bytes, size - spos))
-            cands = []
-            for sig in _BLOB_SIGS:
-                p = win.find(sig)
-                while p != -1:
-                    c = spos + p - 4  # sig sits 4 bytes after frame start
-                    if start <= c < end:
-                        cands.append(c)
-                    p = win.find(sig, p + 1)
-            for c in sorted(cands):
-                f = _frame_at(path, c, size)
-                if f is None:
-                    continue
-                # require the NEXT frame to parse too (or exact EOF):
-                # one extra header read kills nearly all false positives
-                nxt = f[0] + f[1]
-                if nxt == size or _frame_at(path, nxt, size) is not None:
-                    hoff = c
-                    break
-            if hoff is None:
-                if spos + len(win) >= limit:
-                    break
-                # overlap windows so a signature straddling two probe
-                # windows is still found
-                spos += len(win) - (max(len(s) for s in _BLOB_SIGS) + 3)
-    if hoff is None:
-        return []  # no frame starts in this range (range < blob size)
-    out: list[tuple[int, int, int, str]] = []
-    off = hoff
-    while off < end and off < size:
-        f = _frame_at(path, off, size)
-        if f is None:
-            break  # mid-chain corruption or false start → tiling fails
-        data_off, datasize, btype = f
-        out.append((off, data_off, datasize, btype))
-        off = data_off + datasize
-    return out
+    read_at, close = _open_read_at(path)
+    try:
+        hoff = None
+        if start == 0:
+            hoff = 0  # file start is a known frame boundary
+        else:
+            # a frame starting at end-1 has its signature ending within
+            # end+3+len(sig): search text must extend past the range end
+            limit = min(size, end + 3 + max(len(s) for s in _BLOB_SIGS))
+            spos = start
+            while hoff is None and spos < limit:
+                win = read_at(spos, min(probe_bytes, size - spos))
+                cands = []
+                for sig in _BLOB_SIGS:
+                    p = win.find(sig)
+                    while p != -1:
+                        c = spos + p - 4  # sig is 4 bytes after frame start
+                        if start <= c < end:
+                            cands.append(c)
+                        p = win.find(sig, p + 1)
+                for c in sorted(cands):
+                    f = _frame_at(read_at, c, size)
+                    if f is None:
+                        continue
+                    # require the NEXT frame to parse too (or exact
+                    # EOF): one extra header read kills nearly all
+                    # false positives
+                    nxt = f[0] + f[1]
+                    if nxt == size or _frame_at(read_at, nxt,
+                                                size) is not None:
+                        hoff = c
+                        break
+                if hoff is None:
+                    if spos + len(win) >= limit:
+                        break
+                    # overlap windows so a signature straddling two
+                    # probe windows is still found
+                    spos += len(win) - (max(len(s) for s in _BLOB_SIGS)
+                                        + 3)
+        if hoff is None:
+            return []  # no frame starts in this range (range < blob)
+        out: list[tuple[int, int, int, str]] = []
+        off = hoff
+        while off < end and off < size:
+            f = _frame_at(read_at, off, size)
+            if f is None:
+                break  # mid-chain corruption/false start → tiling fails
+            data_off, datasize, btype = f
+            out.append((off, data_off, datasize, btype))
+            off = data_off + datasize
+        return out
+    finally:
+        close()
 
 
 def scan_osm_blobs_distributed(
     spark, path: str, range_bytes: int = 64 << 20,
-    probe_bytes: int = 4 << 20,
+    probe_bytes: int = 4 << 20, size: int | None = None,
 ) -> list[tuple[int, int]]:
     """Distributed blob index: executors resync-scan disjoint byte
     ranges in parallel, the driver then PROVES the union equals the
@@ -1626,17 +1654,14 @@ def scan_osm_blobs_distributed(
     transferring one probe window + ~40 bytes per blob per range."""
     scheme = _path_scheme(path)
     if scheme in (None, "file"):
-        size = os.path.getsize(_local_path(path))
         wpath = path
+        if size is None:
+            size = os.path.getsize(_local_path(path))
     else:
         wpath = resolve_worker_path(spark, path)
-        import pyarrow.fs as pafs
-
-        uri = wpath
-        if _path_scheme(wpath) in ("s3a", "s3n"):
-            uri = "s3://" + wpath.split("://", 1)[1]
-        fs, inner = pafs.FileSystem.from_uri(uri)
-        size = fs.get_file_info(inner).size
+        if size is None:
+            fs, inner = _pyarrow_fs(wpath)
+            size = fs.get_file_info(inner).size
     nr = max(1, (size + range_bytes - 1) // range_bytes)
     ranges = [
         (i * range_bytes, min(size, (i + 1) * range_bytes))

@@ -389,6 +389,22 @@ def test_info_unknown_extension_skipped():
     assert r["visible"] is True  # message exists -> protobuf default
 
 
+def test_group_overlong_varint_rejected():
+    """X6 fail-fast: an unknown wire-type-0 field inside a
+    PrimitiveGroup encoded as a >10-byte varint (spec-corrupt) must
+    raise, not be skipped — the inline group scan keeps the bound the
+    old _uvarint walk enforced."""
+    st = pbf._StringTable()
+    group = b"\x28" + b"\x80" * 11 + b"\x01"  # fno=5 wt=0, 12-byte varint
+    block = b"".join([
+        pbf._len_field(1, st.message()),
+        pbf._len_field(2, group),
+        pbf._varint_field(17, 100),
+    ])
+    with pytest.raises(ValueError, match="longer than 10 bytes"):
+        pbf.parse_primitive_block(block)
+
+
 def test_distributed_scan_matches_sequential(spark, tmp_path):
     """The executor-parallel resync scan must return EXACTLY the
     sequential walk's index — its driver-side tiling proof (frames
