@@ -228,6 +228,7 @@ _EXTRA_QUERIES = (
     # IDCT; GIF LZW round-trip incl. width transitions + interlace)
     "multimodal_jpeg_pixels",
     "multimodal_gif_pixels",
+    "multimodal_wav_samples",  # r6 late: AUDIO leg — from-scratch RIFF/WAVE PCM decode, closed-form sample-sum oracle
 )
 
 
@@ -1668,6 +1669,29 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_gif_pixels"] = multimodal_gif_pixels_q
 
+    def multimodal_wav_samples_q(s, d):
+        """REAL PCM audio decode (extras, oracle-checked): the
+        multimodal family's AUDIO leg. Spec-valid RIFF/WAVE fixtures
+        (8- and 16-bit PCM, mono/stereo, odd sizes with pad bytes,
+        junk LIST chunks) decoded by the from-scratch chunk walk
+        (operators/wav.py); the sample formula is SQL-stateable so
+        the oracle computes the decoded sample SUM arithmetically —
+        a wrong chunk skip, width, or sign convention shifts the sum
+        and fails the hash."""
+        _ensure_workers_see_package(s)
+        from osm_pbf_parquet_spark.operators.multimodal import (
+            attach_wav_fixture,
+            decode_audio_samples,
+        )
+
+        docs = _load(s, d, "documents")
+        au = decode_audio_samples(attach_wav_fixture(docs))
+        return au.select(
+            "doc_id", "n_frames", "channels", "sample_rate", "sample_sum"
+        )
+
+    q["multimodal_wav_samples"] = multimodal_wav_samples_q
+
     def pack_sequences_q(s, d):
         """Sequence packing (extras, oracle-checked): next-fit packing
         of the corpus into 512-token bins over docs sorted by id —
@@ -2518,6 +2542,21 @@ def _all_oracle_sql() -> dict[str, str]:
                  FROM UNNEST(range(0, 5 + (d.doc_id * 7) % 8)) AS y(y),
                       UNNEST(range(0, 6 + d.doc_id % 9)) AS x(x)
                ) AS BIGINT) AS pixel_sum
+        FROM documents d
+    """
+    o["multimodal_wav_samples"] = """
+        SELECT d.doc_id,
+               CAST(41 + (d.doc_id * 3) % 50 AS BIGINT) AS n_frames,
+               CAST(1 + d.doc_id % 2 AS BIGINT) AS channels,
+               CAST(8000 * (1 + d.doc_id % 3) AS BIGINT) AS sample_rate,
+               CAST((
+                 SELECT sum(CASE WHEN d.doc_id % 5 = 0
+                   THEN (d.doc_id * 13 + t.t * 7 + c.c * 5) % 256
+                   ELSE (d.doc_id * 13 + t.t * 7 + c.c * 5) % 4096 - 2048
+                 END)
+                 FROM UNNEST(range(0, 41 + (d.doc_id * 3) % 50)) AS t(t),
+                      UNNEST(range(0, 1 + d.doc_id % 2)) AS c(c)
+               ) AS BIGINT) AS sample_sum
         FROM documents d
     """
     # dedup_minhash_lsh / dedup_simhash / encode_chunk_stats:

@@ -574,3 +574,90 @@ def decode_image_pixels(df: DataFrame, id_col: str = "doc_id",
             )
 
     return df.mapInPandas(fn, PIXEL_META_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# audio: RIFF/WAVE PCM (operators/wav.py) — the multimodal family's
+# audio leg, same oracle playbook as the PNG/GIF/JPEG fixtures above
+# ---------------------------------------------------------------------------
+
+def wav_fixture(doc_id: int) -> tuple["np.ndarray", int]:
+    """(samples, sample_rate) with SQL-stateable values: ch = 1 +
+    doc_id%2, n_frames = 41 + (doc_id*3)%50, rate = 8000·(1+doc_id%3);
+    every 5th doc is 8-bit PCM with sample = (doc_id·13 + t·7 + c·5)
+    % 256, the rest 16-bit with sample = that expression % 4096 −
+    2048 — both widths, mono and stereo, odd data sizes (pad byte;
+    the 41 keeps 8-bit mono docs odd-sized) all land in the corpus."""
+    ch = 1 + doc_id % 2
+    n = 41 + (doc_id * 3) % 50
+    rate = 8000 * (1 + doc_id % 3)
+    t = np.arange(n).reshape(n, 1)
+    c = np.arange(ch).reshape(1, ch)
+    base = doc_id * 13 + t * 7 + c * 5
+    if doc_id % 5 == 0:
+        return (base % 256).astype(np.uint8), rate
+    return (base % 4096 - 2048).astype(np.int16), rate
+
+
+def attach_wav_fixture(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload) of spec-valid RIFF/WAVE files whose PCM
+    samples follow the closed form in ``wav_fixture``; every 4th file
+    carries a junk LIST chunk so the decoder's unknown-chunk skip is
+    exercised on real payloads."""
+    from .wav import encode_wav
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                samples, rate = wav_fixture(int(i))
+                junk = b"INFOsynthetic" if int(i) % 4 == 0 else None
+                payloads.append(encode_wav(samples, rate, junk_chunk=junk))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()),
+         T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(fn, schema)
+
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("channels", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("sample_sum", T.LongType()),
+        T.StructField("sample_sha256", T.StringType()),
+    ]
+)
+
+
+def decode_audio_samples(df: DataFrame, id_col: str = "doc_id",
+                         payload_col: str = "payload") -> DataFrame:
+    """REAL PCM decode over a WAV binary column (mapInPandas,
+    Arrow-batched): per file, frame/channel/rate metadata plus
+    sample_sum and sha256 of the raw sample bytes — the projections an
+    audio feature-extraction stage hangs off, verifiable by a SQL
+    oracle when the samples follow a stated formula."""
+    from .wav import decode_wav
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, cs, rs, sums, shas = [], [], [], [], [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                arr, rate = decode_wav(bytes(p))
+                n, ch = arr.shape
+                ids.append(int(i)); ns.append(n); cs.append(ch)
+                rs.append(int(rate))
+                sums.append(int(arr.astype(np.int64).sum()))
+                shas.append(hashlib.sha256(arr.tobytes()).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "n_frames": ns, "channels": cs,
+                 "sample_rate": rs, "sample_sum": sums,
+                 "sample_sha256": shas}
+            )
+
+    return df.mapInPandas(fn, AUDIO_META_SCHEMA)
