@@ -229,6 +229,7 @@ _EXTRA_QUERIES = (
     "multimodal_jpeg_pixels",
     "multimodal_gif_pixels",
     "multimodal_wav_samples",  # r6 late: AUDIO leg — from-scratch RIFF/WAVE PCM decode, closed-form sample-sum oracle
+    "multimodal_mp4_meta",     # r6 late: VIDEO leg — real ISO-BMFF box-walk metadata (frame decode honestly stubbed), closed-form oracle
 )
 
 
@@ -1692,6 +1693,28 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_wav_samples"] = multimodal_wav_samples_q
 
+    def multimodal_mp4_meta_q(s, d):
+        """REAL ISO-BMFF container metadata (extras, oracle-checked):
+        the multimodal family's VIDEO leg. Spec-valid minimal MP4s
+        cycling the box-walk corners (64-bit largesize, mvhd version
+        1, free/uuid junk boxes) parsed by the from-scratch box tree
+        walk (operators/mp4.py); duration/track/dimension formulas
+        are SQL-stateable. Frame decode stays an HONEST stub (H.264
+        entropy coding out of scope — the pre-baseline-JPEG policy)."""
+        _ensure_workers_see_package(s)
+        from osm_pbf_parquet_spark.operators.multimodal import (
+            attach_mp4_fixture,
+            extract_video_meta,
+        )
+
+        docs = _load(s, d, "documents")
+        vm = extract_video_meta(attach_mp4_fixture(docs))
+        return vm.select(
+            "doc_id", "duration_ms", "n_tracks", "width", "height"
+        )
+
+    q["multimodal_mp4_meta"] = multimodal_mp4_meta_q
+
     def pack_sequences_q(s, d):
         """Sequence packing (extras, oracle-checked): next-fit packing
         of the corpus into 512-token bins over docs sorted by id —
@@ -2557,6 +2580,14 @@ def _all_oracle_sql() -> dict[str, str]:
                  FROM UNNEST(range(0, 41 + (d.doc_id * 3) % 50)) AS t(t),
                       UNNEST(range(0, 1 + d.doc_id % 2)) AS c(c)
                ) AS BIGINT) AS sample_sum
+        FROM documents d
+    """
+    o["multimodal_mp4_meta"] = """
+        SELECT d.doc_id,
+               CAST(1000 + (d.doc_id * 97) % 9000 AS BIGINT) AS duration_ms,
+               CAST(1 + d.doc_id % 2 AS BIGINT) AS n_tracks,
+               CAST(16 * (4 + d.doc_id % 9) AS BIGINT) AS width,
+               CAST(16 * (3 + (d.doc_id * 5) % 7) AS BIGINT) AS height
         FROM documents d
     """
     # dedup_minhash_lsh / dedup_simhash / encode_chunk_stats:

@@ -1,0 +1,200 @@
+"""From-scratch ISO-BMFF (MP4) box walk — the video leg of the
+multimodal column family (images: png/gif/jpeg, audio: wav).
+
+Metadata extraction is fully real: a spec-complete box tree walk
+(32-bit sizes, size==1 → 64-bit largesize, size==0 → to end of file,
+uuid boxes with their 16-byte usertype, unknown boxes skipped as the
+container requires), mvhd version 0 AND 1 (32/64-bit times), per-trak
+tkhd dimensions (16.16 fixed point) and hdlr handler types. The
+encoder twin writes every one of those corners so the walk is
+round-trip-tested. FRAME decode stays an honest stub: H.264/H.265
+entropy coding is a codec library in itself (same policy the image
+family applied to JPEG before its baseline decoder landed) — the
+Spark-side plumbing (binary column, Arrow-batched extraction, typed
+metadata schema) is real and oracle-checked either way.
+
+No reference counterpart (the reference is an OSM transcoder); this
+serves the training-data mandate's multimodal row.
+"""
+
+from __future__ import annotations
+
+import struct
+
+__all__ = ["encode_minimal_mp4", "parse_mp4_meta", "decode_video_frames"]
+
+
+def _box(tag: bytes, body: bytes, largesize: bool = False) -> bytes:
+    if largesize:
+        return (
+            struct.pack(">I", 1) + tag + struct.pack(">Q", 16 + len(body))
+            + body
+        )
+    return struct.pack(">I", 8 + len(body)) + tag + body
+
+
+def _full(tag: bytes, version: int, flags: int, body: bytes) -> bytes:
+    return _box(tag, struct.pack(">B", version)
+                + struct.pack(">I", flags)[1:] + body)
+
+
+def encode_minimal_mp4(
+    duration_ms: int,
+    video_dims: tuple[int, int] | None = None,
+    n_audio_tracks: int = 0,
+    use_largesize: bool = False,
+    mvhd_version: int = 0,
+    junk: bool = False,
+) -> bytes:
+    """A minimal spec-valid MP4: ftyp + moov(mvhd + traks) + mdat.
+    timescale is fixed at 1000 so duration units ARE milliseconds.
+    `use_largesize` writes mdat with the 64-bit size form;
+    `mvhd_version` 1 uses 64-bit creation/duration fields; `junk`
+    inserts free and uuid boxes the walk must skip."""
+    ts = 1000
+    if mvhd_version == 1:
+        mvhd = _full(b"mvhd", 1, 0, struct.pack(
+            ">QQIQ", 0, 0, ts, duration_ms
+        ) + b"\x00" * 80)
+    else:
+        mvhd = _full(b"mvhd", 0, 0, struct.pack(
+            ">IIII", 0, 0, ts, duration_ms
+        ) + b"\x00" * 80)
+    traks = []
+
+    def trak(track_id: int, handler: bytes, w: int, h: int) -> bytes:
+        tkhd = _full(b"tkhd", 0, 7, struct.pack(
+            ">IIII", 0, 0, track_id, 0
+        ) + struct.pack(">I", duration_ms) + b"\x00" * 52
+            + struct.pack(">II", w << 16, h << 16))
+        mdhd = _full(b"mdhd", 0, 0, struct.pack(
+            ">IIII", 0, 0, ts, duration_ms) + struct.pack(">HH", 0x55C4, 0))
+        hdlr = _full(b"hdlr", 0, 0, struct.pack(">I", 0) + handler
+                     + b"\x00" * 12 + b"\x00")
+        mdia = _box(b"mdia", mdhd + hdlr)
+        return _box(b"trak", tkhd + mdia)
+
+    tid = 1
+    if video_dims is not None:
+        traks.append(trak(tid, b"vide", video_dims[0], video_dims[1]))
+        tid += 1
+    for _ in range(n_audio_tracks):
+        traks.append(trak(tid, b"soun", 0, 0))
+        tid += 1
+    moov_body = mvhd + b"".join(traks)
+    if junk:
+        moov_body += _box(b"free", b"padding-bytes")
+    moov = _box(b"moov", moov_body)
+    out = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isommp41")
+    if junk:
+        out += _box(b"uuid", b"0123456789abcdef" + b"vendor-extension")
+    out += moov
+    out += _box(b"mdat", b"\x00" * 32, largesize=use_largesize)
+    return out
+
+
+def _walk_boxes(payload: bytes, start: int, end: int):
+    """Yield (tag, body_start, body_end) over one box-sequence level,
+    honoring largesize (size==1), to-end-of-file (size==0), and the
+    uuid usertype. Overruns raise — fail-fast on corrupt containers."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4:pos + 8]
+        body = pos + 8
+        if size == 1:
+            if body + 8 > end:
+                raise ValueError("truncated largesize box — corrupt MP4")
+            (size,) = struct.unpack_from(">Q", payload, body)
+            body += 8
+            box_end = pos + size
+        elif size == 0:
+            box_end = end  # box extends to end of file
+        else:
+            box_end = pos + size
+        if tag == b"uuid":
+            body += 16  # usertype
+        if box_end > end or body > box_end:
+            raise ValueError(
+                f"box {tag!r} overruns its container — corrupt MP4"
+            )
+        yield tag, body, box_end
+        if box_end <= pos:
+            raise ValueError("non-advancing box size — corrupt MP4")
+        pos = box_end
+
+
+def _find(payload: bytes, start: int, end: int, tag: bytes):
+    for t, b, e in _walk_boxes(payload, start, end):
+        if t == tag:
+            return b, e
+    return None
+
+
+def parse_mp4_meta(payload: bytes) -> dict:
+    """REAL container metadata: {duration_ms, n_tracks, n_video,
+    n_audio, width, height} from the moov tree. Raises on anything
+    that is not ISO-BMFF or is internally inconsistent."""
+    top = list(_walk_boxes(payload, 0, len(payload)))
+    if not top or top[0][0] != b"ftyp":
+        raise ValueError("not an ISO-BMFF file (no leading ftyp)")
+    moov = _find(payload, 0, len(payload), b"moov")
+    if moov is None:
+        raise ValueError("MP4 has no moov box")
+    ms, me = moov
+    mvhd = _find(payload, ms, me, b"mvhd")
+    if mvhd is None:
+        raise ValueError("moov has no mvhd box")
+    vb, _ = mvhd
+    version = payload[vb]
+    if version == 1:
+        _, _, timescale, duration = struct.unpack_from(
+            ">QQIQ", payload, vb + 4)
+    else:
+        _, _, timescale, duration = struct.unpack_from(
+            ">IIII", payload, vb + 4)
+    if timescale == 0:
+        raise ValueError("mvhd timescale 0 — corrupt MP4")
+    n_tracks = n_video = n_audio = 0
+    width = height = 0
+    for t, b, e in _walk_boxes(payload, ms, me):
+        if t != b"trak":
+            continue
+        n_tracks += 1
+        handler = b""
+        mdia = _find(payload, b, e, b"mdia")
+        if mdia is not None:
+            hdlr = _find(payload, mdia[0], mdia[1], b"hdlr")
+            if hdlr is not None:
+                handler = payload[hdlr[0] + 8:hdlr[0] + 12]
+        if handler == b"vide":
+            n_video += 1
+            tkhd = _find(payload, b, e, b"tkhd")
+            if tkhd is not None:
+                tb, te = tkhd
+                # width/height are the LAST two 16.16 fields of tkhd
+                w_fixed, h_fixed = struct.unpack_from(">II", payload,
+                                                      te - 8)
+                width, height = w_fixed >> 16, h_fixed >> 16
+        elif handler == b"soun":
+            n_audio += 1
+    return {
+        "duration_ms": duration * 1000 // timescale,
+        "n_tracks": n_tracks,
+        "n_video": n_video,
+        "n_audio": n_audio,
+        "width": width,
+        "height": height,
+    }
+
+
+def decode_video_frames(payload: bytes):
+    """HONEST STUB (same policy jpeg/gif decode had before their
+    baseline codecs landed): H.264/H.265 entropy decode is a codec
+    library in itself and out of scope — the metadata walk above is
+    the real surface. Raises so nothing downstream can silently
+    treat fake frames as real."""
+    raise NotImplementedError(
+        "video frame decode is out of scope (H.264/H.265 entropy "
+        "coding); parse_mp4_meta provides the real container metadata"
+    )

@@ -635,6 +635,84 @@ AUDIO_META_SCHEMA = T.StructType(
 )
 
 
+def mp4_fixture_params(doc_id: int) -> tuple[int, int, int, int]:
+    """(duration_ms, width, height, n_audio) — SQL-stateable:
+    duration_ms = 1000 + (doc_id·97)%9000, width = 16·(4+doc_id%9),
+    height = 16·(3+(doc_id·5)%7), n_audio = doc_id%2 (n_tracks =
+    1 + n_audio: always one video track)."""
+    return (
+        1000 + (doc_id * 97) % 9000,
+        16 * (4 + doc_id % 9),
+        16 * (3 + (doc_id * 5) % 7),
+        doc_id % 2,
+    )
+
+
+def attach_mp4_fixture(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload) of spec-valid minimal MP4s whose container
+    metadata follows ``mp4_fixture_params``; the corpus cycles the
+    box-walk corners — 64-bit largesize mdat (doc_id%3==0), mvhd
+    version 1 / 64-bit times (doc_id%5==0), free+uuid junk boxes
+    (doc_id%4==0)."""
+    from .mp4 import encode_minimal_mp4
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                i = int(i)
+                dur, w, h, na = mp4_fixture_params(i)
+                payloads.append(encode_minimal_mp4(
+                    dur, video_dims=(w, h), n_audio_tracks=na,
+                    use_largesize=i % 3 == 0,
+                    mvhd_version=1 if i % 5 == 0 else 0,
+                    junk=i % 4 == 0,
+                ))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()),
+         T.StructField("payload", T.BinaryType())]
+    )
+    return df.select(id_col).mapInPandas(fn, schema)
+
+
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("n_tracks", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+    ]
+)
+
+
+def extract_video_meta(df: DataFrame, id_col: str = "doc_id",
+                       payload_col: str = "payload") -> DataFrame:
+    """REAL ISO-BMFF metadata over an MP4 binary column (mapInPandas,
+    Arrow-batched): duration, track count, video dimensions from the
+    moov tree — the projections a video curation stage filters on
+    (frame DECODE stays an honest stub in operators/mp4.py)."""
+    from .mp4 import parse_mp4_meta
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, durs, nts, ws, hs = [], [], [], [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                m = parse_mp4_meta(bytes(p))
+                ids.append(int(i)); durs.append(m["duration_ms"])
+                nts.append(m["n_tracks"]); ws.append(m["width"])
+                hs.append(m["height"])
+            yield pd.DataFrame(
+                {"doc_id": ids, "duration_ms": durs, "n_tracks": nts,
+                 "width": ws, "height": hs}
+            )
+
+    return df.mapInPandas(fn, VIDEO_META_SCHEMA)
+
+
 def decode_audio_samples(df: DataFrame, id_col: str = "doc_id",
                          payload_col: str = "payload") -> DataFrame:
     """REAL PCM decode over a WAV binary column (mapInPandas,
