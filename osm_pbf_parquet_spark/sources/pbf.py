@@ -1402,11 +1402,16 @@ def scan_osm_blobs(path: str, spark=None,
     OSMHeader's required_features. Raises on truncation/corruption
     (reference panics on corrupt blobs — X6).
 
-    `distributed=None` auto-routes big files (≥ 256 MB) through the
-    executor-parallel resync scan when a session is available — its
-    tiling proof guarantees the result is identical to the sequential
-    walk, falling back here when it can't prove it. True forces it,
-    False forbids it.
+    `distributed=None` auto-routes big REMOTE files (≥ 256 MB on a
+    non-local scheme) through the executor-parallel resync scan when
+    a session is available — its tiling proof guarantees the result
+    is identical to the sequential walk, falling back here when it
+    can't prove it. Local files stay sequential regardless of size
+    (seeks are latency-free, so the chained walk beats a Spark job:
+    measured 0.31 s sequential vs 0.46 s distributed on a 200 MB
+    local file — the round-trip-bound regime the distributed scan
+    targets only exists over object stores). True forces it
+    anywhere, False forbids it.
 
     Remote paths (reference src/pbf.rs:22-31 create_s3_buf_reader +
     dispatch src/lib.rs:34-37): any Hadoop URI routes through the JVM
@@ -1421,7 +1426,9 @@ def scan_osm_blobs(path: str, spark=None,
         raise ValueError("distributed=True requires an active SparkSession")
     if spark is not None and distributed is not False:
         sz = _file_size_fast(spark, path)
-        if distributed or (sz is not None and sz >= _DISTRIBUTED_SCAN_MIN):
+        remote = _path_scheme(path) not in (None, "file")
+        if distributed or (remote and sz is not None
+                           and sz >= _DISTRIBUTED_SCAN_MIN):
             try:
                 return scan_osm_blobs_distributed(
                     spark, path, range_bytes, probe_bytes, size=sz
