@@ -119,8 +119,8 @@ def _walk_boxes(payload: bytes, start: int, end: int):
                 f"box {tag!r} overruns its container — corrupt MP4"
             )
         yield tag, body, box_end
-        if box_end <= pos:
-            raise ValueError("non-advancing box size — corrupt MP4")
+        # advancement is guaranteed: body >= pos+8 and the overrun
+        # check above enforces box_end >= body
         pos = box_end
 
 
@@ -138,7 +138,7 @@ def parse_mp4_meta(payload: bytes) -> dict:
     top = list(_walk_boxes(payload, 0, len(payload)))
     if not top or top[0][0] != b"ftyp":
         raise ValueError("not an ISO-BMFF file (no leading ftyp)")
-    moov = _find(payload, 0, len(payload), b"moov")
+    moov = next(((b, e) for t, b, e in top if t == b"moov"), None)
     if moov is None:
         raise ValueError("MP4 has no moov box")
     ms, me = moov
@@ -161,17 +161,25 @@ def parse_mp4_meta(payload: bytes) -> dict:
         if t != b"trak":
             continue
         n_tracks += 1
+        inner = list(_walk_boxes(payload, b, e))  # one walk per trak
         handler = b""
-        mdia = _find(payload, b, e, b"mdia")
+        mdia = next(((ib, ie) for it, ib, ie in inner
+                     if it == b"mdia"), None)
         if mdia is not None:
             hdlr = _find(payload, mdia[0], mdia[1], b"hdlr")
             if hdlr is not None:
-                handler = payload[hdlr[0] + 8:hdlr[0] + 12]
+                hb, he = hdlr
+                if he - hb < 12:
+                    raise ValueError("hdlr box too small — corrupt MP4")
+                handler = payload[hb + 8:hb + 12]
         if handler == b"vide":
             n_video += 1
-            tkhd = _find(payload, b, e, b"tkhd")
+            tkhd = next(((ib, ie) for it, ib, ie in inner
+                         if it == b"tkhd"), None)
             if tkhd is not None:
                 tb, te = tkhd
+                if te - tb < 84:  # version-0 minimum body size
+                    raise ValueError("tkhd box too small — corrupt MP4")
                 # width/height are the LAST two 16.16 fields of tkhd
                 w_fixed, h_fixed = struct.unpack_from(">II", payload,
                                                       te - 8)

@@ -70,7 +70,11 @@ def _walk_chunks(payload: bytes):
     (riff_size,) = struct.unpack_from("<I", payload, 4)
     if payload[8:12] != b"WAVE":
         raise ValueError("RIFF file is not WAVE")
-    end = min(len(payload), 8 + riff_size)
+    end = 8 + riff_size
+    if end > len(payload):
+        # the header promises more bytes than exist: a partially
+        # downloaded file must not decode silently (X6 fail-fast)
+        raise ValueError("RIFF size exceeds the file — truncated WAV")
     pos = 12
     while pos + 8 <= end:
         cid = payload[pos:pos + 4]
@@ -120,10 +124,14 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     data = None
     for cid, off, size in _walk_chunks(payload):
         if cid == b"fmt ":
+            if fmt is not None:
+                raise ValueError("duplicate fmt chunk — corrupt WAV")
             if size < 16:
                 raise ValueError("fmt chunk too small — corrupt WAV")
             fmt = struct.unpack_from("<HHIIHH", payload, off)
         elif cid == b"data":
+            if data is not None:
+                raise ValueError("duplicate data chunk — corrupt WAV")
             data = payload[off:off + size]
         # LIST/INFO/fact/…: skipped — spec requires readers to ignore
         # chunks they don't know

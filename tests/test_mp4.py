@@ -51,10 +51,36 @@ def test_corruption_fails_fast():
         parse_mp4_meta(good[:20])
     with pytest.raises(ValueError, match="no moov"):
         parse_mp4_meta(good[:24])  # ftyp alone
-    # non-advancing box (size 8 header with size field 2)
+    # a box whose size field (2) is smaller than its own header can't
+    # contain its body: the overrun check rejects it
     bad = good[:24] + struct.pack(">I", 2) + b"zero"
-    with pytest.raises(ValueError):
+    with pytest.raises(ValueError, match="overruns"):
         parse_mp4_meta(bad)
+
+
+def test_undersized_tkhd_and_hdlr_fail_fast():
+    """Fixed-offset reads into tkhd/hdlr must be bounds-checked: a
+    zero-body tkhd previously yielded garbage dimensions silently."""
+    import struct as _s
+    from osm_pbf_parquet_spark.operators.mp4 import _box, _full
+
+    def file_with_trak(trak_body: bytes) -> bytes:
+        mvhd = _full(b"mvhd", 0, 0, _s.pack(">IIII", 0, 0, 1000, 500)
+                     + b"\x00" * 80)
+        moov = _box(b"moov", mvhd + _box(b"trak", trak_body))
+        return _box(b"ftyp", b"isom" + _s.pack(">I", 0) + b"isom") + moov
+
+    hdlr = _full(b"hdlr", 0, 0, _s.pack(">I", 0) + b"vide"
+                 + b"\x00" * 13)
+    mdia = _box(b"mdia", hdlr)
+    # video trak with an EMPTY tkhd body
+    bad_tkhd = file_with_trak(_full(b"tkhd", 0, 7, b"") + mdia)
+    with pytest.raises(ValueError, match="tkhd"):
+        parse_mp4_meta(bad_tkhd)
+    # trak whose hdlr is too small to carry a handler type
+    tiny_hdlr = _box(b"mdia", _full(b"hdlr", 0, 0, b"xx"))
+    with pytest.raises(ValueError, match="hdlr"):
+        parse_mp4_meta(file_with_trak(tiny_hdlr))
 
 
 def test_frame_decode_is_an_honest_stub():

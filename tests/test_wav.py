@@ -84,6 +84,28 @@ def test_corruption_fails_fast():
         decode_wav(bytes(g2))
 
 
+def test_truncated_and_duplicate_chunks_fail_fast():
+    """A RIFF size promising more bytes than exist (partial download)
+    and duplicate fmt/data chunks (spec violations that would make
+    header-parse and decode disagree) must both raise."""
+    s = np.arange(20, dtype=np.int16).reshape(10, 2)
+    good = encode_wav(s, 8000, junk_chunk=b"INFOtrailing")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(good[:-10])
+    # duplicate data chunk appended inside the RIFF size
+    extra = b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    dup = bytearray(good + extra)
+    struct.pack_into("<I", dup, 4, len(dup) - 8)
+    with pytest.raises(ValueError, match="duplicate data"):
+        decode_wav(bytes(dup))
+    fmt_body = good[good.index(b"fmt ") + 8:good.index(b"fmt ") + 24]
+    extra_fmt = b"fmt " + struct.pack("<I", 16) + fmt_body
+    dup2 = bytearray(good + extra_fmt)
+    struct.pack_into("<I", dup2, 4, len(dup2) - 8)
+    with pytest.raises(ValueError, match="duplicate fmt"):
+        decode_wav(bytes(dup2))
+
+
 def test_fixture_covers_both_widths_and_channel_counts():
     widths = set()
     chans = set()
