@@ -151,11 +151,23 @@ def bloom_might_contain_many(blobs, h1: int, h2: int) -> np.ndarray:
     flat = np.frombuffer(b"".join(bs), dtype=np.uint8)
     offs = np.zeros(n, dtype=np.int64)
     np.cumsum(lens[:-1], out=offs[1:])
+    if (lens[has] < _HEADER.size).any():
+        raise ValueError("corrupt bloom filter blob: truncated header")
     o = offs[has]
     m = np.zeros(len(o), dtype=np.uint64)
     for j in range(8):  # little-endian uint64 header lane
         m |= flat[o + j].astype(np.uint64) << np.uint64(8 * j)
     k = flat[o + 8].astype(np.uint64)
+    # bounds: without this, a truncated blob's bit probes would read
+    # the NEXT blob's bytes in the stacked buffer (silently pruning a
+    # chunk that contains the value) — the scalar twin fails honestly
+    if (m >> np.uint64(63)).any():  # int64-cast would wrap negative
+        raise ValueError("corrupt bloom filter blob: absurd bit count")
+    need = _HEADER.size + ((m.astype(np.int64) + 7) >> 3)
+    if (m == 0).any() or (lens[has] < need).any():
+        raise ValueError(
+            "corrupt bloom filter blob: zero-size or truncated bit array"
+        )
     ok = np.ones(len(o), dtype=bool)
     with np.errstate(over="ignore"):
         for i in range(int(k.max())):

@@ -192,14 +192,19 @@ def token_postings(
     postings of a head token ("the") are O(corpus) — an ungated
     collect_list materialized them into ONE aggregation row. The
     capped-prefix scheme bounds it: row_number over (token, id-order)
-    gates the collect to the first ``max_postings`` ids, and the EXACT
-    df_count is max(row_number) over the same unbounded window frame —
-    the two share one WindowExec, so the cap costs one sort, not an
-    extra pass. Readers segment/skip head tokens via df_count (the
-    truncation the docstring always promised, now enforced); term
-    search uses search_all_tokens (containment semi-join), never the
-    materialized head postings. ``max_postings=None`` keeps the exact
-    groupBy path for small corpora.
+    gates a groupBy collect_list to the first ``max_postings`` ids,
+    and the EXACT df_count is max(row_number) in the same aggregate.
+    The groupBy runs directly above the WindowExec on the same key, so
+    Catalyst inserts NO second exchange — the cap costs one sort, not
+    an extra pass. (NOT collect_list().over(window): an unbounded-
+    frame window APPENDS the cap-sized array to every row of the
+    partition before any filter, O(df × cap) bytes through one task
+    for a Zipf-head token — the blowup this cap exists to prevent.)
+    Readers segment/skip head tokens via df_count (the truncation the
+    docstring always promised, now enforced); term search uses
+    search_all_tokens (containment semi-join), never the materialized
+    head postings. ``max_postings=None`` keeps the exact groupBy path
+    for small corpora.
     """
     tok = F.explode(
         F.array_distinct(
@@ -220,21 +225,15 @@ def token_postings(
     from pyspark.sql import Window
 
     w_ord = Window.partitionBy("token").orderBy(id_col)
-    w_all = Window.partitionBy("token")
     l1 = base.select(
         "token",
         F.col(id_col).alias("_id"),
         F.row_number().over(w_ord).alias("_rn"),
     )
     gated = F.when(F.col("_rn") <= int(max_postings), F.col("_id"))
-    l2 = l1.select(
-        "_rn",
-        "token",
-        F.max("_rn").over(w_all).alias("df_count"),
-        F.sort_array(F.collect_list(gated).over(w_all)).alias("postings"),
-    )
-    return l2.filter(F.col("_rn") == 1).select(
-        "token", F.col("df_count").cast("long").alias("df_count"), "postings"
+    return l1.groupBy("token").agg(
+        F.max("_rn").cast("long").alias("df_count"),
+        F.sort_array(F.collect_list(gated)).alias("postings"),
     )
 
 

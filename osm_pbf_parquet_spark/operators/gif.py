@@ -86,6 +86,9 @@ def _lzw_decode(data: bytes, min_code: int, n_pixels: int) -> np.ndarray:
         if code == eoi:
             break
         if prev is None:
+            # first code after a clear must be a root literal
+            if code >= clear:
+                raise ValueError("corrupt GIF: LZW code out of range")
             entry = table[code]
         elif code < next_code:
             entry = table[code]

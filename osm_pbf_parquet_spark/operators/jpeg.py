@@ -139,6 +139,8 @@ class _BitReader:
             nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
             if nxt == 0x00:
                 self.pos += 2
+            elif nxt is None:
+                raise ValueError("corrupt JPEG: entropy data truncated")
             else:  # a real marker: scans must not read past it
                 raise ValueError(
                     f"corrupt JPEG: marker 0xFF{nxt:02X} inside scan"
@@ -169,6 +171,10 @@ class _BitReader:
             d[self.pos] == 0xFF and d[self.pos + 1] != 0x00
         ):
             self.pos += 1
+        if self.pos + 1 >= len(d):
+            raise ValueError(
+                "corrupt JPEG: entropy data truncated before restart marker"
+            )
         m = d[self.pos + 1]
         self.pos += 2
         return m
@@ -272,6 +278,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("corrupt JPEG: SOS before SOF")
             ns = seg[0]
+            if ns < len(frame["comps"]):
+                # a legal baseline file may carry one scan PER
+                # component; decoding just the first (Y) scan would
+                # silently return grayscale for a color image
+                raise NotImplementedError(
+                    "non-interleaved multi-scan JPEG (scan covers "
+                    f"{ns} of {len(frame['comps'])} components) "
+                    "not supported"
+                )
             scan = []
             for c in range(ns):
                 cs, tdta = seg[1 + c * 2], seg[2 + c * 2]

@@ -79,8 +79,15 @@ def salted_pids(
         F.broadcast(freq), with_host["__host__"] == freq["host"], "left"
     ).drop("host")
     salt = F.pmod(F.xxhash64(F.col(url_col)), F.coalesce(F.col("fanout"), F.lit(1)))
-    # round-robin: consecutive salts land on DISTINCT consecutive pids
-    pid = F.pmod(F.xxhash64(F.col("__host__")) + salt, F.lit(num_partitions))
+    # round-robin: consecutive salts land on DISTINCT consecutive pids.
+    # pmod the host hash BEFORE adding the salt: raw long addition can
+    # overflow Long.MAX for a host hashing near it, which under Spark
+    # 4's default ANSI mode throws ARITHMETIC_OVERFLOW instead of
+    # wrapping; (h mod N + salt) mod N is identical and bounded
+    pid = F.pmod(
+        F.pmod(F.xxhash64(F.col("__host__")), F.lit(num_partitions)) + salt,
+        F.lit(num_partitions),
+    )
     return joined.withColumn(PID_COL, pid.cast("long")).drop("__host__", "fanout")
 
 

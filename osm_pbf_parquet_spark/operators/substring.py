@@ -399,11 +399,14 @@ def strip_dup_spans(
     ONE sorted array per doc (sort_array(collect_list(struct))), the
     keep-region complement comes from shifting that array, the doc is
     cast to BINARY so JVM substring slices bytes, the kept slices
-    concat in byte space, and ONE decode('UTF-8') at the end restores
-    the string. Span boundaries are byte k-gram positions, so a cut
-    may split a codepoint (the Lee et al. tool has the same property —
-    it deduplicates bytes); only such junction bytes decode to
-    U+FFFD, never an unrelated region. The HOF lambdas here run
+    concat in byte space, and one non-validating binary→string cast +
+    make_valid_utf8() at the end restores the string (NOT decode():
+    Spark 4's decode raises MALFORMED_CHARACTER_CODING on malformed
+    bytes by default, which would abort the job on exactly the
+    codepoint-splitting cuts this path must tolerate). Span boundaries
+    are byte k-gram positions, so a cut may split a codepoint (the Lee
+    et al. tool has the same property — it deduplicates bytes); only
+    such junction bytes become U+FFFD, never an unrelated region. The HOF lambdas here run
     per-SPAN (a handful per doc), not per-byte — the actual byte
     movement is JVM substring/concat, so the interpreted-HOF penalty
     the repo measures elsewhere does not bite. One extra shuffle
@@ -435,7 +438,7 @@ def strip_dup_spans(
         lambda acc, x: F.concat(acc, x),
     )
     stripped = F.when(F.col(text_col).isNull(), F.lit(None)).otherwise(
-        F.decode(kept, "UTF-8")
+        F.make_valid_utf8(kept.cast("string"))
     )
     dup_bytes = F.aggregate(
         sp,

@@ -205,3 +205,35 @@ def test_numeric_probe_coerces_to_stored_type(spark):
     ).cache()
     with pytest.raises(Exception):
         prune_by_point(chunks_k, "k", 3.5, value_type=df.schema)
+
+
+def test_vectorized_probe_rejects_truncated_and_zero_m_blobs():
+    """r6 review: without per-blob bounds checks the stacked-buffer
+    probe read the NEXT blob's bytes for a truncated filter (silently
+    pruning a chunk that contains the value) and divided by zero on a
+    m=0 header; the scalar twin fails honestly, so must this path."""
+    import struct
+
+    import pyarrow as pa
+    import pytest
+
+    from osm_pbf_parquet_spark.functions.bloom import (
+        bloom_build,
+        bloom_might_contain_many,
+        bloom_probe_positions,
+    )
+
+    good = bloom_build(pa.array([1, 2, 3], pa.int64()))
+    h1, h2 = bloom_probe_positions(2, pa.int64())
+    assert bloom_might_contain_many([good, good], h1, h2).all()
+
+    with pytest.raises(ValueError, match="truncated"):
+        bloom_might_contain_many([good, good[:5]], h1, h2)
+    with pytest.raises(ValueError, match="truncated"):
+        bloom_might_contain_many([good[:12], good], h1, h2)
+    zero_m = struct.pack("<QB", 0, 7)
+    with pytest.raises(ValueError, match="zero-size|truncated"):
+        bloom_might_contain_many([zero_m, good], h1, h2)
+    absurd = struct.pack("<QB", 1 << 63, 7) + b"\xff" * 8
+    with pytest.raises(ValueError, match="absurd"):
+        bloom_might_contain_many([absurd], h1, h2)

@@ -648,3 +648,23 @@ def test_token_postings_cap_bounds_head_tokens(spark):
     assert rare, "fixture must have rare tokens"
     for t in rare:
         assert capped[t] == exact[t], f"rare token {t} unaffected"
+
+
+def test_token_postings_capped_plan_shape(spark):
+    """r6 review: the capped path must NOT evaluate collect_list as a
+    window function — an unbounded-frame window APPENDS the cap-sized
+    postings array to every row of a head token's partition (O(df ×
+    cap) bytes through one task) before any filter. The collect
+    belongs in the Aggregate above the row_number window, which also
+    reuses the window's hash partitioning (no third exchange)."""
+    from osm_pbf_parquet_spark.functions.text import token_postings
+
+    df = spark.createDataFrame([(0, "a b"), (1, "a")], ["doc_id", "text"])
+    plan = (
+        token_postings(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    win_lines = [l for l in plan.splitlines() if "Window" in l]
+    assert win_lines, "capped path must keep the row_number window"
+    assert not any("collect_list" in l for l in win_lines)
+    # distinct + window only — the groupBy rides the window partitioning
+    assert plan.count("Exchange hashpartitioning") <= 2

@@ -90,3 +90,28 @@ def test_fixture_formula_matches_oracle_arithmetic():
         )
         assert int(img.astype(np.int64).sum()) == want, doc_id
         assert img.shape == (5 + (doc_id * 7) % 8, 6 + doc_id % 9, 3)
+
+
+def test_lzw_undefined_code_after_clear_raises_valueerror():
+    """r6 review: the first code after a CLEAR must be a root
+    literal; an undefined code there raised a bare KeyError instead
+    of the corrupt-GIF ValueError every other path uses."""
+    import pytest as _pytest
+
+    from osm_pbf_parquet_spark.operators.gif import _lzw_decode
+
+    min_code = 2  # clear=4, eoi=5; width starts at 3
+    # LSB-first stream: code 4 (clear), then code 6 (undefined)
+    bits = [4, 6]
+    buf, acc, nb = bytearray(), 0, 0
+    for c in bits:
+        acc |= c << nb
+        nb += 3
+        while nb >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            nb -= 8
+    if nb:
+        buf.append(acc & 0xFF)
+    with _pytest.raises(ValueError, match="out of range"):
+        _lzw_decode(bytes(buf), min_code, 8)

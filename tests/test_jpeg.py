@@ -188,3 +188,43 @@ def test_restart_markers_roundtrip():
     cb[:, :, :, 0, 0] = rng.integers(-90, 91, size=(3, 2, 2))
     assert (decode_jpeg(encode_jpeg(cb, restart_interval=1))
             == decode_jpeg(encode_jpeg(cb))).all()
+
+
+def test_bitreader_lone_0xff_at_eof_raises_valueerror():
+    """r6 review: entropy data ending with a lone 0xFF hit
+    `f"0xFF{nxt:02X}"` with nxt=None — a TypeError masking the
+    corrupt-JPEG ValueError contract."""
+    from osm_pbf_parquet_spark.operators.jpeg import _BitReader
+
+    br = _BitReader(b"\xff", 0)
+    with pytest.raises(ValueError, match="truncated"):
+        br.bit()
+
+
+def test_align_to_marker_truncation_raises_valueerror():
+    """r6 review: a stream cut before the next RSTn made
+    align_to_marker read past EOF (bare IndexError)."""
+    from osm_pbf_parquet_spark.operators.jpeg import _BitReader
+
+    br = _BitReader(b"\x12\x34\x56", 0)
+    with pytest.raises(ValueError, match="truncated"):
+        br.align_to_marker()
+
+
+def test_multi_scan_color_raises_not_implemented():
+    """r6 review: a legal baseline 3-component file with one scan PER
+    component was silently decoded as grayscale from its first (Y)
+    scan; the honest-stub contract requires NotImplementedError."""
+    import struct as _s
+
+    sof_body = _s.pack(">BHHB", 8, 8, 8, 3) + bytes(
+        [1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]
+    )
+    sos_body = bytes([1, 1, 0x00, 0, 63, 0])  # ns=1 of 3 comps
+    payload = (
+        b"\xff\xd8"
+        + b"\xff\xc0" + _s.pack(">H", len(sof_body) + 2) + sof_body
+        + b"\xff\xda" + _s.pack(">H", len(sos_body) + 2) + sos_body
+    )
+    with pytest.raises(NotImplementedError, match="multi-scan"):
+        decode_jpeg(payload)

@@ -343,3 +343,46 @@ def test_strip_dup_spans_min_count_3_spares_two_copies(spark,
            strip_dup_spans(df, k=20, min_count=5).collect()}
     assert all(r.dup_bytes == 0 for r in out.values())
     assert out[1].text == rows[1][1]
+
+
+def test_strip_dup_spans_cut_splitting_codepoint_survives(spark):
+    """r6 review (was the r5 medium ADVICE follow-through): when a
+    span cut ends BETWEEN the two bytes of a codepoint, the kept
+    bytes start with a continuation byte — Spark 4's decode() raises
+    MALFORMED_CHARACTER_CODING and aborted the whole job. The rebuild
+    must instead yield U+FFFD at the junction (Lee et al. byte
+    semantics), matching Python's errors='replace' truth."""
+    from osm_pbf_parquet_spark.operators.substring import strip_dup_spans
+
+    # k=4 grams: b'ABC\xc3' appears in BOTH docs, but the byte after
+    # \xc3 differs (é vs è) so the dup span ends mid-codepoint at
+    # byte 4 of each doc.
+    rows = [(0, "ABCé1"), (1, "ABCè2")]
+    k = 4
+    cnt: dict[bytes, int] = {}
+    enc = {i: t.encode("utf-8") for i, t in rows}
+    for b in enc.values():
+        for p in range(len(b) - k + 1):
+            cnt[b[p:p + k]] = cnt.get(b[p:p + k], 0) + 1
+    expect = {}
+    for i, b in enc.items():
+        spans: list[list[int]] = []
+        for p in range(len(b) - k + 1):
+            if cnt[b[p:p + k]] >= 2:
+                if spans and p <= spans[-1][1]:
+                    spans[-1][1] = max(spans[-1][1], p + k)
+                else:
+                    spans.append([p, p + k])
+        keep, prev = bytearray(), 0
+        for s, e in spans:
+            keep += b[prev:s]
+            prev = e
+        keep += b[prev:]
+        expect[i] = (bytes(keep).decode("utf-8", errors="replace"),
+                     sum(e - s for s, e in spans))
+    assert expect[0][1] == 4, "fixture must cut mid-codepoint"
+    assert "�" in expect[0][0]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in strip_dup_spans(df, k=k).collect()}
+    for i in expect:
+        assert (out[i].text, out[i].dup_bytes) == expect[i], i
