@@ -2539,12 +2539,12 @@ def _all_oracle_sql() -> dict[str, str]:
     o["multimodal_jpeg_pixels"] = """
         SELECT d.doc_id,
                CAST(8 * (1 + d.doc_id % 4) AS BIGINT) AS width,
-               CAST(8 * (1 + (d.doc_id * 3) % 3) AS BIGINT) AS height,
+               CAST(8 * (1 + (d.doc_id * 5) % 3) AS BIGINT) AS height,
                CAST(1 AS BIGINT) AS channels,
                CAST((
                  SELECT 64 * sum((d.doc_id * 7 + b.b * 13) % 251 + 3)
                  FROM UNNEST(range(0,
-                   (1 + d.doc_id % 4) * (1 + (d.doc_id * 3) % 3)
+                   (1 + d.doc_id % 4) * (1 + (d.doc_id * 5) % 3)
                  )) AS b(b)
                ) AS BIGINT) AS pixel_sum
         FROM documents d

@@ -94,14 +94,19 @@ def _str_estimates(lens: np.ndarray, data: bytes, n_total: int, total_bytes_est:
     # zero-copy binary view (r6: the per-slot Python slice+set loop was
     # 13% of the whole encode kernel)
     if n > 8:
-        offs = np.concatenate(
-            ([0], np.cumsum(lens, dtype=np.int64))
-        ).astype(np.int32)
+        offs = np.concatenate(([0], np.cumsum(lens, dtype=np.int64)))
         probe = min(n, 4096)
-        view = pa.Array.from_buffers(
-            pa.binary(), probe,
-            [None, pa.py_buffer(offs[: probe + 1]), pa.py_buffer(data)],
-        )
+        if offs[probe] < 2**31:
+            view = pa.Array.from_buffers(
+                pa.binary(), probe,
+                [None, pa.py_buffer(offs[: probe + 1].astype(np.int32)),
+                 pa.py_buffer(data)],
+            )
+        else:  # >2 GiB of sampled bytes: int32 offsets would wrap
+            view = pa.Array.from_buffers(
+                pa.large_binary(), probe,
+                [None, pa.py_buffer(offs[: probe + 1]), pa.py_buffer(data)],
+            )
         uniq = pc.unique(view)
         card = len(uniq)
         if card < probe / 2:

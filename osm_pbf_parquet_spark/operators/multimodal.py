@@ -464,9 +464,11 @@ def jpeg_fixture_blocks(doc_id: int) -> "np.ndarray":
     reconstruction: with the flat q=8 table a lone DC decodes to
     EXACTLY dc + 128 per pixel, and dc(b) = (doc_id*7 + b*13) % 251
     - 125 over raster block index b. Block grid: (1 + doc_id % 4) ×
-    (1 + doc_id*3 % 3) blocks of 8×8."""
+    (1 + doc_id*5 % 3) blocks of 8×8 (×5, not ×3: (doc_id*3)%3 is
+    identically zero, which would leave every fixture one block-row
+    tall and never exercise multi-row raster order / DC carry)."""
     bw = 1 + doc_id % 4
-    bh = 1 + (doc_id * 3) % 3
+    bh = 1 + (doc_id * 5) % 3
     b = np.arange(bh * bw).reshape(bh, bw)
     blocks = np.zeros((bh, bw, 8, 8), dtype=np.int64)
     blocks[:, :, 0, 0] = (doc_id * 7 + b * 13) % 251 - 125

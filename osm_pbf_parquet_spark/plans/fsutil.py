@@ -149,9 +149,16 @@ def stat_file(spark, path: str) -> tuple[float, int]:
     """(mtime_seconds, size) — the one metadata round-trip an
     object-store HEAD costs."""
     if uses_pyarrow(path):
+        import time
+
         fs, inner = pa_fs(path)
         info = fs.get_file_info(inner)
-        mtime = info.mtime.timestamp() if info.mtime is not None else 0.0
+        # unknown mtime must read as YOUNG (now), never 0: vacuum's
+        # orphan horizon treats 0.0 as ancient and would delete an
+        # in-flight writer's not-yet-committed file
+        mtime = (
+            info.mtime.timestamp() if info.mtime is not None else time.time()
+        )
         return mtime, int(info.size or 0)
     fs, p, _jvm = _fs_and_path(spark, path)
     st = fs.getFileStatus(p)

@@ -74,11 +74,21 @@ def chunks_dir(out_dir: str) -> str:
     return store_path(out_dir, "chunks")
 
 
+#: projection for manifest/vacuum read-backs — everything BUT the
+#: payload bytes; pushed into the pyarrow per-file reads (Catalyst
+#: cannot prune columns through mapInArrow)
+SUMMARY_COLUMNS = [
+    "partition_id", "chunk_seq", "n_rows", "column", "codec",
+    "bytes_in", "bytes_out", "checksum", "run_id",
+]
+
+
 def read_chunks(
     spark: SparkSession,
     out_dir: str,
     with_file: bool = False,
     run_id: str | None = None,
+    columns: list[str] | None = None,
 ) -> DataFrame:
     """Chunk-store scan with the EXPLICIT store schema: inference over
     a dir mixing pre-/post-metadata-column files (e.g. stat_bloom) can
@@ -98,13 +108,16 @@ def read_chunks(
         from .pa_store import read_chunks_pyarrow
 
         return read_chunks_pyarrow(
-            spark, chunks_dir(out_dir), with_file, run_id
+            spark, chunks_dir(out_dir), with_file, run_id, columns
         )
     df = spark.read.schema(CHUNKS_STORE_SPARK_SCHEMA).parquet(
         chunks_dir(out_dir)
     )
     if with_file:
         df = df.withColumn("__file", F.input_file_name())
+    if columns is not None:
+        keep = list(columns) + (["__file"] if with_file else [])
+        df = df.select(*keep)
     return df
 
 
@@ -113,18 +126,22 @@ def write_chunk_table(
     chunks: DataFrame,
     out_dir: str,
     max_records: int | None = None,
+    run_id: str | None = None,
 ) -> None:
     """Append chunk rows to the store — JVM parquet writer for local/
     Hadoop schemes, the distributed pyarrow writer for s3 (K2 sink
     routing, reference src/sink.rs:108-122). ONE owner for the rule so
-    encode/merge/compact cannot diverge."""
+    encode/merge/compact cannot diverge. ``run_id`` names the pyarrow
+    part objects so a retried task's dead-attempt orphans can be
+    reconciled away (the JVM path's output committer does this
+    natively)."""
     from .fsutil import uses_pyarrow
 
     cdir = chunks_dir(out_dir)
     if uses_pyarrow(out_dir):
         from .pa_store import write_chunks_pyarrow
 
-        write_chunks_pyarrow(chunks, cdir, max_records)
+        write_chunks_pyarrow(chunks, cdir, max_records, prefix=run_id)
         return
     w = chunks.write
     if max_records is not None:
@@ -458,12 +475,13 @@ def encode_job(
     max_records = max(
         n_cols, (rotate_bytes // max(1, target_chunk_bytes)) * n_cols
     )
-    write_chunk_table(spark, chunks, out_dir, max_records)
+    write_chunk_table(spark, chunks, out_dir, max_records, run_id=run_id)
 
     # manifest rows derived from the durable chunks of THIS run
-    written = read_chunks(spark, out_dir, run_id=run_id).filter(
-        F.col("run_id") == run_id
-    )
+    # (summary projection only — never the payload bytes)
+    written = read_chunks(
+        spark, out_dir, run_id=run_id, columns=SUMMARY_COLUMNS
+    ).filter(F.col("run_id") == run_id)
     rows = commit_summary(
         summarize_chunks(written).collect(), out_dir, snapshot_id, run_id,
         spark,

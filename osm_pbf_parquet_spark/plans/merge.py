@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from ..operators.encode import PID_COL, decode_dataframe, with_partition_id
 from .manifest import (
+    SUMMARY_COLUMNS,
     check_store_routing,
     commit_manifest,
     commit_summary,
@@ -177,10 +178,19 @@ def merge_job(
             target_chunk_bytes=target_chunk_bytes,
             zstd_level=zstd_level,
         ).withColumn("run_id", F.lit(run_id))
-        write_chunk_table(spark, chunks, out_dir)
-        written = read_chunks(spark, out_dir, run_id=run_id).filter(
-        F.col("run_id") == run_id
-    )
+        # bound the pyarrow writer's in-memory buffer exactly like
+        # encode_job: with no max_records the s3 route would hold a
+        # task's whole partition (payload included) before one flush
+        n_cols = max(1, len(merged.columns))
+        max_records = max(
+            n_cols, ((512 << 20) // max(1, target_chunk_bytes)) * n_cols
+        )
+        write_chunk_table(
+            spark, chunks, out_dir, max_records, run_id=run_id
+        )
+        written = read_chunks(
+            spark, out_dir, run_id=run_id, columns=SUMMARY_COLUMNS
+        ).filter(F.col("run_id") == run_id)
         rows = commit_summary(
             summarize_chunks(written).collect(), out_dir, snapshot_id, run_id,
             spark,

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..operators.encode import CHUNKS_ARROW_SCHEMA, CHUNKS_STORE_SPARK_SCHEMA
-from .fsutil import join_uri, list_files, pa_fs
+from .fsutil import join_uri, list_files, pa_fs, split_query
 
 #: chunk rows as persisted (run_id stamped at commit time)
 CHUNKS_STORE_ARROW_SCHEMA = pa.schema(
@@ -45,12 +45,24 @@ CHUNKS_STORE_ARROW_SCHEMA = pa.schema(
 
 
 def write_chunks_pyarrow(
-    chunks: DataFrame, cdir: str, max_records: int | None = None
+    chunks: DataFrame,
+    cdir: str,
+    max_records: int | None = None,
+    prefix: str | None = None,
 ) -> list[dict]:
     """Write a chunk DataFrame under ``cdir`` (s3://…/chunks), one or
     more parquet objects per task, rotating at ``max_records`` rows
     (the JVM path's maxRecordsPerFile twin). Returns the written-file
-    summaries; the collect is the job's action."""
+    summaries; the collect is the job's action.
+
+    Task-commit protocol (r6 review): an object store has no
+    Hadoop output committer, so a RETRIED or speculative task's first
+    attempt leaves its final-named objects durable — duplicate chunk
+    rows under the committed run. Pass ``prefix`` (the run_id) and the
+    job reconciles after the action: Spark returns summary rows only
+    from each task's WINNING attempt, so any ``part-<prefix>-*`` object
+    not in that set is a dead attempt's orphan and is deleted before
+    anything reads the run back."""
     out_schema = T.StructType(
         [
             T.StructField("file", T.StringType()),
@@ -66,12 +78,13 @@ def write_chunks_pyarrow(
         buf: list[pa.RecordBatch] = []
         nrows = 0
         written: list[tuple[str, int]] = []
+        tag = f"{prefix}-" if prefix else ""
 
         def flush():
             nonlocal buf, nrows
             if not buf:
                 return
-            name = f"part-{uuid.uuid4().hex}.parquet"
+            name = f"part-{tag}{uuid.uuid4().hex}.parquet"
             with fs.open_output_stream(f"{inner}/{name}") as out:
                 pq.write_table(pa.Table.from_batches(buf), out)
             written.append((name, nrows))
@@ -93,7 +106,21 @@ def write_chunks_pyarrow(
             ["file", "rows"],
         )
 
-    return [r.asDict() for r in chunks.mapInArrow(writer, out_schema).collect()]
+    rows = [
+        r.asDict() for r in chunks.mapInArrow(writer, out_schema).collect()
+    ]
+    if prefix:
+        keep = {r["file"] for r in rows}
+        fs, inner = pa_fs(cdir)
+        spark = chunks.sparkSession
+        for uri in list_files(spark, cdir, ".parquet"):
+            # list_files preserves the ?query routing config — strip
+            # it before comparing bare object names
+            name = split_query(uri)[0].rsplit("/", 1)[-1]
+            if name.startswith(f"part-{prefix}-") and name not in keep:
+                _, fpath = pa_fs(uri)
+                fs.delete_file(fpath)
+    return rows
 
 
 def read_chunks_pyarrow(
@@ -101,6 +128,7 @@ def read_chunks_pyarrow(
     cdir: str,
     with_file: bool = False,
     run_id: str | None = None,
+    columns: list[str] | None = None,
 ) -> DataFrame:
     """Distributed chunk read for s3 stores: list once on the driver,
     stride-interleave, one pyarrow parquet stream per file on the
@@ -109,9 +137,17 @@ def read_chunks_pyarrow(
     ``run_id`` pushes a row-group-pruning filter into the parquet
     reads — the JVM path gets this from Catalyst pushdown; without it
     every post-encode read-back would re-read the whole store's
-    payload bytes to summarize one run."""
+    payload bytes to summarize one run. ``columns`` is the projection
+    pushed INTO the per-file reads (Catalyst cannot prune columns
+    through mapInArrow — CLAUDE.md gotcha): metadata consumers
+    (vacuum, summarize) must pass it or every scan downloads the
+    payload column too."""
     files = list_files(spark, cdir, ".parquet")
-    fields = list(CHUNKS_STORE_SPARK_SCHEMA.fields)
+    store_fields = list(CHUNKS_STORE_SPARK_SCHEMA.fields)
+    if columns is not None:
+        want_names = set(columns)
+        store_fields = [f for f in store_fields if f.name in want_names]
+    fields = list(store_fields)
     if with_file:
         fields = fields + [T.StructField("__file", T.StringType())]
     schema = T.StructType(fields)
@@ -123,7 +159,9 @@ def read_chunks_pyarrow(
     pdf = spark.createDataFrame(
         sc.parallelize([(f,) for f in strided], numSlices=n), "path string"
     )
-    want = CHUNKS_STORE_ARROW_SCHEMA
+    want = [
+        CHUNKS_STORE_ARROW_SCHEMA.field(f.name) for f in store_fields
+    ]
 
     def reader(batches):
         import pyarrow.parquet as pq
@@ -131,17 +169,22 @@ def read_chunks_pyarrow(
         for b in batches:
             for path in b.column("path").to_pylist():
                 fs, inner = pa_fs(path)
+                # schema probe first: a corrupt/truncated object must
+                # FAIL the read (the JVM path would), never be skipped
+                # — only a genuinely pre-run_id file (no run_id column)
+                # may be passed over when filtering by run
+                pf = pq.ParquetFile(inner, filesystem=fs)
+                present = set(pf.schema_arrow.names)
+                pf.close()
                 kw = {}
                 if run_id is not None:
+                    if "run_id" not in present:
+                        continue
                     kw["filters"] = [("run_id", "==", run_id)]
-                try:
-                    tbl = pq.read_table(inner, filesystem=fs, **kw)
-                except pa.lib.ArrowInvalid:
-                    if run_id is None:
-                        raise
-                    # pre-run_id file: the filter names a missing
-                    # column — such a file cannot hold this run's rows
-                    continue
+                avail = [f.name for f in want if f.name in present]
+                tbl = pq.read_table(
+                    inner, filesystem=fs, columns=avail, **kw
+                )
                 cols = []
                 for f in want:
                     if f.name in tbl.column_names:
@@ -150,7 +193,7 @@ def read_chunks_pyarrow(
                         cols.append(  # explicit-schema JVM read
                             pa.nulls(len(tbl), type=f.type)
                         )
-                names = list(want.names)
+                names = [f.name for f in want]
                 if with_file:
                     cols.append(
                         pa.array([path] * len(tbl), type=pa.string())
@@ -169,15 +212,24 @@ def read_parquet_dir_driver(
     one row per partition commit) into a DataFrame; None when the dir
     is missing/empty. The s3 twin of spark.read.parquet for metadata
     tables that never exceed a few MB."""
+    from concurrent.futures import ThreadPoolExecutor
+
     import pyarrow.parquet as pq
 
     parts = list_files(spark, dir_uri, ".parquet")
     if not parts:
         return None
-    tables = []
-    for p in parts:
+
+    def fetch(p):
         fs, inner = pa_fs(p)
-        tables.append(pq.read_table(inner, filesystem=fs))
+        return pq.read_table(inner, filesystem=fs)
+
+    # a long-lived store accumulates one part per commit; sequential
+    # blocking GETs make manifest resolution O(#commits) round trips.
+    # Threaded fetch (IO-bound, GIL-free inside Arrow) keeps the
+    # driver wall flat into the tens of thousands of parts
+    with ThreadPoolExecutor(max_workers=min(16, len(parts))) as ex:
+        tables = list(ex.map(fetch, parts))
     return spark.createDataFrame(
         pa.concat_tables(tables, promote_options="default")
     )

@@ -80,7 +80,10 @@ def vacuum(
     # reader's own path on the pyarrow/s3 path); a file lives iff ANY
     # of its (pid, run_id) pairs is visible
     file_rows = (
-        read_chunks(spark, out_dir, with_file=True)
+        read_chunks(
+            spark, out_dir, with_file=True,
+            columns=["partition_id", "run_id"],
+        )
         .select(F.col("__file").alias("file"), "partition_id", "run_id")
         .distinct()
         .join(

@@ -127,14 +127,20 @@ def test_fixture_formula_matches_oracle_arithmetic():
         jpeg_fixture_blocks,
     )
 
+    heights = set()
     for doc_id in [0, 1, 7, 123, 499]:
         blocks = jpeg_fixture_blocks(doc_id)
         img = decode_jpeg(encode_jpeg_gray(blocks))
         bh, bw = blocks.shape[:2]
+        heights.add(bh)
         assert img.shape == (bh * 8, bw * 8)
         n = bh * bw
         want = 64 * sum((doc_id * 7 + b * 13) % 251 + 3 for b in range(n))
         assert int(img.astype(np.int64).sum()) == want, doc_id
+    # r6 review: (doc_id*3)%3 was identically 0 — every fixture one
+    # block-row tall, so multi-row raster order / DC carry at row
+    # boundaries was never exercised by the graded oracle
+    assert len(heights) > 1, "fixture grid must vary in block rows"
 
 
 def test_color_444_roundtrip_vs_definition():

@@ -208,3 +208,78 @@ def test_persisted_ivf_over_s3(spark, s3_store):
     assert [r["vec_id"] for r in got.collect()] == [
         r["vec_id"] for r in exact.collect()
     ]
+
+
+def test_pyarrow_writer_reconciles_dead_attempt_orphans(spark, s3_store):
+    """r6 review: an object store has no output committer, so a
+    retried/speculative task's first attempt leaves final-named
+    objects durable → duplicate chunk rows. The writer now tags parts
+    with the run prefix and deletes any tagged object that is not in
+    the winning attempts' returned summaries; other runs' objects are
+    untouched."""
+    from osm_pbf_parquet_spark.plans.pa_store import write_chunks_pyarrow
+
+    root, port = s3_store
+    cdir_local = os.path.join(root, "storeW", "chunks")
+    os.makedirs(cdir_local)
+    orphan = os.path.join(cdir_local, "part-runX-00dead.parquet")
+    other = os.path.join(cdir_local, "part-runY-keepme.parquet")
+    for p in (orphan, other):
+        with open(p, "wb") as f:
+            f.write(b"x")
+    df = spark.range(16).selectExpr("id", "cast(id as string) AS v")
+    cdir = s3_uri(port, "bkt", "storeW/chunks")
+    written = write_chunks_pyarrow(df, cdir, prefix="runX")
+    assert written and all(
+        w["file"].startswith("part-runX-") for w in written
+    )
+    assert not os.path.exists(orphan), "dead-attempt orphan must go"
+    assert os.path.exists(other), "other runs' objects untouched"
+    for w in written:
+        assert os.path.exists(os.path.join(cdir_local, w["file"]))
+
+
+def test_read_chunks_honest_on_corrupt_and_preschema_files(
+    spark, pages_path, s3_store
+):
+    """r6 review: the run_id-filtered pyarrow read swallowed EVERY
+    ArrowInvalid, so a corrupt chunk object was silently dropped and
+    the manifest committed short. Now only a genuinely pre-run_id
+    file (schema without the column) is skipped; corruption fails the
+    job like the JVM path would. Also covers the pushed-down columns
+    projection."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from osm_pbf_parquet_spark.plans.manifest import (
+        encode_job,
+        read_chunks,
+    )
+
+    root, port = s3_store
+    src = spark.read.parquet(pages_path).limit(100)
+    out = s3_uri(port, "bkt", "store2")
+    stats = encode_job(spark, src, out, key_col="url", num_partitions=2)
+    run = stats["run_id"]
+    base = read_chunks(spark, out, run_id=run).count()
+    assert base > 0
+
+    # pushed-down projection: only the named columns come back
+    proj = read_chunks(
+        spark, out, run_id=run, columns=["partition_id", "run_id"]
+    )
+    assert proj.columns == ["partition_id", "run_id"]
+    assert proj.count() == base
+
+    cdir_local = os.path.join(root, "store2", "chunks")
+    legacy = os.path.join(cdir_local, "part-legacy.parquet")
+    pq.write_table(pa.table({"x": [1, 2]}), legacy)
+    assert read_chunks(spark, out, run_id=run).count() == base, (
+        "valid pre-run_id file is skipped under a run filter"
+    )
+
+    garbage = os.path.join(cdir_local, "part-garbage.parquet")
+    with open(garbage, "wb") as f:
+        f.write(b"this is not parquet")
+    with pytest.raises(Exception, match="[Pp]arquet|magic|Invalid"):
+        read_chunks(spark, out, run_id=run).count()
