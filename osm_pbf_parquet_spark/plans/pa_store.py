@@ -175,16 +175,20 @@ def read_chunks_pyarrow(
                 # may be passed over when filtering by run
                 pf = pq.ParquetFile(inner, filesystem=fs)
                 present = set(pf.schema_arrow.names)
-                pf.close()
-                kw = {}
-                if run_id is not None:
+                avail = [f.name for f in want if f.name in present]
+                if run_id is None:
+                    tbl = pf.read(columns=avail)
+                    pf.close()
+                else:
+                    pf.close()
                     if "run_id" not in present:
                         continue
-                    kw["filters"] = [("run_id", "==", run_id)]
-                avail = [f.name for f in want if f.name in present]
-                tbl = pq.read_table(
-                    inner, filesystem=fs, columns=avail, **kw
-                )
+                    # read_table (a fresh footer fetch) for the
+                    # row-group-pruning filter ParquetFile.read lacks
+                    tbl = pq.read_table(
+                        inner, filesystem=fs, columns=avail,
+                        filters=[("run_id", "==", run_id)],
+                    )
                 cols = []
                 for f in want:
                     if f.name in tbl.column_names:
