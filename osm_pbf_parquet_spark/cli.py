@@ -132,6 +132,18 @@ def build_parser() -> argparse.ArgumentParser:
     cmp_.add_argument("--snapshot-id", default="snap-0")
     _add_common(cmp_)
 
+    mcp = sub.add_parser(
+        "compact-manifest",
+        help="fold per-commit manifest parts into one (O(#commits) "
+        "read round trips otherwise)",
+    )
+    mcp.add_argument("--store", required=True)
+    mcp.add_argument(
+        "--squash", action="store_true",
+        help="keep only last-wins rows (drops pre-compaction time travel)",
+    )
+    _add_common(mcp)
+
     vac = sub.add_parser("vacuum", help="GC superseded/orphan chunk files")
     vac.add_argument("--store", required=True)
     vac.add_argument("--older-than-s", type=float, default=24 * 3600.0)
@@ -295,6 +307,15 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_compact_manifest(args) -> int:
+    from .plans.manifest import compact_manifest
+
+    spark = _session(args)
+    stats = compact_manifest(spark, args.store, squash=args.squash)
+    print(json.dumps(stats))
+    return 0
+
+
 def cmd_vacuum(args) -> int:
     from .plans.vacuum import vacuum
 
@@ -423,6 +444,7 @@ _DISPATCH = {
     "encode": cmd_encode,
     "decode": cmd_decode,
     "compact": cmd_compact,
+    "compact-manifest": cmd_compact_manifest,
     "vacuum": cmd_vacuum,
     "report": cmd_report,
     "merge": cmd_merge,

@@ -237,6 +237,33 @@ def commit_manifest(
     return final
 
 
+def _read_manifest_raw(
+    spark: SparkSession, out_dir: str
+) -> DataFrame | None:
+    """Every committed manifest row, NO last-wins dedup — the shared
+    raw scan behind read_manifest and compact_manifest. None when no
+    manifest exists yet."""
+    from .fsutil import has_scheme, uses_pyarrow
+
+    mdir = _manifest_dir(out_dir)
+    if uses_pyarrow(out_dir):
+        from .pa_store import read_parquet_dir_driver
+
+        return read_parquet_dir_driver(spark, mdir)
+    if has_scheme(out_dir):
+        from pyspark.errors import AnalysisException
+
+        try:
+            return spark.read.parquet(mdir)
+        except AnalysisException:
+            return None  # no manifest dir yet on the remote FS
+    if not os.path.isdir(mdir) or not any(
+        f.endswith(".parquet") for f in os.listdir(mdir)
+    ):
+        return None
+    return spark.read.parquet(mdir)
+
+
 def read_manifest(
     spark: SparkSession, out_dir: str, as_of: float | None = None
 ) -> DataFrame | None:
@@ -251,28 +278,9 @@ def read_manifest(
     as_of (unix seconds) time-travels: commits after the horizon are
     invisible, so last-wins resolves to whatever was current then.
     """
-    from .fsutil import has_scheme, uses_pyarrow
-
-    mdir = _manifest_dir(out_dir)
-    if uses_pyarrow(out_dir):
-        from .pa_store import read_parquet_dir_driver
-
-        raw = read_parquet_dir_driver(spark, mdir)
-        if raw is None:
-            return None  # no manifest committed yet
-    elif has_scheme(out_dir):
-        from pyspark.errors import AnalysisException
-
-        try:
-            raw = spark.read.parquet(mdir)
-        except AnalysisException:
-            return None  # no manifest dir yet on the remote FS
-    else:
-        if not os.path.isdir(mdir) or not any(
-            f.endswith(".parquet") for f in os.listdir(mdir)
-        ):
-            return None
-        raw = spark.read.parquet(mdir)
+    raw = _read_manifest_raw(spark, out_dir)
+    if raw is None:
+        return None
     if as_of is not None:
         # no eager emptiness probe: an as_of before the first commit is
         # a legitimate "nothing visible yet" — it flows through as an
@@ -290,6 +298,107 @@ def read_manifest(
         .filter(F.col("__rn__") == 1)
         .drop("__rn__")
     )
+
+
+def _list_manifest_parts(spark: SparkSession, out_dir: str) -> list[str]:
+    from .fsutil import has_scheme, list_files
+
+    mdir = _manifest_dir(out_dir)
+    if has_scheme(out_dir):
+        return list_files(spark, mdir, ".parquet")
+    if not os.path.isdir(mdir):
+        return []
+    return [
+        os.path.join(mdir, f)
+        for f in sorted(os.listdir(mdir))
+        if f.endswith(".parquet") and not f.startswith(".")
+    ]
+
+
+def compact_manifest(
+    spark: SparkSession,
+    out_dir: str,
+    squash: bool = False,
+    min_parts: int = 2,
+) -> dict:
+    """Rewrite the manifest's one-part-per-commit history into ONE
+    part (r6 review: a long-lived incremental store accumulates 10⁴+
+    parts and every read_manifest — which gates every read, merge,
+    compact, vacuum — pays O(#commits) round trips to resolve them).
+
+    Crash-safe by the same last-wins rule that makes chunk compaction
+    a plain append: the combined part is written (atomic temp+rename /
+    sidecar PUT) BEFORE the source parts are deleted, and duplicate
+    identical rows across old+new parts dedup harmlessly in
+    read_manifest's (snapshot_id, partition_id) window. A writer
+    committing concurrently appends a part this pass never listed, so
+    it survives untouched.
+
+    ``squash=False`` (default) keeps EVERY historical row — as_of time
+    travel is unchanged; the win is file count, which is what costs
+    round trips. ``squash=True`` keeps only each (snapshot_id,
+    partition_id)'s winning row (tombstones included — they ARE
+    winners), trading pre-compaction time travel for size.
+
+    Manifest rows are metadata-scale (one per partition commit), so
+    the merge is a driver-side pyarrow pass via fsutil.read_bytes —
+    route-agnostic (local / Hadoop URI / s3)."""
+    import io
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .fsutil import delete_file, has_scheme, read_bytes, uses_pyarrow
+
+    parts = _list_manifest_parts(spark, out_dir)
+    if len(parts) < min_parts:
+        return {
+            "parts_before": len(parts),
+            "parts_after": len(parts),
+            "rows": None,
+            "rows_dropped": 0,
+        }
+
+    def fetch(p):
+        return pq.read_table(io.BytesIO(read_bytes(spark, p)))
+
+    if uses_pyarrow(out_dir):  # object store: overlap the GETs
+        with ThreadPoolExecutor(max_workers=min(16, len(parts))) as ex:
+            tables = list(ex.map(fetch, parts))
+    else:  # py4j is not thread-safe; local/Hadoop reads are cheap
+        tables = [fetch(p) for p in parts]
+    tbl = pa.concat_tables(tables, promote_options="default")
+    n_before = tbl.num_rows
+    if squash:
+        df = tbl.to_pandas()
+        df = (
+            df.sort_values(["committed_at", "run_id"], kind="stable")
+            .groupby(["snapshot_id", "partition_id"], as_index=False)
+            .tail(1)
+        )
+        tbl = pa.Table.from_pandas(df, preserve_index=False)
+    tbl = tbl.select(MANIFEST_ARROW_SCHEMA.names).cast(MANIFEST_ARROW_SCHEMA)
+
+    new_run = f"compact-{uuid.uuid4().hex[:12]}"
+    combined = commit_manifest(tbl.to_pylist(), out_dir, new_run, spark)
+    # verify the combined part is durably readable BEFORE dropping
+    # the sources — a failed verify leaves the store merely
+    # uncompacted, never short
+    back = pq.read_table(io.BytesIO(read_bytes(spark, combined)))
+    if back.num_rows != tbl.num_rows:
+        raise OSError(
+            f"manifest compaction verify failed: wrote {tbl.num_rows} "
+            f"rows, read back {back.num_rows} from {combined}"
+        )
+    for p in parts:
+        if has_scheme(out_dir):
+            delete_file(spark, p)
+        else:
+            os.remove(p)
+    return {
+        "parts_before": len(parts),
+        "parts_after": 1,
+        "rows": tbl.num_rows,
+        "rows_dropped": n_before - tbl.num_rows,
+    }
 
 
 def summarize_chunks(written: DataFrame) -> DataFrame:

@@ -313,3 +313,15 @@ def test_dedup_cli_strip(spark, sf_dir, tmp_path, capsys):
         F.col("new_len") + F.col("dup_bytes") != F.col("orig_len")
     ).count()
     assert bad == 0
+
+
+def test_compact_manifest_cli(spark, pages_path, tmp_path, capsys):
+    out = str(tmp_path / "store")
+    main(["encode", "--input", pages_path, "--output", out,
+          "--key-col", "url", "--partitions", "2", "--no-verify"])
+    main(["compact", "--store", out, "--min-chunks", "1"])
+    capsys.readouterr()
+    rc = main(["compact-manifest", "--store", out])
+    captured = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and captured["parts_after"] == 1
+    assert captured["parts_before"] >= 2 and captured["rows_dropped"] == 0

@@ -142,6 +142,30 @@ def test_store_lifecycle_over_s3(spark, pages_path, s3_store):
     gc = vacuum(spark, out, older_than_s=0.0)
     assert gc["files_deleted"] > 0
 
+    # manifest compaction over the protocol: many per-commit parts
+    # (encode + merge + compact) fold into ONE, resolution unchanged
+    from osm_pbf_parquet_spark.plans.manifest import (
+        compact_manifest,
+        read_manifest,
+    )
+
+    mdir_local = os.path.join(root, "store1", "manifest")
+    before = {
+        (r.partition_id, r.run_id, r.n_rows)
+        for r in read_manifest(spark, out).collect()
+    }
+    mc = compact_manifest(spark, out)
+    assert mc["parts_before"] >= 3 and mc["parts_after"] == 1
+    assert (
+        len([f for f in os.listdir(mdir_local) if f.endswith(".parquet")])
+        == 1
+    )
+    after = {
+        (r.partition_id, r.run_id, r.n_rows)
+        for r in read_manifest(spark, out).collect()
+    }
+    assert after == before
+
     dec = read_encoded(spark, out, src.schema)
     expected = src.join(upd.select("url"), "url", "left_anti").unionByName(upd)
     assert dec.count() == expected.count()
