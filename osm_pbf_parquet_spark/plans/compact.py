@@ -26,12 +26,9 @@ from pyspark.sql import functions as F
 from ..functions.codecs import decode_array
 from ..operators.encode import CHUNKS_SPARK_SCHEMA, _encode_group, verify_checksum
 from .manifest import (
-    SUMMARY_COLUMNS,
-    commit_summary,
     read_chunks,
     read_manifest,
-    summarize_chunks,
-    write_chunk_table,
+    write_and_commit_run,
 )
 
 
@@ -159,14 +156,8 @@ def compact_partitions(
     max_records = max(
         n_cols, (rotate_bytes // max(1, target_chunk_bytes)) * n_cols
     )
-    write_chunk_table(spark, compacted, out_dir, max_records, run_id=run_id)
-
-    written = read_chunks(
-        spark, out_dir, run_id=run_id, columns=SUMMARY_COLUMNS
-    ).filter(F.col("run_id") == run_id)
-    rows = commit_summary(
-        summarize_chunks(written).collect(), out_dir, snapshot_id, run_id,
-        spark,
+    rows = write_and_commit_run(
+        spark, compacted, out_dir, run_id, snapshot_id, max_records
     )
     return {
         "compacted_partitions": len(rows),

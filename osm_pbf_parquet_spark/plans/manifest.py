@@ -89,6 +89,7 @@ def read_chunks(
     with_file: bool = False,
     run_id: str | None = None,
     columns: list[str] | None = None,
+    files: list[str] | None = None,
 ) -> DataFrame:
     """Chunk-store scan with the EXPLICIT store schema: inference over
     a dir mixing pre-/post-metadata-column files (e.g. stat_bloom) can
@@ -108,7 +109,7 @@ def read_chunks(
         from .pa_store import read_chunks_pyarrow
 
         return read_chunks_pyarrow(
-            spark, chunks_dir(out_dir), with_file, run_id, columns
+            spark, chunks_dir(out_dir), with_file, run_id, columns, files
         )
     df = spark.read.schema(CHUNKS_STORE_SPARK_SCHEMA).parquet(
         chunks_dir(out_dir)
@@ -127,26 +128,30 @@ def write_chunk_table(
     out_dir: str,
     max_records: int | None = None,
     run_id: str | None = None,
-) -> None:
+) -> list[dict] | None:
     """Append chunk rows to the store — JVM parquet writer for local/
     Hadoop schemes, the distributed pyarrow writer for s3 (K2 sink
     routing, reference src/sink.rs:108-122). ONE owner for the rule so
     encode/merge/compact cannot diverge. ``run_id`` names the pyarrow
-    part objects so a retried task's dead-attempt orphans can be
-    reconciled away (the JVM path's output committer does this
-    natively)."""
+    part objects; on that route the WINNING attempts' file summaries
+    are returned so the caller can read the run back from the explicit
+    list (immune to a zombie attempt's late object) and then sweep
+    dead-attempt orphans via reconcile_run_parts. The JVM path's
+    output committer handles all of this natively → returns None."""
     from .fsutil import uses_pyarrow
 
     cdir = chunks_dir(out_dir)
     if uses_pyarrow(out_dir):
         from .pa_store import write_chunks_pyarrow
 
-        write_chunks_pyarrow(chunks, cdir, max_records, prefix=run_id)
-        return
+        return write_chunks_pyarrow(
+            chunks, cdir, max_records, prefix=run_id, reconcile=False
+        )
     w = chunks.write
     if max_records is not None:
         w = w.option("maxRecordsPerFile", max_records)
     w.mode("append").parquet(cdir)
+    return None
 
 
 STORE_META_FILE = "store_meta.json"
@@ -340,31 +345,35 @@ def compact_manifest(
     partition_id)'s winning row (tombstones included — they ARE
     winners), trading pre-compaction time travel for size.
 
-    Manifest rows are metadata-scale (one per partition commit), so
-    the merge is a driver-side pyarrow pass via fsutil.read_bytes —
-    route-agnostic (local / Hadoop URI / s3)."""
-    import io
-    from concurrent.futures import ThreadPoolExecutor
+    Concurrency caveat: deleting the source parts races with
+    CONCURRENT READERS that listed the directory before the delete
+    (their next fetch hits a missing file and the read fails with
+    retry-able FileNotFound) — run it as a maintenance pass, like
+    expire-snapshots in any table format. Concurrent WRITERS are safe
+    (their parts are never listed here), and a crashed or doubly-run
+    compaction is harmless (duplicates dedup; missing files on delete
+    are tolerated).
 
-    from .fsutil import delete_file, has_scheme, read_bytes, uses_pyarrow
+    Manifest rows are metadata-scale (one per partition commit), so
+    the merge is a driver-side pyarrow pass — route-agnostic (local /
+    Hadoop URI / s3)."""
+    import io
+
+    from .fsutil import delete_file, has_scheme, read_bytes
 
     parts = _list_manifest_parts(spark, out_dir)
-    if len(parts) < min_parts:
+    # squash stays eligible on a single part: it rewrites rows, not
+    # just the file count, so "already one part" is not a no-op
+    if len(parts) < min_parts and not (squash and parts):
         return {
             "parts_before": len(parts),
             "parts_after": len(parts),
             "rows": None,
             "rows_dropped": 0,
         }
+    from .pa_store import fetch_parquet_tables
 
-    def fetch(p):
-        return pq.read_table(io.BytesIO(read_bytes(spark, p)))
-
-    if uses_pyarrow(out_dir):  # object store: overlap the GETs
-        with ThreadPoolExecutor(max_workers=min(16, len(parts))) as ex:
-            tables = list(ex.map(fetch, parts))
-    else:  # py4j is not thread-safe; local/Hadoop reads are cheap
-        tables = [fetch(p) for p in parts]
+    tables = fetch_parquet_tables(spark, parts)
     tbl = pa.concat_tables(tables, promote_options="default")
     n_before = tbl.num_rows
     if squash:
@@ -389,16 +398,54 @@ def compact_manifest(
             f"rows, read back {back.num_rows} from {combined}"
         )
     for p in parts:
-        if has_scheme(out_dir):
-            delete_file(spark, p)
-        else:
-            os.remove(p)
+        try:
+            if has_scheme(out_dir):
+                delete_file(spark, p)
+            else:
+                os.remove(p)
+        except (FileNotFoundError, OSError):
+            continue  # a racing compaction already removed it — safe
     return {
         "parts_before": len(parts),
         "parts_after": 1,
         "rows": tbl.num_rows,
         "rows_dropped": n_before - tbl.num_rows,
     }
+
+
+def write_and_commit_run(
+    spark: SparkSession,
+    chunks: DataFrame,
+    out_dir: str,
+    run_id: str,
+    snapshot_id: str,
+    max_records: int | None = None,
+) -> list[dict]:
+    """The shared durable-write → read-back → manifest-commit →
+    orphan-sweep sequence behind encode_job, merge_job, and
+    compact_partitions. On the pyarrow (s3) route the read-back uses
+    the EXPLICIT winning-file list (a zombie task attempt's object
+    flushed after the action cannot reach the commit) and the
+    dead-attempt sweep runs after it; the JVM route's output committer
+    makes both steps a no-op."""
+    wrote = write_chunk_table(
+        spark, chunks, out_dir, max_records, run_id=run_id
+    )
+    files = [w["file"] for w in wrote] if wrote is not None else None
+    written = read_chunks(
+        spark, out_dir, run_id=run_id, columns=SUMMARY_COLUMNS, files=files
+    ).filter(F.col("run_id") == run_id)
+    rows = commit_summary(
+        summarize_chunks(written).collect(), out_dir, snapshot_id, run_id,
+        spark,
+    )
+    if wrote is not None:
+        from .pa_store import reconcile_run_parts
+
+        reconcile_run_parts(
+            spark, chunks_dir(out_dir), run_id, {w["file"] for w in wrote}
+        )
+    return rows
 
 
 def summarize_chunks(written: DataFrame) -> DataFrame:
@@ -584,16 +631,8 @@ def encode_job(
     max_records = max(
         n_cols, (rotate_bytes // max(1, target_chunk_bytes)) * n_cols
     )
-    write_chunk_table(spark, chunks, out_dir, max_records, run_id=run_id)
-
-    # manifest rows derived from the durable chunks of THIS run
-    # (summary projection only — never the payload bytes)
-    written = read_chunks(
-        spark, out_dir, run_id=run_id, columns=SUMMARY_COLUMNS
-    ).filter(F.col("run_id") == run_id)
-    rows = commit_summary(
-        summarize_chunks(written).collect(), out_dir, snapshot_id, run_id,
-        spark,
+    rows = write_and_commit_run(
+        spark, chunks, out_dir, run_id, snapshot_id, max_records
     )
     return {
         "run_id": run_id,

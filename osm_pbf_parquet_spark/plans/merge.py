@@ -32,15 +32,12 @@ from pyspark.sql import functions as F
 
 from ..operators.encode import PID_COL, decode_dataframe, with_partition_id
 from .manifest import (
-    SUMMARY_COLUMNS,
     check_store_routing,
     commit_manifest,
-    commit_summary,
     encode_dataframe,
     read_chunks,
     read_manifest,
-    summarize_chunks,
-    write_chunk_table,
+    write_and_commit_run,
 )
 
 
@@ -57,6 +54,7 @@ def merge_job(
     codecs: dict[str, str] | None = None,
     target_chunk_bytes: int | None = None,
     zstd_level: int = 3,
+    rotate_bytes: int = 512 << 20,
 ) -> dict:
     """Copy-on-write merge: upsert `updates` rows (full schema) and
     remove `deletes` rows (single column = the unique key) by
@@ -183,17 +181,10 @@ def merge_job(
         # task's whole partition (payload included) before one flush
         n_cols = max(1, len(merged.columns))
         max_records = max(
-            n_cols, ((512 << 20) // max(1, target_chunk_bytes)) * n_cols
+            n_cols, (rotate_bytes // max(1, target_chunk_bytes)) * n_cols
         )
-        write_chunk_table(
-            spark, chunks, out_dir, max_records, run_id=run_id
-        )
-        written = read_chunks(
-            spark, out_dir, run_id=run_id, columns=SUMMARY_COLUMNS
-        ).filter(F.col("run_id") == run_id)
-        rows = commit_summary(
-            summarize_chunks(written).collect(), out_dir, snapshot_id, run_id,
-            spark,
+        rows = write_and_commit_run(
+            spark, chunks, out_dir, run_id, snapshot_id, max_records
         )
         committed_pids = {r["partition_id"] for r in rows}
         stats["merged_partitions"] = len(rows)

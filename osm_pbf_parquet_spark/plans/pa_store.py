@@ -49,6 +49,7 @@ def write_chunks_pyarrow(
     cdir: str,
     max_records: int | None = None,
     prefix: str | None = None,
+    reconcile: bool = True,
 ) -> list[dict]:
     """Write a chunk DataFrame under ``cdir`` (s3://…/chunks), one or
     more parquet objects per task, rotating at ``max_records`` rows
@@ -62,7 +63,13 @@ def write_chunks_pyarrow(
     job reconciles after the action: Spark returns summary rows only
     from each task's WINNING attempt, so any ``part-<prefix>-*`` object
     not in that set is a dead attempt's orphan and is deleted before
-    anything reads the run back."""
+    anything reads the run back. ``reconcile=False`` skips the
+    immediate sweep for callers (encode/merge/compact) that read the
+    run back from the EXPLICIT winning file list and sweep afterwards
+    — that ordering also shrinks the zombie window (an attempt still
+    flushing after collect() returns) to nearly nothing, and the
+    explicit-list read-back makes the manifest commit immune to it
+    entirely."""
     out_schema = T.StructType(
         [
             T.StructField("file", T.StringType()),
@@ -109,18 +116,35 @@ def write_chunks_pyarrow(
     rows = [
         r.asDict() for r in chunks.mapInArrow(writer, out_schema).collect()
     ]
-    if prefix:
-        keep = {r["file"] for r in rows}
-        fs, inner = pa_fs(cdir)
-        spark = chunks.sparkSession
-        for uri in list_files(spark, cdir, ".parquet"):
-            # list_files preserves the ?query routing config — strip
-            # it before comparing bare object names
-            name = split_query(uri)[0].rsplit("/", 1)[-1]
-            if name.startswith(f"part-{prefix}-") and name not in keep:
-                _, fpath = pa_fs(uri)
-                fs.delete_file(fpath)
+    if prefix and reconcile:
+        reconcile_run_parts(
+            chunks.sparkSession, cdir, prefix, {r["file"] for r in rows}
+        )
     return rows
+
+
+def reconcile_run_parts(
+    spark: SparkSession, cdir: str, prefix: str, keep: set[str]
+) -> int:
+    """Delete ``part-<prefix>-*`` objects under ``cdir`` that are not
+    in ``keep`` (the winning attempts' files) — dead task attempts'
+    orphans. One directory listing (pyarrow's FileSelector has no
+    server-side prefix filter); idempotent, missing files tolerated
+    (two sweeps may race). Returns the number deleted."""
+    fs, _ = pa_fs(cdir)
+    n = 0
+    for uri in list_files(spark, cdir, ".parquet"):
+        # list_files preserves the ?query routing config — strip
+        # it before comparing bare object names
+        name = split_query(uri)[0].rsplit("/", 1)[-1]
+        if name.startswith(f"part-{prefix}-") and name not in keep:
+            _, fpath = pa_fs(uri)
+            try:
+                fs.delete_file(fpath)
+            except (FileNotFoundError, OSError):
+                continue  # a concurrent sweep got there first
+            n += 1
+    return n
 
 
 def read_chunks_pyarrow(
@@ -129,10 +153,15 @@ def read_chunks_pyarrow(
     with_file: bool = False,
     run_id: str | None = None,
     columns: list[str] | None = None,
+    files: list[str] | None = None,
 ) -> DataFrame:
     """Distributed chunk read for s3 stores: list once on the driver,
     stride-interleave, one pyarrow parquet stream per file on the
-    executors. ``with_file`` appends the full file URI as ``__file``
+    executors. ``files`` (bare object names) skips the listing and
+    reads EXACTLY those objects — the post-write read-back path, where
+    trusting a directory listing would let a zombie task attempt's
+    object (flushed after the job's action returned) into the manifest
+    commit. ``with_file`` appends the full file URI as ``__file``
     (the s3 twin of ``input_file_name()`` — vacuum's provenance).
     ``run_id`` pushes a row-group-pruning filter into the parquet
     reads — the JVM path gets this from Catalyst pushdown; without it
@@ -142,7 +171,10 @@ def read_chunks_pyarrow(
     through mapInArrow — CLAUDE.md gotcha): metadata consumers
     (vacuum, summarize) must pass it or every scan downloads the
     payload column too."""
-    files = list_files(spark, cdir, ".parquet")
+    if files is not None:
+        files = [join_uri(cdir, n) for n in files]
+    else:
+        files = list_files(spark, cdir, ".parquet")
     store_fields = list(CHUNKS_STORE_SPARK_SCHEMA.fields)
     if columns is not None:
         want_names = set(columns)
@@ -209,6 +241,33 @@ def read_chunks_pyarrow(
     return pdf.mapInArrow(reader, schema)
 
 
+def fetch_parquet_tables(spark, paths: list[str]) -> list:
+    """Driver-side fetch of SMALL parquet parts (manifest/vacuum
+    metadata) as arrow tables, route-aware: pyarrow schemes fetch
+    through a 16-way thread pool (IO-bound, GIL-free inside Arrow —
+    a long-lived store has one part per commit, and sequential GETs
+    make resolution O(#commits) round trips); JVM/local routes read
+    serially (py4j is not thread-safe). ONE owner for the pattern —
+    read_parquet_dir_driver and compact_manifest both ride it."""
+    import io
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pyarrow.parquet as pq
+
+    from .fsutil import read_bytes, uses_pyarrow
+
+    def fetch(p):
+        if uses_pyarrow(p):
+            fs, inner = pa_fs(p)
+            return pq.read_table(inner, filesystem=fs)
+        return pq.read_table(io.BytesIO(read_bytes(spark, p)))
+
+    if paths and all(uses_pyarrow(p) for p in paths):
+        with ThreadPoolExecutor(max_workers=min(16, len(paths))) as ex:
+            return list(ex.map(fetch, paths))
+    return [fetch(p) for p in paths]
+
+
 def read_parquet_dir_driver(
     spark: SparkSession, dir_uri: str
 ) -> DataFrame | None:
@@ -216,24 +275,10 @@ def read_parquet_dir_driver(
     one row per partition commit) into a DataFrame; None when the dir
     is missing/empty. The s3 twin of spark.read.parquet for metadata
     tables that never exceed a few MB."""
-    from concurrent.futures import ThreadPoolExecutor
-
-    import pyarrow.parquet as pq
-
     parts = list_files(spark, dir_uri, ".parquet")
     if not parts:
         return None
-
-    def fetch(p):
-        fs, inner = pa_fs(p)
-        return pq.read_table(inner, filesystem=fs)
-
-    # a long-lived store accumulates one part per commit; sequential
-    # blocking GETs make manifest resolution O(#commits) round trips.
-    # Threaded fetch (IO-bound, GIL-free inside Arrow) keeps the
-    # driver wall flat into the tens of thousands of parts
-    with ThreadPoolExecutor(max_workers=min(16, len(parts))) as ex:
-        tables = list(ex.map(fetch, parts))
+    tables = fetch_parquet_tables(spark, parts)
     return spark.createDataFrame(
         pa.concat_tables(tables, promote_options="default")
     )

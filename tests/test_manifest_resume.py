@@ -226,3 +226,8 @@ def test_compact_manifest_preserves_resolution_and_time_travel(
     # resolved winners after the 4th commit: same pids, maybe new runs
     assert {p for p, _ in got3} == {p for p, _, _ in want}
     assert read_encoded(spark, out, src.schema).count() == 200
+
+    # squash on an ALREADY-compacted (single-part) manifest must still
+    # run (it rewrites rows, not just file count) — r6 review
+    st4 = compact_manifest(spark, out, squash=True)
+    assert st4["rows"] is not None and st4["parts_after"] == 1
