@@ -403,8 +403,10 @@ def compact_manifest(
                 delete_file(spark, p)
             else:
                 os.remove(p)
-        except (FileNotFoundError, OSError):
+        except FileNotFoundError:
             continue  # a racing compaction already removed it — safe
+        # other delete failures surface: swallowing them would report
+        # parts_after=1 while the directory still holds every part
     return {
         "parts_before": len(parts),
         "parts_after": 1,

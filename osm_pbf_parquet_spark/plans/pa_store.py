@@ -141,8 +141,12 @@ def reconcile_run_parts(
             _, fpath = pa_fs(uri)
             try:
                 fs.delete_file(fpath)
-            except (FileNotFoundError, OSError):
+            except FileNotFoundError:
                 continue  # a concurrent sweep got there first
+            # any other failure must SURFACE: the manifest already
+            # committed this run, so a surviving orphan is a visible
+            # duplicate — swallowing the error would hide data
+            # corruption, not noise
             n += 1
     return n
 
