@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from ..functions.codecs import decode_array
 from ..operators.encode import CHUNKS_SPARK_SCHEMA, _encode_group, verify_checksum
 from .manifest import (
-    read_chunks,
+    read_committed_chunks,
     read_manifest,
     write_and_commit_run,
 )
@@ -112,14 +112,12 @@ def compact_partitions(
         (F.col("snapshot_id") == snapshot_id)
         & (F.col("status") == "done")
         & (F.col("n_chunks") >= min_chunks)
-    ).select("partition_id", "run_id")
+    ).select("partition_id", "run_id", "files")
     n_targets = targets.count()
     if n_targets == 0:
         return {"compacted_partitions": 0}
 
-    visible = read_chunks(spark, out_dir).join(
-        F.broadcast(targets), ["partition_id", "run_id"], "left_semi"
-    )
+    visible = read_committed_chunks(spark, out_dir, targets)
     n = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )

@@ -29,6 +29,7 @@ import pyarrow.parquet as pq
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..operators.encode import (
     CHUNKS_STORE_SPARK_SCHEMA,
@@ -51,6 +52,31 @@ MANIFEST_ARROW_SCHEMA = pa.schema(
         ("checksum", pa.string()),
         ("committed_at", pa.float64()),
         ("status", pa.string()),
+        # json array of BARE chunk-file names this commit's rows live
+        # in (Iceberg-style file-level manifest: reads open exactly
+        # these; vacuum deletes strays precisely). NULL on rows
+        # committed before file tracking → readers fall back to the
+        # directory-listing path.
+        ("files", pa.string()),
+    ]
+)
+
+#: explicit Spark twin — manifest dirs mix pre-/post-`files` parts,
+#: and schema inference from one random footer would drop the column
+MANIFEST_SPARK_SCHEMA = T.StructType(
+    [
+        T.StructField("snapshot_id", T.StringType()),
+        T.StructField("partition_id", T.LongType()),
+        T.StructField("run_id", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("n_chunks", T.LongType()),
+        T.StructField("bytes_in", T.LongType()),
+        T.StructField("bytes_out", T.LongType()),
+        T.StructField("codecs", T.StringType()),
+        T.StructField("checksum", T.StringType()),
+        T.StructField("committed_at", T.DoubleType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("files", T.StringType()),
     ]
 )
 
@@ -111,9 +137,19 @@ def read_chunks(
         return read_chunks_pyarrow(
             spark, chunks_dir(out_dir), with_file, run_id, columns, files
         )
-    df = spark.read.schema(CHUNKS_STORE_SPARK_SCHEMA).parquet(
-        chunks_dir(out_dir)
-    )
+    cdir = chunks_dir(out_dir)
+    reader = spark.read.schema(CHUNKS_STORE_SPARK_SCHEMA)
+    if files is not None:
+        # explicit visible-file read: no directory listing, no footer
+        # probes of superseded runs' objects
+        if not files:
+            df = spark.createDataFrame([], CHUNKS_STORE_SPARK_SCHEMA)
+        else:
+            df = reader.parquet(
+                *[f"{cdir.rstrip('/')}/{n}" for n in files]
+            )
+    else:
+        df = reader.parquet(cdir)
     if with_file:
         df = df.withColumn("__file", F.input_file_name())
     if columns is not None:
@@ -254,19 +290,23 @@ def _read_manifest_raw(
     if uses_pyarrow(out_dir):
         from .pa_store import read_parquet_dir_driver
 
-        return read_parquet_dir_driver(spark, mdir)
+        raw = read_parquet_dir_driver(spark, mdir)
+        if raw is not None and "files" not in raw.columns:
+            # every part predates file tracking
+            raw = raw.withColumn("files", F.lit(None).cast("string"))
+        return raw
     if has_scheme(out_dir):
         from pyspark.errors import AnalysisException
 
         try:
-            return spark.read.parquet(mdir)
+            return spark.read.schema(MANIFEST_SPARK_SCHEMA).parquet(mdir)
         except AnalysisException:
             return None  # no manifest dir yet on the remote FS
     if not os.path.isdir(mdir) or not any(
         f.endswith(".parquet") for f in os.listdir(mdir)
     ):
         return None
-    return spark.read.parquet(mdir)
+    return spark.read.schema(MANIFEST_SPARK_SCHEMA).parquet(mdir)
 
 
 def read_manifest(
@@ -384,6 +424,12 @@ def compact_manifest(
             .tail(1)
         )
         tbl = pa.Table.from_pandas(df, preserve_index=False)
+    for name in MANIFEST_ARROW_SCHEMA.names:
+        if name not in tbl.column_names:  # every part predates the col
+            tbl = tbl.append_column(
+                name,
+                pa.nulls(len(tbl), MANIFEST_ARROW_SCHEMA.field(name).type),
+            )
     tbl = tbl.select(MANIFEST_ARROW_SCHEMA.names).cast(MANIFEST_ARROW_SCHEMA)
 
     new_run = f"compact-{uuid.uuid4().hex[:12]}"
@@ -415,6 +461,44 @@ def compact_manifest(
     }
 
 
+def visible_chunk_files(rows) -> list[str] | None:
+    """Union of the manifest winners' recorded chunk-file names —
+    the explicit read set for read_chunks(files=...). None when any
+    visible row predates file tracking (files NULL): mixed stores
+    fall back to the directory-listing path wholesale, because a
+    partial file list would silently hide the legacy rows' chunks."""
+    out: set[str] = set()
+    for r in rows:
+        fj = r["files"]
+        if fj is None:
+            return None
+        out.update(json.loads(fj))
+    return sorted(out)
+
+
+def read_committed_chunks(
+    spark: SparkSession, out_dir: str, committed: DataFrame
+) -> DataFrame:
+    """Chunk rows belonging to a manifest selection (columns
+    partition_id, run_id, files). File-level manifests bound the scan
+    to EXACTLY the selection's recorded objects — no directory
+    listing, no footer probes of superseded runs; legacy rows (files
+    NULL) fall back to the listing wholesale. The (partition_id,
+    run_id) semi-join still applies: a rotated file can mix
+    partitions, and on the fallback path it alone carries
+    correctness. The selection is metadata-scale (one row per
+    partition commit) — the collect is driver-safe."""
+    rows = committed.select("partition_id", "run_id", "files").collect()
+    files = visible_chunk_files(rows)
+    keys = spark.createDataFrame(
+        [(r["partition_id"], r["run_id"]) for r in rows],
+        "partition_id long, run_id string",
+    )
+    return read_chunks(spark, out_dir, files=files).join(
+        F.broadcast(keys), ["partition_id", "run_id"], "left_semi"
+    )
+
+
 def write_and_commit_run(
     spark: SparkSession,
     chunks: DataFrame,
@@ -434,8 +518,12 @@ def write_and_commit_run(
         spark, chunks, out_dir, max_records, run_id=run_id
     )
     files = [w["file"] for w in wrote] if wrote is not None else None
+    # with_file: the commit records each partition's chunk-file names
+    # (file-level manifest) so reads open exactly the visible files
+    # and vacuum can delete strays precisely
     written = read_chunks(
-        spark, out_dir, run_id=run_id, columns=SUMMARY_COLUMNS, files=files
+        spark, out_dir, with_file=True, run_id=run_id,
+        columns=SUMMARY_COLUMNS, files=files,
     ).filter(F.col("run_id") == run_id)
     rows = commit_summary(
         summarize_chunks(written).collect(), out_dir, snapshot_id, run_id,
@@ -492,7 +580,22 @@ def summarize_chunks(written: DataFrame) -> DataFrame:
             F.concat_ws("|", F.sort_array(F.flatten(F.collect_list("cks")))), 256
         ).alias("checksum"),
     )
-    return per_pid.join(rows_per_pid, "partition_id")
+    out = per_pid.join(rows_per_pid, "partition_id")
+    if "__file" in written.columns:
+        # file-level manifest: BARE chunk-file names per partition
+        # (normalize the provenance URI — strip ?query config, take
+        # the basename; chunk files are flat under chunks/). Bounded:
+        # a partition spans a handful of rotated files.
+        bare = F.element_at(
+            F.split(F.element_at(F.split("__file", "\\?"), 1), "/"), -1
+        )
+        files_per_pid = (
+            written.select("partition_id", bare.alias("__bare"))
+            .groupBy("partition_id")
+            .agg(F.sort_array(F.collect_set("__bare")).alias("files"))
+        )
+        out = out.join(files_per_pid, "partition_id")
+    return out
 
 
 def commit_summary(agg_rows, out_dir: str, snapshot_id: str, run_id: str,
@@ -513,6 +616,9 @@ def commit_summary(agg_rows, out_dir: str, snapshot_id: str, run_id: str,
             "checksum": r["checksum"],
             "committed_at": now,
             "status": "done",
+            "files": (
+                json.dumps(list(r["files"])) if "files" in r else None
+            ),
         }
         for r in agg_rows
     ]
@@ -685,10 +791,7 @@ def read_encoded(
     committed = manifest.filter(F.col("status") == "done")
     if snapshot_id is not None:
         committed = committed.filter(F.col("snapshot_id") == snapshot_id)
-    committed = committed.select("partition_id", "run_id")
-    chunks = read_chunks(spark, out_dir).join(
-        F.broadcast(committed), ["partition_id", "run_id"], "left_semi"
-    )
+    chunks = read_committed_chunks(spark, out_dir, committed)
     conj = parse_where(where)
     if conj:
         chunks = prune_where(chunks, conj, schema)
@@ -777,8 +880,5 @@ def read_incremental(
     )
     if snapshot_id is not None:
         committed = committed.filter(F.col("snapshot_id") == snapshot_id)
-    committed = committed.select("partition_id", "run_id")
-    chunks = read_chunks(spark, out_dir).join(
-        F.broadcast(committed), ["partition_id", "run_id"], "left_semi"
-    )
+    chunks = read_committed_chunks(spark, out_dir, committed)
     return decode_dataframe(chunks, schema)

@@ -35,7 +35,7 @@ from .manifest import (
     check_store_routing,
     commit_manifest,
     encode_dataframe,
-    read_chunks,
+    read_committed_chunks,
     read_manifest,
     write_and_commit_run,
 )
@@ -138,7 +138,7 @@ def merge_job(
                 (F.col("snapshot_id") == snapshot_id)
                 & (F.col("status") == "done")
             )
-            .select("partition_id", "run_id")
+            .select("partition_id", "run_id", "files")
             .join(
                 touched.withColumnRenamed(PID_COL, "partition_id"),
                 "partition_id",
@@ -149,9 +149,7 @@ def merge_job(
         # side pid list is bounded by the change set, not the table
         existing_pids = {r[0] for r in targets.select("partition_id").collect()}
         if existing_pids:
-            current = read_chunks(spark, out_dir).join(
-                F.broadcast(targets), ["partition_id", "run_id"], "left_semi"
-            )
+            current = read_committed_chunks(spark, out_dir, targets)
             decoded = decode_dataframe(current, schema)
             # drop rows superseded by an update or removed by a delete
             base_kept = decoded.join(
@@ -206,6 +204,10 @@ def merge_job(
                 "checksum": "",
                 "committed_at": time.time(),
                 "status": "done",
+                # a tombstone references no chunk files; an explicit
+                # empty list (not NULL) keeps the store on the
+                # file-level read path
+                "files": json.dumps([]),
             }
             for pid in empty
         ]

@@ -32,6 +32,7 @@ engine adds compaction/merge on top.
 
 from __future__ import annotations
 
+import json
 import os
 import time
 import uuid
@@ -70,11 +71,19 @@ def vacuum(
         raise FileNotFoundError(f"no manifest under {out_dir}")
     now = time.time()
     horizon = now - older_than_s
-    visible = (
-        manifest.filter(F.col("status") == "done")
-        .select("partition_id", "run_id")
-        .distinct()
-    )
+    done = manifest.filter(F.col("status") == "done")
+    visible = done.select("partition_id", "run_id").distinct()
+    # file-level manifests (r6): the recorded per-run file sets let
+    # vacuum catch ZOMBIE objects — a dead task attempt's stray whose
+    # (pid, run_id) pairs are visible but whose name the commit never
+    # recorded. Legacy rows (files NULL) disable the check wholesale.
+    recorded: dict[str, set] = {}
+    tracked = True
+    for r in done.select("run_id", "files").distinct().collect():
+        if r["files"] is None:
+            tracked = False
+            break
+        recorded.setdefault(r["run_id"], set()).update(json.loads(r["files"]))
     # column-pruned metadata scan: 2 small columns + file provenance
     # (read_chunks with_file: input_file_name on the JVM path, the
     # reader's own path on the pyarrow/s3 path); a file lives iff ANY
@@ -92,7 +101,10 @@ def vacuum(
             "left_outer",
         )
         .groupBy("file")
-        .agg(F.max(F.coalesce("__vis__", F.lit(0))).alias("live"))
+        .agg(
+            F.max(F.coalesce("__vis__", F.lit(0))).alias("live"),
+            F.collect_set("run_id").alias("runs"),
+        )
         .collect()  # one row per FILE — thousands, not rows; driver-safe
     )
     from .fsutil import has_scheme
@@ -115,11 +127,23 @@ def vacuum(
     kept = 0
     victims: list[tuple[str, int]] = []  # (path, size) — stat ONCE per file
     victim_bytes = 0
+    from .fsutil import split_query
+
     for r in file_rows:
         path = r["file"]
         if r["live"]:
-            kept += 1
-            continue
+            base = split_query(path)[0].rsplit("/", 1)[-1]
+            zombie = (
+                tracked
+                and all(rn in recorded for rn in r["runs"])
+                and all(base not in recorded[rn] for rn in r["runs"])
+            )
+            if not zombie:
+                kept += 1
+                continue
+            # visible pairs but an unrecorded name: a dead attempt's
+            # stray that can never become legitimate — falls through
+            # to the same age-gated victim path as orphans
         try:
             mtime, sz = _stat(path)
         except Exception:  # noqa: BLE001 - already gone (concurrent vacuum)

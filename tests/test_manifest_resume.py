@@ -231,3 +231,64 @@ def test_compact_manifest_preserves_resolution_and_time_travel(
     # run (it rewrites rows, not just file count) — r6 review
     st4 = compact_manifest(spark, out, squash=True)
     assert st4["rows"] is not None and st4["parts_after"] == 1
+
+
+def test_file_level_manifest_excludes_zombie_and_legacy_falls_back(
+    spark, pages_path, tmp_path
+):
+    """r6: manifest rows record each partition's chunk-file names
+    (Iceberg-style file-level manifest). A zombie object — a dead
+    task attempt's stray carrying a committed (pid, run_id) pair —
+    must be invisible to reads (pre-tracking it silently DOUBLED
+    rows) and vacuum must delete it despite the visible pair. Rows
+    committed before tracking (files NULL) fall back to the listing
+    path wholesale."""
+    import glob
+    import json as _json
+    import shutil
+
+    import pyarrow.parquet as _pq
+
+    from osm_pbf_parquet_spark.plans.manifest import (
+        encode_job,
+        read_encoded,
+        read_manifest,
+    )
+    from osm_pbf_parquet_spark.plans.vacuum import vacuum
+
+    src = spark.read.parquet(pages_path).limit(150)
+    out = str(tmp_path / "zstore")
+    stats = encode_job(spark, src, out, key_col="url", num_partitions=3)
+    run = stats["run_id"]
+    mrows = read_manifest(spark, out).collect()
+    assert all(r.files is not None for r in mrows)
+    recorded = set()
+    for r in mrows:
+        recorded.update(_json.loads(r.files))
+    cdir = str(tmp_path / "zstore" / "chunks")
+    on_disk = {p.split("/")[-1] for p in glob.glob(f"{cdir}/*.parquet")}
+    # subset, not equality: the JVM writer emits an empty part for a
+    # zero-row task, which no chunk row (and so no manifest) references
+    assert recorded and recorded <= on_disk
+
+    # plant a zombie: a real chunk file under an unrecorded name,
+    # same committed run_id inside
+    victim = sorted(recorded)[0]  # a non-empty, referenced file
+    zombie = f"part-{run}-zombiezombie.parquet"
+    shutil.copy(f"{cdir}/{victim}", f"{cdir}/{zombie}")
+    assert read_encoded(spark, out, src.schema).count() == 150, (
+        "zombie must be invisible to the file-level read"
+    )
+    gc = vacuum(spark, out, older_than_s=0.0)
+    assert gc["files_deleted"] == 1
+    assert not glob.glob(f"{cdir}/{zombie}")
+    assert read_encoded(spark, out, src.schema).count() == 150
+
+    # legacy fallback: strip the files column from every manifest part
+    mdir = str(tmp_path / "zstore" / "manifest")
+    for p in glob.glob(f"{mdir}/*.parquet"):
+        t = _pq.read_table(p)
+        _pq.write_table(t.drop_columns(["files"]), p)
+    legacy = read_manifest(spark, out)
+    assert legacy.filter(F.col("files").isNotNull()).count() == 0
+    assert read_encoded(spark, out, src.schema).count() == 150
