@@ -251,7 +251,7 @@ def cmd_decode(args) -> int:
     scale point-read path, src/pbf.rs element fetch)."""
     from .operators.encode import decode_dataframe
     from .operators.pruning import parse_where, prune_where
-    from .plans.manifest import read_chunks, read_manifest
+    from .plans.manifest import read_committed_chunks, read_manifest
     from pyspark.sql import functions as F
 
     spark = _session(args)
@@ -259,12 +259,8 @@ def cmd_decode(args) -> int:
     manifest = read_manifest(spark, args.store, as_of=args.as_of)
     if manifest is None:
         raise FileNotFoundError(f"no manifest under {args.store}")
-    committed = manifest.filter(F.col("status") == "done").select(
-        "partition_id", "run_id"
-    )
-    chunks = read_chunks(spark, args.store).join(
-        F.broadcast(committed), ["partition_id", "run_id"], "left_semi"
-    )
+    committed = manifest.filter(F.col("status") == "done")
+    chunks = read_committed_chunks(spark, args.store, committed)
     n_groups_total = (
         chunks.select("partition_id", "chunk_seq").distinct().count()
     )

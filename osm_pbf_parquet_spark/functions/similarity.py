@@ -277,7 +277,7 @@ def ivf_probe_chunks(spark, out_dir: str, query_vec: list[float],
 
     import numpy as np
 
-    from ..plans.manifest import read_chunks, read_manifest
+    from ..plans.manifest import read_committed_chunks, read_manifest
 
     from ..plans.fsutil import has_scheme, read_bytes
 
@@ -301,13 +301,11 @@ def ivf_probe_chunks(spark, out_dir: str, query_vec: list[float],
             "sidecar exists but the chunk store has no commits (build "
             "crashed before encode_job committed, or wrong path)"
         )
-    committed = manifest.filter(F.col("status") == "done").select(
-        "partition_id", "run_id"
+    committed = manifest.filter(
+        (F.col("status") == "done") & F.col("partition_id").isin(probe)
     )
-    chunks = (
-        read_chunks(spark, out_dir)
-        .filter(F.col("partition_id").isin(probe))
-        .join(F.broadcast(committed), ["partition_id", "run_id"], "left_semi")
+    chunks = read_committed_chunks(spark, out_dir, committed).filter(
+        F.col("partition_id").isin(probe)
     )
     return probe, chunks
 

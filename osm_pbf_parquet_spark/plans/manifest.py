@@ -79,6 +79,12 @@ MANIFEST_SPARK_SCHEMA = T.StructType(
         T.StructField("files", T.StringType()),
     ]
 )
+# drift guard: the JVM route reads with the explicit Spark twin, and
+# a column added to one schema but not the other would silently drop
+# on that route while surfacing on the pyarrow route
+assert [f.name for f in MANIFEST_SPARK_SCHEMA.fields] == list(
+    MANIFEST_ARROW_SCHEMA.names
+)
 
 
 def store_path(out_dir: str, *parts: str) -> str:
@@ -145,9 +151,11 @@ def read_chunks(
         if not files:
             df = spark.createDataFrame([], CHUNKS_STORE_SPARK_SCHEMA)
         else:
-            df = reader.parquet(
-                *[f"{cdir.rstrip('/')}/{n}" for n in files]
-            )
+            from .fsutil import join_uri
+
+            # join_uri, not naive suffixing: a URI store's ?query
+            # config must stay AFTER the child path
+            df = reader.parquet(*[join_uri(cdir, n) for n in files])
     else:
         df = reader.parquet(cdir)
     if with_file:
@@ -476,19 +484,55 @@ def visible_chunk_files(rows) -> list[str] | None:
     return sorted(out)
 
 
+def _max_vacuum_horizon(spark: SparkSession, out_dir: str) -> float | None:
+    """Newest horizon among the store's vacuum records, or None when
+    never vacuumed. Time travel to before this point is NO LONGER
+    SERVED — the files were physically deleted — and must fail with a
+    clear message instead of an opaque missing-file scan error (the
+    vacuum record exists precisely so readers can detect this)."""
+    from .fsutil import has_scheme, list_files
+
+    vdir = store_path(out_dir, "vacuum")
+    if has_scheme(out_dir):
+        parts = list_files(spark, vdir, ".parquet")
+    else:
+        if not os.path.isdir(vdir):
+            return None
+        parts = [
+            os.path.join(vdir, f)
+            for f in os.listdir(vdir)
+            if f.endswith(".parquet") and not f.startswith(".")
+        ]
+    if not parts:
+        return None
+    from .pa_store import fetch_parquet_tables
+
+    hs = [
+        max(t.column("horizon").to_pylist())
+        for t in fetch_parquet_tables(spark, parts)
+        if t.num_rows
+    ]
+    return max(hs) if hs else None
+
+
 def read_committed_chunks(
-    spark: SparkSession, out_dir: str, committed: DataFrame
+    spark: SparkSession, out_dir: str, committed
 ) -> DataFrame:
     """Chunk rows belonging to a manifest selection (columns
-    partition_id, run_id, files). File-level manifests bound the scan
-    to EXACTLY the selection's recorded objects — no directory
-    listing, no footer probes of superseded runs; legacy rows (files
-    NULL) fall back to the listing wholesale. The (partition_id,
-    run_id) semi-join still applies: a rotated file can mix
-    partitions, and on the fallback path it alone carries
-    correctness. The selection is metadata-scale (one row per
-    partition commit) — the collect is driver-safe."""
-    rows = committed.select("partition_id", "run_id", "files").collect()
+    partition_id, run_id, files) — a DataFrame, or pre-collected rows
+    when the caller already paid the manifest resolution (merge).
+    File-level manifests bound the scan to EXACTLY the selection's
+    recorded objects — no directory listing, no footer probes of
+    superseded runs; legacy rows (files NULL) fall back to the
+    listing wholesale. The (partition_id, run_id) semi-join still
+    applies: a rotated file can mix partitions, and on the fallback
+    path it alone carries correctness. The selection is
+    metadata-scale (one row per partition commit) — the collect is
+    driver-safe."""
+    if isinstance(committed, DataFrame):
+        rows = committed.select("partition_id", "run_id", "files").collect()
+    else:
+        rows = committed
     files = visible_chunk_files(rows)
     keys = spark.createDataFrame(
         [(r["partition_id"], r["run_id"]) for r in rows],
@@ -785,6 +829,14 @@ def read_encoded(
     """
     from ..operators.pruning import parse_where, prune_where
 
+    if as_of is not None:
+        h = _max_vacuum_horizon(spark, out_dir)
+        if h is not None and as_of < h:
+            raise ValueError(
+                f"time travel to as_of={as_of} is no longer served: "
+                f"vacuum physically removed files older than horizon "
+                f"{h} (see the store's vacuum records)"
+            )
     manifest = read_manifest(spark, out_dir, as_of=as_of)
     if manifest is None:
         raise FileNotFoundError(f"no manifest under {out_dir}")
@@ -872,6 +924,14 @@ def read_incremental(
     Pass until to replay a historical window (e.g. re-run yesterday's
     failed downstream batch); default is "now" (everything since).
     """
+    if until is not None:
+        h = _max_vacuum_horizon(spark, out_dir)
+        if h is not None and until < h:
+            raise ValueError(
+                f"incremental window until={until} is no longer "
+                f"served: vacuum physically removed files older than "
+                f"horizon {h}"
+            )
     manifest = read_manifest(spark, out_dir, as_of=until)
     if manifest is None:
         raise FileNotFoundError(f"no manifest under {out_dir}")

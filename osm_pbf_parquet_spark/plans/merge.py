@@ -146,10 +146,14 @@ def merge_job(
             )
         )
         # manifest metadata is tiny (one row per partition) — driver-
-        # side pid list is bounded by the change set, not the table
-        existing_pids = {r[0] for r in targets.select("partition_id").collect()}
+        # side pid list is bounded by the change set, not the table;
+        # ONE collect serves both the pid set and the chunk read
+        target_rows = targets.select(
+            "partition_id", "run_id", "files"
+        ).collect()
+        existing_pids = {r["partition_id"] for r in target_rows}
         if existing_pids:
-            current = read_committed_chunks(spark, out_dir, targets)
+            current = read_committed_chunks(spark, out_dir, target_rows)
             decoded = decode_dataframe(current, schema)
             # drop rows superseded by an update or removed by a delete
             base_kept = decoded.join(

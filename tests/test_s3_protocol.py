@@ -307,3 +307,48 @@ def test_read_chunks_honest_on_corrupt_and_preschema_files(
         f.write(b"this is not parquet")
     with pytest.raises(Exception, match="[Pp]arquet|magic|Invalid"):
         read_chunks(spark, out, run_id=run).count()
+
+
+def test_zombie_object_invisible_and_vacuumed_over_s3(
+    spark, pages_path, s3_store
+):
+    """r6 file-level manifests on the route where zombies actually
+    arise (a task attempt's late flush past the reconcile sweep):
+    recorded names are bare (no ?query leak from the __file URI), a
+    planted zombie with a committed (pid, run_id) pair is invisible
+    to reads, and vacuum deletes it despite the visible pair."""
+    import json as _json
+    import shutil
+
+    from osm_pbf_parquet_spark.plans.manifest import (
+        encode_job,
+        read_encoded,
+        read_manifest,
+    )
+    from osm_pbf_parquet_spark.plans.vacuum import vacuum
+
+    root, port = s3_store
+    src = spark.read.parquet(pages_path).limit(120)
+    out = s3_uri(port, "bkt", "zstore")
+    stats = encode_job(spark, src, out, key_col="url", num_partitions=3)
+    run = stats["run_id"]
+    recorded = set()
+    for r in read_manifest(spark, out).collect():
+        assert r.files is not None
+        names = _json.loads(r.files)
+        assert all("?" not in n and "/" not in n for n in names), (
+            "recorded names must be bare (no URI/query leak)"
+        )
+        recorded.update(names)
+    cdir = os.path.join(root, "zstore", "chunks")
+    assert recorded == set(os.listdir(cdir))
+    victim = sorted(recorded)[0]
+    zombie = f"part-{run}-zombiezombie.parquet"
+    shutil.copy(os.path.join(cdir, victim), os.path.join(cdir, zombie))
+    assert read_encoded(spark, out, src.schema).count() == 120, (
+        "zombie invisible to the file-level read over s3"
+    )
+    gc = vacuum(spark, out, older_than_s=0.0)
+    assert gc["files_deleted"] == 1
+    assert not os.path.exists(os.path.join(cdir, zombie))
+    assert read_encoded(spark, out, src.schema).count() == 120

@@ -127,3 +127,42 @@ def test_store_count_and_minmax_from_metadata(spark, sf_dir):
         assert ms["max_value"] == es["hi"]
     finally:
         chunks.unpersist()
+
+
+def test_time_travel_past_vacuum_horizon_fails_clearly(spark, tmp_path):
+    """r6 review: after vacuum physically removes superseded files,
+    an as_of read into the vacuumed window must fail with a clear
+    'no longer served' error (detected via the vacuum record), not an
+    opaque missing-file scan exception — and a same-window
+    incremental replay likewise."""
+    import time as _time
+
+    import pytest as _pytest
+
+    import pyspark.sql.functions as F
+
+    from osm_pbf_parquet_spark.plans.compact import compact_partitions
+    from osm_pbf_parquet_spark.plans.manifest import (
+        encode_job,
+        read_encoded,
+        read_incremental,
+    )
+    from osm_pbf_parquet_spark.plans.vacuum import vacuum
+
+    df = spark.range(0, 200).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    out = str(tmp_path / "ttv")
+    encode_job(spark, df, out, key_col="k", num_partitions=4,
+               target_chunk_bytes=512)
+    t_pre = _time.time()
+    _time.sleep(0.05)
+    compact_partitions(spark, out, min_chunks=1)
+    assert vacuum(spark, out, older_than_s=0.0)["files_deleted"] > 0
+
+    with _pytest.raises(ValueError, match="no longer served"):
+        read_encoded(spark, out, df.schema, as_of=t_pre)
+    with _pytest.raises(ValueError, match="no longer served"):
+        read_incremental(spark, out, df.schema, since=0.0, until=t_pre)
+    # the current view is unaffected
+    assert read_encoded(spark, out, df.schema).count() == 200
