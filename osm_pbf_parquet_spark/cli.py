@@ -251,11 +251,16 @@ def cmd_decode(args) -> int:
     scale point-read path, src/pbf.rs element fetch)."""
     from .operators.encode import decode_dataframe
     from .operators.pruning import parse_where, prune_where
-    from .plans.manifest import read_committed_chunks, read_manifest
+    from .plans.manifest import (
+        check_time_travel_served,
+        read_committed_chunks,
+        read_manifest,
+    )
     from pyspark.sql import functions as F
 
     spark = _session(args)
     schema = spark.read.parquet(args.schema_from).schema
+    check_time_travel_served(spark, args.store, args.as_of)
     manifest = read_manifest(spark, args.store, as_of=args.as_of)
     if manifest is None:
         raise FileNotFoundError(f"no manifest under {args.store}")

@@ -484,12 +484,13 @@ def visible_chunk_files(rows) -> list[str] | None:
     return sorted(out)
 
 
-def _max_vacuum_horizon(spark: SparkSession, out_dir: str) -> float | None:
-    """Newest horizon among the store's vacuum records, or None when
-    never vacuumed. Time travel to before this point is NO LONGER
-    SERVED — the files were physically deleted — and must fail with a
-    clear message instead of an opaque missing-file scan error (the
-    vacuum record exists precisely so readers can detect this)."""
+def _min_servable_as_of(spark: SparkSession, out_dir: str) -> float | None:
+    """Oldest as_of the store can still serve, from the vacuum
+    records' `min_servable_as_of` column — the max SUPERSEDING-commit
+    time over files vacuum physically deleted (orphan/zombie-only
+    vacuums record NULL: they unserve nothing). None when never
+    vacuumed or nothing restricting. Legacy records without the
+    column fall back to their mtime `horizon` (conservative)."""
     from .fsutil import has_scheme, list_files
 
     vdir = store_path(out_dir, "vacuum")
@@ -507,12 +508,37 @@ def _max_vacuum_horizon(spark: SparkSession, out_dir: str) -> float | None:
         return None
     from .pa_store import fetch_parquet_tables
 
-    hs = [
-        max(t.column("horizon").to_pylist())
-        for t in fetch_parquet_tables(spark, parts)
-        if t.num_rows
-    ]
-    return max(hs) if hs else None
+    cutoffs = []
+    for t in fetch_parquet_tables(spark, parts):
+        if not t.num_rows:
+            continue
+        if "min_servable_as_of" in t.column_names:
+            cutoffs.extend(
+                v
+                for v in t.column("min_servable_as_of").to_pylist()
+                if v is not None
+            )
+        else:  # pre-column record: only the retention horizon exists
+            cutoffs.extend(t.column("horizon").to_pylist())
+    return max(cutoffs) if cutoffs else None
+
+
+def check_time_travel_served(
+    spark: SparkSession, out_dir: str, as_of: float | None
+) -> None:
+    """Raise a clear error when an as_of view references files vacuum
+    has physically deleted — instead of the opaque missing-file scan
+    error the read would otherwise die with. Shared by read_encoded,
+    read_incremental, and the CLI decode path."""
+    if as_of is None:
+        return
+    cutoff = _min_servable_as_of(spark, out_dir)
+    if cutoff is not None and as_of < cutoff:
+        raise ValueError(
+            f"time travel to as_of={as_of} is no longer served: "
+            f"vacuum physically removed files of views superseded "
+            f"before {cutoff} (see the store's vacuum records)"
+        )
 
 
 def read_committed_chunks(
@@ -829,14 +855,7 @@ def read_encoded(
     """
     from ..operators.pruning import parse_where, prune_where
 
-    if as_of is not None:
-        h = _max_vacuum_horizon(spark, out_dir)
-        if h is not None and as_of < h:
-            raise ValueError(
-                f"time travel to as_of={as_of} is no longer served: "
-                f"vacuum physically removed files older than horizon "
-                f"{h} (see the store's vacuum records)"
-            )
+    check_time_travel_served(spark, out_dir, as_of)
     manifest = read_manifest(spark, out_dir, as_of=as_of)
     if manifest is None:
         raise FileNotFoundError(f"no manifest under {out_dir}")
@@ -924,14 +943,7 @@ def read_incremental(
     Pass until to replay a historical window (e.g. re-run yesterday's
     failed downstream batch); default is "now" (everything since).
     """
-    if until is not None:
-        h = _max_vacuum_horizon(spark, out_dir)
-        if h is not None and until < h:
-            raise ValueError(
-                f"incremental window until={until} is no longer "
-                f"served: vacuum physically removed files older than "
-                f"horizon {h}"
-            )
+    check_time_travel_served(spark, out_dir, until)
     manifest = read_manifest(spark, out_dir, as_of=until)
     if manifest is None:
         raise FileNotFoundError(f"no manifest under {out_dir}")

@@ -51,6 +51,12 @@ VACUUM_SCHEMA = pa.schema(
         ("horizon", pa.float64()),
         ("files_deleted", pa.int64()),
         ("bytes_reclaimed", pa.int64()),
+        # oldest as_of this store can still serve after the deletion:
+        # max SUPERSEDING-commit time over deleted superseded files
+        # (orphan/zombie deletions never restrict time travel → NULL).
+        # The mtime-based `horizon` above is a RETENTION knob, not a
+        # serving cutoff — readers must use this column.
+        ("min_servable_as_of", pa.float64()),
     ]
 )
 
@@ -104,12 +110,31 @@ def vacuum(
         .agg(
             F.max(F.coalesce("__vis__", F.lit(0))).alias("live"),
             F.collect_set("run_id").alias("runs"),
+            F.collect_set("partition_id").alias("pids"),
         )
         .collect()  # one row per FILE — thousands, not rows; driver-safe
     )
     from .fsutil import has_scheme
 
     uri_store = has_scheme(out_dir)
+    # serving-cutoff inputs: which runs were ever COMMITTED (raw rows,
+    # winners and superseded alike — an orphan's run appears nowhere),
+    # and each partition's newest winning commit time (the moment the
+    # superseded view stopped being current)
+    from .manifest import _read_manifest_raw
+
+    raw = _read_manifest_raw(spark, out_dir)
+    committed_runs = (
+        {r["run_id"] for r in raw.select("run_id").distinct().collect()}
+        if raw is not None
+        else set()
+    )
+    sup_commit = {
+        r["partition_id"]: r["mc"]
+        for r in manifest.groupBy("partition_id")
+        .agg(F.max("committed_at").alias("mc"))
+        .collect()
+    }
 
     def _stat(path):
         """(mtime_s, size) via local stat or the remote FS (URI stores:
@@ -127,10 +152,12 @@ def vacuum(
     kept = 0
     victims: list[tuple[str, int]] = []  # (path, size) — stat ONCE per file
     victim_bytes = 0
+    cutoff_candidates: list[float] = []
     from .fsutil import split_query
 
     for r in file_rows:
         path = r["file"]
+        zombie = False
         if r["live"]:
             base = split_query(path)[0].rsplit("/", 1)[-1]
             zombie = (
@@ -151,6 +178,15 @@ def vacuum(
         if mtime > horizon:
             kept += 1  # young orphan: may be an in-flight writer
             continue
+        # serving cutoff: only a SUPERSEDED file's deletion unserves
+        # historical views — its rows were visible from their own
+        # commit until the partition's superseding commit. Orphans
+        # (run never committed) and zombies (duplicate content of
+        # still-served rows) restrict nothing.
+        if not zombie and any(rn in committed_runs for rn in r["runs"]):
+            cutoff_candidates.append(
+                max(sup_commit.get(pid, now) for pid in r["pids"])
+            )
         victims.append((path, sz))
         victim_bytes += sz
     if not dry_run and victims:
@@ -165,6 +201,11 @@ def vacuum(
                     "horizon": horizon,
                     "files_deleted": len(victims),
                     "bytes_reclaimed": victim_bytes,
+                    "min_servable_as_of": (
+                        max(cutoff_candidates)
+                        if cutoff_candidates
+                        else None
+                    ),
                 }
             ],
             schema=VACUUM_SCHEMA,

@@ -352,3 +352,10 @@ def test_zombie_object_invisible_and_vacuumed_over_s3(
     assert gc["files_deleted"] == 1
     assert not os.path.exists(os.path.join(cdir, zombie))
     assert read_encoded(spark, out, src.schema).count() == 120
+    # a zombie-only vacuum unserves NOTHING: its record carries no
+    # serving cutoff, so time travel anywhere is still allowed
+    import time as _time
+
+    assert read_encoded(
+        spark, out, src.schema, as_of=_time.time()
+    ).count() == 120

@@ -164,5 +164,11 @@ def test_time_travel_past_vacuum_horizon_fails_clearly(spark, tmp_path):
         read_encoded(spark, out, df.schema, as_of=t_pre)
     with _pytest.raises(ValueError, match="no longer served"):
         read_incremental(spark, out, df.schema, since=0.0, until=t_pre)
-    # the current view is unaffected
+    # the current view is unaffected, and — r6 review — an as_of
+    # AFTER the superseding (compaction) commit is still fully
+    # servable: the cutoff is the superseding-commit time, NOT the
+    # vacuum's mtime retention horizon (which is ~now here)
     assert read_encoded(spark, out, df.schema).count() == 200
+    assert read_encoded(
+        spark, out, df.schema, as_of=_time.time()
+    ).count() == 200
