@@ -22,8 +22,10 @@ removal does, using only the store's own metadata:
 * crash-safe: deletion is the last step and idempotent — a vacuum
   that dies mid-delete leaves some garbage files for the next run;
   a vacuum record (one manifest-style parquet part) is committed
-  FIRST, recording the horizon so readers can detect that time
-  travel before it is no longer served.
+  FIRST, recording `min_servable_as_of` (the max superseding-commit
+  time over deleted SUPERSEDED files; NULL for orphan/zombie-only
+  runs, which unserve nothing) so readers fail time travel into the
+  vacuumed window with a clear error instead of a missing-file scan.
 
 Reference parity: the reference never rewrites, so it needs no GC
 (src/sink.rs:75-94 writes each file once); vacuum exists because this
