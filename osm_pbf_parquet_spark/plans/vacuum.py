@@ -111,32 +111,15 @@ def vacuum(
         .groupBy("file")
         .agg(
             F.max(F.coalesce("__vis__", F.lit(0))).alias("live"),
-            F.collect_set("run_id").alias("runs"),
-            F.collect_set("partition_id").alias("pids"),
+            F.collect_set(
+                F.struct("partition_id", "run_id")
+            ).alias("pairs"),
         )
         .collect()  # one row per FILE — thousands, not rows; driver-safe
     )
     from .fsutil import has_scheme
 
     uri_store = has_scheme(out_dir)
-    # serving-cutoff inputs: which runs were ever COMMITTED (raw rows,
-    # winners and superseded alike — an orphan's run appears nowhere),
-    # and each partition's newest winning commit time (the moment the
-    # superseded view stopped being current)
-    from .manifest import _read_manifest_raw
-
-    raw = _read_manifest_raw(spark, out_dir)
-    committed_runs = (
-        {r["run_id"] for r in raw.select("run_id").distinct().collect()}
-        if raw is not None
-        else set()
-    )
-    sup_commit = {
-        r["partition_id"]: r["mc"]
-        for r in manifest.groupBy("partition_id")
-        .agg(F.max("committed_at").alias("mc"))
-        .collect()
-    }
 
     def _stat(path):
         """(mtime_s, size) via local stat or the remote FS (URI stores:
@@ -152,20 +135,21 @@ def vacuum(
     deleted = 0
     reclaimed = 0
     kept = 0
-    victims: list[tuple[str, int]] = []  # (path, size) — stat ONCE per file
+    # (path, size, pairs, zombie) — stat ONCE per file
+    victims: list[tuple[str, int, list, bool]] = []
     victim_bytes = 0
-    cutoff_candidates: list[float] = []
     from .fsutil import split_query
 
     for r in file_rows:
         path = r["file"]
         zombie = False
+        runs = {p["run_id"] for p in r["pairs"]}
         if r["live"]:
             base = split_query(path)[0].rsplit("/", 1)[-1]
             zombie = (
                 tracked
-                and all(rn in recorded for rn in r["runs"])
-                and all(base not in recorded[rn] for rn in r["runs"])
+                and all(rn in recorded for rn in runs)
+                and all(base not in recorded[rn] for rn in runs)
             )
             if not zombie:
                 kept += 1
@@ -180,20 +164,49 @@ def vacuum(
         if mtime > horizon:
             kept += 1  # young orphan: may be an in-flight writer
             continue
-        # serving cutoff: only a SUPERSEDED file's deletion unserves
-        # historical views — its rows were visible from their own
-        # commit until the partition's superseding commit. Orphans
-        # (run never committed) and zombies (duplicate content of
-        # still-served rows) restrict nothing.
-        if not zombie and any(rn in committed_runs for rn in r["runs"]):
-            cutoff_candidates.append(
-                max(sup_commit.get(pid, now) for pid in r["pids"])
-            )
-        victims.append((path, sz))
+        victims.append((path, sz, list(r["pairs"]), zombie))
         victim_bytes += sz
+
+    # Serving cutoff (lazy — only when a record will be written): a
+    # deleted SUPERSEDED file's rows were visible from their own
+    # commit until their DIRECT SUCCESSOR commit in the same
+    # (snapshot, partition) — not the partition's newest commit,
+    # which would over-block still-servable mid-history views whose
+    # files survive the mtime horizon. Orphans (run never committed)
+    # and zombies (duplicate content of still-served rows) restrict
+    # nothing. The record stores the max successor over deleted
+    # files: as_of at/after it never references a deleted file.
+    cutoff_candidates: list[float] = []
+    if victims and not dry_run:
+        from .manifest import _read_manifest_raw
+
+        raw = _read_manifest_raw(spark, out_dir)
+        commit_entries: dict[tuple, list] = {}
+        by_sp: dict[tuple, list] = {}
+        if raw is not None:
+            for r in raw.select(
+                "snapshot_id", "partition_id", "run_id", "committed_at"
+            ).distinct().collect():
+                commit_entries.setdefault(
+                    (r["partition_id"], r["run_id"]), []
+                ).append((r["snapshot_id"], r["committed_at"]))
+                by_sp.setdefault(
+                    (r["snapshot_id"], r["partition_id"]), []
+                ).append(r["committed_at"])
+        for _path, _sz, pairs, zomb in victims:
+            if zomb:
+                continue
+            for p in pairs:
+                key = (p["partition_id"], p["run_id"])
+                for snap, t in commit_entries.get(key, ()):  # orphan: absent
+                    succs = [
+                        c for c in by_sp[(snap, p["partition_id"])] if c > t
+                    ]
+                    cutoff_candidates.append(min(succs) if succs else now)
     if not dry_run and victims:
-        # commit the vacuum record BEFORE deleting: readers can see
-        # that time travel older than `horizon` is no longer served
+        # commit the vacuum record BEFORE deleting: readers use its
+        # min_servable_as_of (NOT the mtime retention horizon) to fail
+        # time travel into the deleted window with a clear error
         vid = uuid.uuid4().hex[:12]
         rec = pa.Table.from_pylist(
             [
@@ -223,7 +236,7 @@ def vacuum(
             buf.getvalue(),
         )
     if not dry_run:
-        for path, sz in victims:
+        for path, sz, _pairs, _zomb in victims:
             try:
                 if uri_store:
                     from .fsutil import delete_file

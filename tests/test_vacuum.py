@@ -172,3 +172,51 @@ def test_time_travel_past_vacuum_horizon_fails_clearly(spark, tmp_path):
     assert read_encoded(
         spark, out, df.schema, as_of=_time.time()
     ).count() == 200
+
+
+def test_partial_vacuum_keeps_mid_history_views_servable(spark, tmp_path):
+    """r6 review (over-block): the serving cutoff must be each deleted
+    file's DIRECT-successor commit, not the partition's newest commit.
+    Store history: encode A → compact C1 → compact C2. A partial
+    vacuum whose mtime horizon removes only A's files must leave an
+    as_of inside [C1, C2) fully servable (C1's files survive), while
+    as_of before C1 fails clearly."""
+    import time as _time
+
+    import pytest as _pytest
+
+    import pyspark.sql.functions as F
+
+    from osm_pbf_parquet_spark.plans.compact import compact_partitions
+    from osm_pbf_parquet_spark.plans.manifest import (
+        encode_job,
+        read_encoded,
+    )
+    from osm_pbf_parquet_spark.plans.vacuum import vacuum
+
+    df = spark.range(0, 200).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("v")
+    )
+    out = str(tmp_path / "midhist")
+    encode_job(spark, df, out, key_col="k", num_partitions=4,
+               target_chunk_bytes=512)
+    t_a_done = _time.time()
+    _time.sleep(1.1)
+    assert compact_partitions(spark, out, min_chunks=1)[
+        "compacted_partitions"] > 0
+    t_c1_done = _time.time()
+    _time.sleep(1.1)
+    assert compact_partitions(spark, out, min_chunks=1)[
+        "compacted_partitions"] > 0
+
+    # horizon between A's files and C1's files: only A gets deleted
+    gc = vacuum(spark, out, older_than_s=_time.time() - (t_a_done + 0.5))
+    assert gc["files_deleted"] > 0
+
+    # inside [C1, C2): C1's files survived — must be servable
+    assert read_encoded(spark, out, df.schema, as_of=t_c1_done).count() == 200
+    # before C1: A's files are gone — clear refusal
+    with _pytest.raises(ValueError, match="no longer served"):
+        read_encoded(spark, out, df.schema, as_of=t_a_done)
+    # current view untouched
+    assert read_encoded(spark, out, df.schema).count() == 200
