@@ -64,6 +64,72 @@ class EncodeConfig:
         return derive_chunk_target(spark)
 
 
+def bypass_merge_threshold(spark) -> int:
+    """spark.shuffle.sort.bypassMergeThreshold (static core conf):
+    exchanges with <= this many reduce partitions use the bypass-merge
+    writer, which creates one file PER REDUCE PARTITION per map task
+    (M x R file creates + merges + deletes). Past it, the sort-based
+    writer emits ONE data+index file pair per map task."""
+    try:
+        return int(
+            spark.sparkContext.getConf().get(
+                "spark.shuffle.sort.bypassMergeThreshold", "200"
+            )
+        )
+    except Exception:  # noqa: BLE001 — unreadable conf: spec default
+        return 200
+
+
+def derive_shuffle_partitions(spark, floor: int = 0) -> int:
+    """Partition count for operator-internal value-keyed exchanges
+    (bucket windows, pair dedup): at least the session's
+    spark.sql.shuffle.partitions and 2x cores, and strictly ABOVE the
+    bypass-merge threshold.
+
+    Why the threshold nudge (r7, measured): a many-map exchange into
+    R <= threshold reducers pays M x R shuffle-file creates/deletes —
+    on this host the 256-map x 64-reducer bucket exchange spent ~30
+    CPU-s in FileOutputStream.open0/delete0 (thread dumps), and moving
+    to 301 reducers (single-file sort writer) took the window stage
+    4.7 s -> 2.0 s wall. On a real cluster shuffle.partitions for a
+    100 TB corpus is far above 200 already, so the nudge is a no-op
+    there; it only corrects small-session defaults.
+    """
+    try:
+        sql_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    except Exception:  # noqa: BLE001
+        sql_parts = 200
+    cores = spark.sparkContext.defaultParallelism or 4
+    n = max(sql_parts, 2 * cores, floor)
+    bypass = bypass_merge_threshold(spark)
+    if n <= bypass:
+        n = bypass + 1
+    return n
+
+
+def widen_for_kernel(df, factor: int = 8):
+    """Widen a NARROW input before a per-byte map-side kernel
+    (minhash/gram/signature mapInArrow passes) so the kernel uses every
+    core instead of the input's accidental partition count.
+
+    A small table read from one or two parquet files arrives in 1-2
+    partitions; a mapInArrow kernel then runs on 1-2 cores while the
+    rest of the cluster idles (measured r7: the sf1 minhash signature
+    pass over 2 cached partitions took 6.3 s at local[32]; widened to
+    8× cores it takes 1.6 s — doc-length skew is why 8× beats 2×). At
+    100 TB inputs already carry ≥ thousands of partitions and this is
+    a no-op — the check is partition-count-based, not a constant tuned
+    to local mode. The round-robin exchange moves only the narrow
+    (id, text) projection the kernel consumes, and every downstream
+    consumer here is partitioning-insensitive (groupBy/window
+    re-shuffle by value), so results are unchanged.
+    """
+    target = derive_num_partitions(df.sparkSession)
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def derive_num_partitions(spark, factor: int = 8, floor: int = 32) -> int:
     """Default engine-partition count: ≥ factor × available cores.
 

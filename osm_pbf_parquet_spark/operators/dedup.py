@@ -91,6 +91,24 @@ def bounded_bucket_pairs(
     bucket (every caller emits one row per (member, band)), which
     makes the sort order — and thus the chain — deterministic.
     """
+    from ..config import derive_shuffle_partitions
+
+    # r7: establish the bucket partitioning EXPLICITLY at a count past
+    # the bypass-merge threshold. The window/groupBy below requires
+    # ClusteredDistribution(key_cols), which this repartition satisfies
+    # (still exactly ONE exchange) — but at e.g. 64 reducers (2x cores
+    # session default) the bypass-merge writer creates maps x 64
+    # shuffle files, ~30 CPU-s of open0/delete0 syscalls on the sf1
+    # bench (thread-dump evidence); past the threshold the sort writer
+    # emits one file per map task. Measured: window stage 4.7 -> 2.0 s.
+    n_exch = derive_shuffle_partitions(banded.sparkSession)
+    banded = banded.repartition(n_exch, *key_cols)
+    # pairs leave partitioned by (a, b) at the same count, so every
+    # caller's immediate .distinct() reuses the partitioning shape and
+    # its exchange also clears the bypass threshold
+    def _pair_out(pairs_df: DataFrame) -> DataFrame:
+        return pairs_df.repartition(n_exch, "a", "b")
+
     all_pairs = (
         "flatten(transform(_lst, (x, i) -> "
         "transform(slice(_lst, i + 2, size(_lst)), "
@@ -102,7 +120,7 @@ def bounded_bucket_pairs(
             .agg(F.sort_array(F.collect_list(member_col)).alias("_lst"))
             .filter(F.size("_lst") >= 2)
         )
-        return (
+        return _pair_out(
             buckets.select(F.explode(F.expr(all_pairs)).alias("p"))
             .select("p.a", "p.b")
         )
@@ -147,7 +165,9 @@ def bounded_bucket_pairs(
         f"WHEN _rn >= {cap + 2} THEN array(named_struct('a', _prev, 'b', _m)) "
         "END"
     )
-    return l2.select(F.explode(pairs).alias("p")).select("p.a", "p.b")
+    return _pair_out(
+        l2.select(F.explode(pairs).alias("p")).select("p.a", "p.b")
+    )
 
 
 def dedup_exact(
@@ -244,7 +264,10 @@ def minhash_signatures(
                 [id_col, "sig"],
             )
 
-    return df.select(id_col, text_col).mapInArrow(sig_fn, sig_schema)
+    from ..config import widen_for_kernel
+
+    src = widen_for_kernel(df.select(id_col, text_col))
+    return src.mapInArrow(sig_fn, sig_schema)
 
 
 def _sig_out_schema(df: DataFrame, id_col: str):
@@ -438,7 +461,9 @@ def simhash_signatures(
     shape beats a row-local aggregate() formulation ~1.5× (interpreted
     HOF lambdas vs codegen'd hash agg), and partial aggregation means
     only one row per doc crosses the exchange."""
-    toks = df.select(
+    from ..config import widen_for_kernel
+
+    toks = widen_for_kernel(df.select(id_col, text_col)).select(
         id_col,
         F.explode(
             F.regexp_extract_all(
@@ -616,7 +641,9 @@ def embedding_lsh_pairs(
     """
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    src = df.select(id_col, vec_col)
+    from ..config import widen_for_kernel
+
+    src = widen_for_kernel(df.select(id_col, vec_col))
 
     # All band signatures in ONE Arrow-batched GEMM per batch (the
     # ivf_assign kernel shape, functions/similarity.py): signs =

@@ -87,6 +87,49 @@ CHUNKS_STORE_SPARK_SCHEMA = T.StructType(
 )
 
 
+def _exchange_buckets(spark, num_partitions: int) -> int:
+    """Task-bucket count for the pid-keyed exchange (r7).
+
+    Hashing N distinct pid values into exactly N buckets leaves ~1/e
+    of the tasks empty and hands some tasks 2-3 pids (guide §2.5:
+    synthetic keys with too few distinct values) — at the sf1 bench
+    that made the encode exchange's critical path ~3 pid-units instead
+    of 1. Spreading the same pids over ~4x buckets makes collisions
+    rare (E[pairs] ~ N²/2B), and clearing the bypass-merge threshold
+    switches the shuffle to the one-file-per-map sort writer instead
+    of maps x buckets file creates (see config.derive_shuffle_
+    partitions). Empty buckets cost one ~10 ms no-input task each.
+    The pid VALUES — and therefore every chunk row — are unchanged;
+    only the pid -> task placement spreads, and rows of one pid still
+    land in exactly one task (hash of the pid value), which is the
+    invariant (partition_id, chunk_seq) uniqueness needs.
+    """
+    from ..config import bypass_merge_threshold
+
+    return max(bypass_merge_threshold(spark) + 1, 4 * num_partitions + 1)
+
+
+#: spread the encode exchange only when a pid carries at least this
+#: much data: the spread's ~3x empty buckets each pay a no-input
+#: python worker task (~10 ms), which only amortizes against heavy
+#: per-pid bridge+kernel work. sf1 A/B (same session, best-of-3):
+#: lineitem at 29 MB/pid 3.99 -> 3.51 s with spread; events at
+#: 0.5 MB/pid 1.08 -> 2.18 s WITH spread (regression) — hence gated.
+SPREAD_MIN_BYTES_PER_PID = 16 << 20
+
+
+def _plan_size_estimate(df: DataFrame) -> int | None:
+    """Catalyst's optimized-plan size estimate (exact for cached
+    relations and file scans, heuristic after transforms); None when
+    the internal API is unavailable."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # noqa: BLE001 — estimate-only path
+        return None
+
+
 def with_partition_id(
     df: DataFrame, key_col: str, num_partitions: int, pid_expr=None
 ) -> DataFrame:
@@ -294,7 +337,12 @@ def encode_dataframe(
         with_pid = df
     else:
         with_pid = with_partition_id(df, key_col, num_partitions, pid_expr)
-    routed = with_pid.repartition(num_partitions, PID_COL)
+    est = _plan_size_estimate(df)
+    if est is not None and est // max(1, num_partitions) >= SPREAD_MIN_BYTES_PER_PID:
+        n_buckets = _exchange_buckets(df.sparkSession, num_partitions)
+    else:
+        n_buckets = num_partitions
+    routed = with_pid.repartition(n_buckets, PID_COL)
     if sort_cols:
         routed = routed.sortWithinPartitions(PID_COL, *sort_cols)
     return routed.mapInArrow(
@@ -511,6 +559,11 @@ def decode_dataframe(
     n = num_partitions or chunks_df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32"
     )
+    # NOTE (r7): unlike the encode exchange, this one is NOT spread
+    # over extra buckets — decode tasks are light (a few MB of chunk
+    # payload each), so the ~3x empty-task worker handshakes of a
+    # spread exchange cost more than the pid-collision stragglers they
+    # remove (measured sf1 A/B: 1.27 s at n buckets vs 1.95 s spread).
     co_located = chunks_df.repartition(int(n), "partition_id")
     return co_located.mapInArrow(
         make_decode_fn([f.name for f in schema], row_filter=row_filter), schema

@@ -102,12 +102,13 @@ def _lzw_decode(data: bytes, min_code: int, n_pixels: int) -> np.ndarray:
         if prev is not None and next_code < 4096:
             table[next_code] = prev + entry[:1]
             next_code += 1
-            # classic LZW lag: the decoder's table trails the encoder
-            # by ONE entry (the encoder adds at every emission, the
-            # decoder only from the second post-clear code), so width
-            # must grow when next_code + 1 hits 2^width — exactly when
-            # the ENCODER's counter hits the boundary
-            if next_code + 1 == (1 << width) and width < 12:
+            # standard (giflib) timing: grow once the next free slot
+            # no longer fits in the current width. The decoder's table
+            # trails the encoder by one entry, and the encoder grows
+            # only AFTER emitting the first code at the old width once
+            # its own counter hits 2^width — so both sides cross the
+            # width boundary between the same two codes.
+            if next_code == (1 << width) and width < 12:
                 width += 1
         prev = entry
     if filled < n_pixels:
@@ -210,13 +211,17 @@ def _lzw_encode(indices: np.ndarray, min_code: int) -> bytes:
             cur = nxt
             continue
         bw.write(table[cur], width)
+        # standard (giflib) timing: grow AFTER emitting a code, once
+        # the next free slot no longer fits — i.e. the first code
+        # following the definition of entry 2^width - 1 still goes out
+        # at the old width, then the width bumps. (The decoder, whose
+        # table trails by one entry, reaches its own 2^width boundary
+        # between the same two codes.)
+        if next_code >= (1 << width) and width < 12:
+            width += 1
         if next_code < 4096:
             table[nxt] = next_code
             next_code += 1
-            # lockstep with the decoder: codes up to next_code must
-            # fit, so width grows exactly when next_code == 2^width
-            if next_code == (1 << width) and width < 12:
-                width += 1
         else:  # table full: emit CLEAR, reset (decoder twin mirrors)
             bw.write(clear, width)
             table = {bytes([i]): i for i in range(clear)}
@@ -225,6 +230,8 @@ def _lzw_encode(indices: np.ndarray, min_code: int) -> bytes:
         cur = bytes([v])
     if cur:
         bw.write(table[cur], width)
+        if next_code >= (1 << width) and width < 12:
+            width += 1
     bw.write(eoi, width)
     return bw.flush()
 

@@ -147,7 +147,10 @@ class _BitReader:
                 )
         else:
             self.pos += 1
-        self.buf = (self.buf << 8) | b
+        # mask to the live window: without it, consumed high bits
+        # accumulate and buf grows by 8 bits per entropy byte, making
+        # each shift O(scan size) — quadratic decode on real scans
+        self.buf = ((self.buf & ((1 << self.nbits) - 1)) << 8) | b
         self.nbits += 8
 
     def bit(self) -> int:

@@ -103,7 +103,11 @@ def gram_hashes(
                 [id_col, "gram"],
             )
 
-    return df.select(id_col, text_col).mapInArrow(gram_fn, schema)
+    from ..config import widen_for_kernel
+
+    return widen_for_kernel(df.select(id_col, text_col)).mapInArrow(
+        gram_fn, schema
+    )
 
 
 def gram_positions(
@@ -142,7 +146,11 @@ def gram_positions(
                 [id_col, "pos", "gram"],
             )
 
-    return df.select(id_col, text_col).mapInArrow(pos_fn, schema)
+    from ..config import widen_for_kernel
+
+    return widen_for_kernel(df.select(id_col, text_col)).mapInArrow(
+        pos_fn, schema
+    )
 
 
 def _gram_kernel(batch, text_col: str, id_col: str, k: int,

@@ -473,6 +473,11 @@ def _parse_stringtable(buf: bytes) -> pa.Array:
         if buf[pos] != 0x0A:
             simple = False
             break
+        if pos + 1 >= end:
+            # truncated entry (tag with no length byte): same typed
+            # corruption error as every other X6 fail-fast path, not
+            # an IndexError callers would miss
+            raise ValueError("stringtable entry truncated — corrupt PBF")
         ln = buf[pos + 1]
         pos += 2
         if ln >= 0x80:

@@ -92,6 +92,43 @@ def test_fixture_formula_matches_oracle_arithmetic():
         assert img.shape == (5 + (doc_id * 7) % 8, 6 + doc_id % 9, 3)
 
 
+def _pack_lsb(codes_widths):
+    """LSB-first bit packing of (code, width) pairs — independent of
+    the module's writer, so the vectors below pin wire timing."""
+    buf, acc, nb = bytearray(), 0, 0
+    for c, w in codes_widths:
+        acc |= c << nb
+        nb += w
+        while nb >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            nb -= 8
+    if nb:
+        buf.append(acc & 0xFF)
+    return bytes(buf)
+
+
+def test_lzw_standard_width_timing_interop():
+    """r6 ADVICE (high): the width bump was one code early vs the GIF
+    standard on both sides. This pins the giflib/spec timing with a
+    HAND-DERIVED code stream (no dependence on our encoder): for
+    pixels [0,1,2,0,1,2,3] at min_code=2 the standard encoder emits
+    4/3b, 0/3b, 1/3b, 2/3b (entry 7 is defined here, so next_code hits
+    8 == 2^3, but the width grows only AFTER this code), 6/4b, 2/4b,
+    3/4b, 5/4b. A decoder with the old early bump misreads the tail as
+    [0,1,2,3,3,3,3]."""
+    from osm_pbf_parquet_spark.operators.gif import _lzw_decode, _lzw_encode
+
+    stream = _pack_lsb(
+        [(4, 3), (0, 3), (1, 3), (2, 3), (6, 4), (2, 4), (3, 4), (5, 4)]
+    )
+    assert _lzw_decode(stream, 2, 7).tolist() == [0, 1, 2, 0, 1, 2, 3]
+    # and our encoder produces exactly the standard-timed stream
+    assert _lzw_encode(
+        np.array([0, 1, 2, 0, 1, 2, 3], dtype=np.uint8), 2
+    ) == stream
+
+
 def test_lzw_undefined_code_after_clear_raises_valueerror():
     """r6 review: the first code after a CLEAR must be a root
     literal; an undefined code there raised a bare KeyError instead
