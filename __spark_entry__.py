@@ -72,6 +72,26 @@ def _ensure_workers_see_package(spark: SparkSession) -> None:
         spark.conf.set("spark.sql.execution.arrow.maxBytesPerBatch", arrow_max)
     except Exception:  # noqa: BLE001 — conf absent on older Spark: no-op
         pass
+    # AQE coalescing from a HIGH initial reducer count (guide §2.2's
+    # recommended mode): value-keyed exchanges start past the
+    # bypass-merge threshold (single shuffle file per map task instead
+    # of maps x reducers file creates) and AQE then right-sizes the
+    # read side by actual bytes — empty/small buckets merge away, so
+    # e.g. the encode path's 64 pid values no longer collide 2-3 deep
+    # in 64 fixed buckets nor pay ~200 empty python-worker tasks.
+    # Scale-adaptive by construction (the FINAL partition count comes
+    # from runtime sizes); only set when the user has not chosen one.
+    try:
+        if spark.conf.get(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum", None
+        ) is None:
+            cores = spark.sparkContext.defaultParallelism or 4
+            spark.conf.set(
+                "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+                str(max(1024, 8 * cores)),
+            )
+    except Exception:  # noqa: BLE001 — conf absent: no-op
+        pass
     sc = spark.sparkContext
     if getattr(sc, "_osm_pbf_parquet_spark_shipped", False):
         return

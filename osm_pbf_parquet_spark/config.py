@@ -107,7 +107,7 @@ def derive_shuffle_partitions(spark, floor: int = 0) -> int:
     return n
 
 
-def widen_for_kernel(df, factor: int = 8):
+def widen_for_kernel(df, factor: int = 2):
     """Widen a NARROW input before a per-byte map-side kernel
     (minhash/gram/signature mapInArrow passes) so the kernel uses every
     core instead of the input's accidental partition count.
@@ -115,16 +115,21 @@ def widen_for_kernel(df, factor: int = 8):
     A small table read from one or two parquet files arrives in 1-2
     partitions; a mapInArrow kernel then runs on 1-2 cores while the
     rest of the cluster idles (measured r7: the sf1 minhash signature
-    pass over 2 cached partitions took 6.3 s at local[32]; widened to
-    8× cores it takes 1.6 s — doc-length skew is why 8× beats 2×). At
-    100 TB inputs already carry ≥ thousands of partitions and this is
-    a no-op — the check is partition-count-based, not a constant tuned
-    to local mode. The round-robin exchange moves only the narrow
-    (id, text) projection the kernel consumes, and every downstream
-    consumer here is partitioning-insensitive (groupBy/window
-    re-shuffle by value), so results are unchanged.
+    pass over 2 cached partitions took 6.3 s at local[32]). The target
+    is factor x cores (default 2x): every mapInArrow task pays a fixed
+    worker/stream protocol cost (~4.4 ms of wall per task at 32 slots
+    on this host — measured with a trivial kernel), so 8x-cores task
+    counts LOSE to 2x even under doc-length skew (sf1 gram stage:
+    0.72 s at 64 tasks vs 1.62 s at 256; round-robin's row balance
+    keeps per-task byte skew small). At 100 TB inputs already carry
+    >= thousands of partitions and this is a no-op — the check is
+    partition-count-based, not a constant tuned to local mode. The
+    round-robin exchange moves only the narrow (id, text) projection
+    the kernel consumes, and every downstream consumer here is
+    partitioning-insensitive (groupBy/window re-shuffle by value), so
+    results are unchanged.
     """
-    target = derive_num_partitions(df.sparkSession)
+    target = factor * (df.sparkSession.sparkContext.defaultParallelism or 4)
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)

@@ -118,6 +118,13 @@ def _exchange_buckets(spark, num_partitions: int) -> int:
 SPREAD_MIN_BYTES_PER_PID = 16 << 20
 
 
+def _aqe_enabled(spark) -> bool:
+    try:
+        return spark.conf.get("spark.sql.adaptive.enabled", "true") == "true"
+    except Exception:  # noqa: BLE001
+        return True
+
+
 def _plan_size_estimate(df: DataFrame) -> int | None:
     """Catalyst's optimized-plan size estimate (exact for cached
     relations and file scans, heuristic after transforms); None when
@@ -339,10 +346,27 @@ def encode_dataframe(
         with_pid = with_partition_id(df, key_col, num_partitions, pid_expr)
     est = _plan_size_estimate(df)
     if est is not None and est // max(1, num_partitions) >= SPREAD_MIN_BYTES_PER_PID:
-        n_buckets = _exchange_buckets(df.sparkSession, num_partitions)
+        # heavy per-pid work: route via the AQE-coalescible keyed
+        # repartition (no explicit N) — with the session hook's high
+        # initialPartitionNum the exchange uses the single-file sort
+        # writer, pid values rarely collide, and AQE folds the empty
+        # buckets away instead of paying ~200 no-input python workers
+        # (sf1 A/B: 3.22 s vs 3.74 s explicit-spread vs 3.99 s fixed-N
+        # on encode_lineitem). Rows of one pid always land in exactly
+        # one task: AQE coalescing merges whole reducer buckets, never
+        # splits one. Fixed-N spread is the non-AQE fallback.
+        if _aqe_enabled(df.sparkSession):
+            routed = with_pid.repartition(PID_COL)
+        else:
+            routed = with_pid.repartition(
+                _exchange_buckets(df.sparkSession, num_partitions), PID_COL
+            )
     else:
-        n_buckets = num_partitions
-    routed = with_pid.repartition(n_buckets, PID_COL)
+        # small per-pid work: the fixed-N exchange is cheapest — the
+        # AQE shape's map-side 1024-bucket writer + planning rounds
+        # cost more than they save (sf1 A/B: events 1.08 s fixed vs
+        # 2.18 s spread; docs roundtrip 0.95 vs 1.18 full-AQE)
+        routed = with_pid.repartition(num_partitions, PID_COL)
     if sort_cols:
         routed = routed.sortWithinPartitions(PID_COL, *sort_cols)
     return routed.mapInArrow(
@@ -556,15 +580,23 @@ def decode_dataframe(
     Python→JVM boundary. Re-apply the exact predicate on the result —
     the worker-side filter is an optimization, not the semantic gate.
     """
-    n = num_partitions or chunks_df.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions", "32"
-    )
-    # NOTE (r7): unlike the encode exchange, this one is NOT spread
-    # over extra buckets — decode tasks are light (a few MB of chunk
-    # payload each), so the ~3x empty-task worker handshakes of a
-    # spread exchange cost more than the pid-collision stragglers they
-    # remove (measured sf1 A/B: 1.27 s at n buckets vs 1.95 s spread).
-    co_located = chunks_df.repartition(int(n), "partition_id")
+    # r7: the default co-location is the AQE-coalescible keyed
+    # repartition (no explicit N). With the session hook's high
+    # initialPartitionNum the exchange takes the single-file sort
+    # writer and AQE right-sizes the decode task count from actual
+    # chunk bytes — a point lookup's post-prune survivors fold to ~1
+    # python task instead of shuffle.partitions mostly-empty worker
+    # handshakes, while a full-table decode keeps its parallelism
+    # (sf1 A/B: 24M-row decode 1.09 s AQE vs 1.27 s explicit-64;
+    # 50k-doc decode 0.64 s vs 0.94 s). Callers may pin
+    # num_partitions; without AQE the explicit-N shape is kept.
+    if num_partitions is None and _aqe_enabled(chunks_df.sparkSession):
+        co_located = chunks_df.repartition("partition_id")
+    else:
+        n = num_partitions or chunks_df.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "32"
+        )
+        co_located = chunks_df.repartition(int(n), "partition_id")
     return co_located.mapInArrow(
         make_decode_fn([f.name for f in schema], row_filter=row_filter), schema
     )
