@@ -1786,23 +1786,27 @@ def read_osm_pbf(spark, path: str, num_partitions: int | None = None,
         from ..config import derive_num_partitions
 
         n = min(len(idx), derive_num_partitions(spark, factor=2, floor=8))
-    # parallelize with explicit slice count, NOT createDataFrame +
-    # repartition: the repartition is a full stage + Exchange of the
-    # index rows (~0.4 s of the measured ~0.9 s fixed job overhead at
-    # local[32], and a scheduling barrier on a cluster), while
-    # parallelize slices the driver-local list directly. The list is
-    # STRIDE-INTERLEAVED first (task t gets blobs t, t+n, t+2n, …):
+    # driver-local index WITHOUT a python RDD (r7): sc.parallelize of
+    # python tuples makes the scan a PythonRDD stage, so every decode
+    # task ran TWO python workers — one unpickling its index slice,
+    # one for mapInArrow — and the extra worker's per-task setup was
+    # ~0.3 s of the measured ~0.9 s job wall at local[32] (SQL-tab
+    # 'time to initialize Python workers'). createDataFrame over the
+    # driver-local list builds a JVM LocalRelation instead: the scan
+    # is LocalTableScan (no python), sliced across
+    # leafNodeDefaultParallelism tasks with no Exchange. The list is
+    # still STRIDE-INTERLEAVED first (task t gets blobs t, t+n, …):
     # element types cluster by file position (a planet file is a long
     # dense-node run, then ways, then relations) and per-blob decode
-    # cost differs by type, so contiguous runs hand whole way/relation
-    # regions to a few straggler tasks (measured 2x wall on the mixed
-    # 13.2M fixture), while striding gives every task the same type
-    # mix AND near-equal bytes — deterministically, with no Exchange.
+    # cost differs by type, so contiguous runs hand whole
+    # way/relation regions to a few straggler tasks (measured 2x wall
+    # on the mixed 13.2M fixture). Any contiguous re-slicing of the
+    # strided list preserves the per-task type mix, so the exact
+    # LocalTableScan slice count does not matter.
     rows = [(path, o, ln) for o, ln in idx]
     strided = [r for i in range(n) for r in rows[i::n]]
     index_df = spark.createDataFrame(
-        spark.sparkContext.parallelize(strided, n),
-        "path string, offset long, length long",
+        strided, "path string, offset long, length long"
     )
     spark_schema = T.StructType(
         [
