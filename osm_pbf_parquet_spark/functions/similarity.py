@@ -44,8 +44,14 @@ def cosine_topk(
     full table). At 100 TB this parallelizes as per-partition top-k
     + driver merge, which is exactly what TakeOrderedAndProject does.
     """
+    from ..config import widen_for_kernel
+
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    scored = df.select(
+    # the cosine fold is an interpreted HOF over dim elements per row,
+    # so it is per-byte kernel work: widen narrow inputs before it
+    # (r7 — a 2-partition cached table ran the fold on 2 cores;
+    # measured sf1 0.36 -> 0.21 s widened). No-op for wide inputs.
+    scored = widen_for_kernel(df.select(id_col, vec_col)).select(
         F.col(id_col),
         F.round(cosine(F.col(vec_col), q), 4).alias("cos_sim"),
     )

@@ -575,7 +575,15 @@ def decode_image_pixels(df: DataFrame, id_col: str = "doc_id",
                  "pixel_sha256": shas}
             )
 
-    return df.mapInPandas(fn, PIXEL_META_SCHEMA)
+    from ..config import widen_for_kernel
+
+    # per-image pure-python codecs are the heaviest kernel in the
+    # repo: widen narrow inputs so 500 fixture images (or a re-read
+    # media table in 1-2 parquet files) decode on every core instead
+    # of 1-2 (r7; no-op for already-wide inputs)
+    return widen_for_kernel(
+        df.select(id_col, payload_col)
+    ).mapInPandas(fn, PIXEL_META_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -192,9 +192,14 @@ def read_chunks_pyarrow(
     sc = spark.sparkContext
     n = min(len(files), sc.defaultParallelism * 2)
     strided = [f for i in range(n) for f in files[i::n]]
-    pdf = spark.createDataFrame(
-        sc.parallelize([(f,) for f in strided], numSlices=n), "path string"
-    )
+    # JVM LocalRelation, not sc.parallelize (r7): a python-RDD index
+    # makes every reader task run a SECOND python worker just to
+    # unpickle its slice of file names (~0.3 s/job of worker setup at
+    # local[32] measured on the identical PBF index shape); a
+    # LocalTableScan slices the strided list JVM-side with no python
+    # and no Exchange, and any contiguous re-slicing preserves the
+    # stride balance.
+    pdf = spark.createDataFrame([(f,) for f in strided], "path string")
     want = [
         CHUNKS_STORE_ARROW_SCHEMA.field(f.name) for f in store_fields
     ]
