@@ -64,6 +64,30 @@ class EncodeConfig:
         return derive_chunk_target(spark)
 
 
+def derive_decode_task_bytes(spark) -> int:
+    """Target COMPRESSED chunk bytes per decode task (r7).
+
+    Decode work per compressed byte is ~15× a plain JVM row exchange's:
+    zstd decompress fans out ~6×, the codec kernels touch every value,
+    and the full decoded width crosses the Python→JVM Arrow boundary.
+    AQE's advisoryPartitionSizeInBytes (64 MB, tuned for JVM row work)
+    is therefore the wrong unit for the decode co-location exchange —
+    measured on a cached 64-group lineitem chunk table it folded a
+    32 MB / 2.4M-row decode to ONE task (3.2 s vs 0.64 s at the 8 MB
+    target; tools/probe_decode_r07.py). 8 MB compressed ≈ 50 MB decoded
+    ≈ 100–300 ms of kernel per task — well above the ~5–10 ms python
+    task setup cost, well below straggler granularity.
+    Env-overridable via SPARK_GRAFT_DECODE_TASK_BYTES for corpora whose
+    decode cost per byte is unusual (e.g. stored-uncompressed blobs).
+    """
+    import os
+
+    v = os.environ.get("SPARK_GRAFT_DECODE_TASK_BYTES")
+    if v:
+        return max(1, int(v))
+    return 8 << 20
+
+
 def bypass_merge_threshold(spark) -> int:
     """spark.shuffle.sort.bypassMergeThreshold (static core conf):
     exchanges with <= this many reduce partitions use the bypass-merge
@@ -107,7 +131,7 @@ def derive_shuffle_partitions(spark, floor: int = 0) -> int:
     return n
 
 
-def widen_for_kernel(df, factor: int = 2):
+def widen_for_kernel(df, factor: int = 2, min_task_bytes: int | None = None):
     """Widen a NARROW input before a per-byte map-side kernel
     (minhash/gram/signature mapInArrow passes) so the kernel uses every
     core instead of the input's accidental partition count.
@@ -128,8 +152,27 @@ def widen_for_kernel(df, factor: int = 2):
     the kernel consumes, and every downstream consumer here is
     partitioning-insensitive (groupBy/window re-shuffle by value), so
     results are unchanged.
+
+    ``min_task_bytes`` (r7, for LIGHT kernels): cap the widened width
+    so each task gets at least this many input bytes (Catalyst plan
+    estimate — exact for cached/scan inputs). A sub-MB table widened
+    to 2x cores pays ~64 task setups + an exchange for work one core
+    finishes in tens of ms (measured: the sf0.1 similarity_topk
+    cosine fold over a 0.5 MB cached table REGRESSED 0.17 -> 0.28 s
+    when widened to 64). With the cap, tiny inputs skip the exchange
+    entirely and mid-size inputs widen just enough. Heavy numpy
+    kernels (minhash etc.) pass no cap: their per-byte cost is high
+    enough that even small inputs amortize the spread.
     """
     target = factor * (df.sparkSession.sparkContext.defaultParallelism or 4)
+    if min_task_bytes:
+        try:
+            est = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+            target = max(1, min(target, est // min_task_bytes))
+        except Exception:  # noqa: BLE001 — estimate unavailable: no cap
+            pass
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)

@@ -51,7 +51,13 @@ def cosine_topk(
     # so it is per-byte kernel work: widen narrow inputs before it
     # (r7 — a 2-partition cached table ran the fold on 2 cores;
     # measured sf1 0.36 -> 0.21 s widened). No-op for wide inputs.
-    scored = widen_for_kernel(df.select(id_col, vec_col)).select(
+    # min_task_bytes: the fold is LIGHT per byte (interpreted JVM, no
+    # python boundary) — widening a sub-MB table to 2x cores regressed
+    # sf0.1 0.17 -> 0.28 s, so tiny inputs keep their layout and the
+    # exchange only happens when >= ~1 MB/task of fold work exists.
+    scored = widen_for_kernel(
+        df.select(id_col, vec_col), min_task_bytes=1 << 20
+    ).select(
         F.col(id_col),
         F.round(cosine(F.col(vec_col), q), 4).alias("cos_sim"),
     )

@@ -31,6 +31,11 @@ MERSENNE31 = (1 << 31) - 1
 #: See bounded_bucket_pairs.
 DEFAULT_MAX_BUCKET = 256
 
+#: measurement hook (tools/probe_*): force bounded_bucket_pairs'
+#: explicit past-bypass exchange shape even under AQE, so the two
+#: shapes can be A/B'd interleaved in one session on this noisy host.
+_FORCE_EXPLICIT_EXCHANGE = False
+
 
 def bounded_bucket_pairs(
     banded: DataFrame,
@@ -101,13 +106,32 @@ def bounded_bucket_pairs(
     # shuffle files, ~30 CPU-s of open0/delete0 syscalls on the sf1
     # bench (thread-dump evidence); past the threshold the sort writer
     # emits one file per map task. Measured: window stage 4.7 -> 2.0 s.
+    # An AQE-coalescible window exchange (no explicit N, session-hook
+    # initialPartitionNum) was A/B'd and REJECTED: AQE sizes the read
+    # side by the exchange's INPUT bytes, but the window stage's cost
+    # here is its pair-explosion OUTPUT (up to cap² per bucket), so at
+    # 10× scale AQE folded a few-MB banded input to ~1 task and the
+    # stage serialized (interleaved medians: minhash 4.8 s AQE-shape
+    # vs 2.6 s explicit; substring 3.0 vs 2.2 — probe_dedup_r07).
     n_exch = derive_shuffle_partitions(banded.sparkSession)
     banded = banded.repartition(n_exch, *key_cols)
-    # pairs leave partitioned by (a, b) at the same count, so every
-    # caller's immediate .distinct() reuses the partitioning shape and
-    # its exchange also clears the bypass threshold
-    def _pair_out(pairs_df: DataFrame) -> DataFrame:
-        return pairs_df.repartition(n_exch, "a", "b")
+    # The PAIR side is the opposite regime: tiny rows, no fan-out, and
+    # the caller's immediate .distinct() only collapses multi-band
+    # collisions — so its exchange IS left AQE-coalescible (distinct
+    # creates it at initialPartitionNum → sort writer, byte-right read
+    # tasks; a fixed 301 paid ~240 near-empty distinct tasks at
+    # sf0.1). Non-AQE sessions pin it past the bypass threshold.
+    try:
+        aqe = banded.sparkSession.conf.get(
+            "spark.sql.adaptive.enabled", "true") == "true"
+    except Exception:  # noqa: BLE001
+        aqe = True
+    if aqe and not _FORCE_EXPLICIT_EXCHANGE:
+        def _pair_out(pairs_df: DataFrame) -> DataFrame:
+            return pairs_df
+    else:
+        def _pair_out(pairs_df: DataFrame) -> DataFrame:
+            return pairs_df.repartition(n_exch, "a", "b")
 
     all_pairs = (
         "flatten(transform(_lst, (x, i) -> "

@@ -580,23 +580,44 @@ def decode_dataframe(
     Python→JVM boundary. Re-apply the exact predicate on the result —
     the worker-side filter is an optimization, not the semantic gate.
     """
-    # r7: the default co-location is the AQE-coalescible keyed
-    # repartition (no explicit N). With the session hook's high
-    # initialPartitionNum the exchange takes the single-file sort
-    # writer and AQE right-sizes the decode task count from actual
-    # chunk bytes — a point lookup's post-prune survivors fold to ~1
-    # python task instead of shuffle.partitions mostly-empty worker
-    # handshakes, while a full-table decode keeps its parallelism
-    # (sf1 A/B: 24M-row decode 1.09 s AQE vs 1.27 s explicit-64;
-    # 50k-doc decode 0.64 s vs 0.94 s). Callers may pin
-    # num_partitions; without AQE the explicit-N shape is kept.
-    if num_partitions is None and _aqe_enabled(chunks_df.sparkSession):
-        co_located = chunks_df.repartition("partition_id")
+    # r7 (second iteration): size the co-location exchange from the
+    # chunk table's OWN byte estimate instead of AQE's advisory.
+    # The earlier r7 draft used the AQE keyed repartition (no N); AQE
+    # then coalesced by spark.sql.adaptive.advisoryPartitionSizeInBytes
+    # (64 MB default) — a target tuned for JVM row work, ~15× too
+    # coarse for a python decode kernel whose input is COMPRESSED
+    # chunk payload (decompress fan-out ~6× + Arrow ship of the full
+    # decoded width). Measured (tools/probe_decode_r07.py, cached
+    # 64-group lineitem chunk table): sf0.1 AQE folded the decode to
+    # one ~32 MB task → 3.2 s vs 0.64 s here; 10× scale AQE 4.4 s vs
+    # 1.5 s here. Catalyst's size estimate is exact for cached
+    # relations and file scans (the normal chunk-store feeds), so
+    # N ≈ est / decode_task_target_bytes spawns only byte-justified
+    # python workers — a point lookup's pruned survivors still fold
+    # to ~1 task (tiny est), and a 100 TB store gets the 4×cores cap
+    # (cores-derived, not a local constant; pin num_partitions to
+    # override). Keyed by (run_id, partition_id, chunk_seq): cells of
+    # one group always share all three, and the finer key spreads
+    # few-pid / many-seq stores that a pid-only key would skew.
+    if num_partitions is None:
+        from ..config import derive_decode_task_bytes
+
+        est = _plan_size_estimate(chunks_df)
+        cores = chunks_df.sparkSession.sparkContext.defaultParallelism or 4
+        if est is not None:
+            n = max(1, min(
+                -(-est // derive_decode_task_bytes(chunks_df.sparkSession)),
+                4 * cores,
+            ))
+        else:
+            n = 2 * cores
     else:
-        n = num_partitions or chunks_df.sparkSession.conf.get(
-            "spark.sql.shuffle.partitions", "32"
-        )
-        co_located = chunks_df.repartition(int(n), "partition_id")
+        n = int(num_partitions)
+    group_cols = [
+        c for c in ("run_id", "partition_id", "chunk_seq")
+        if c in chunks_df.columns
+    ]
+    co_located = chunks_df.repartition(n, *group_cols)
     return co_located.mapInArrow(
         make_decode_fn([f.name for f in schema], row_filter=row_filter), schema
     )

@@ -92,20 +92,25 @@ def test_bounded_bucket_pairs_never_collects_over_cap(spark):
     # single-lineage plan: the corpus shuffles ONCE into buckets (one
     # bucket-keyed hash exchange feeding BOTH window specs; the
     # upstream kernel has exactly one consumer — no join, no union).
-    # r7 adds exactly one more intentional exchange: the pair stream
-    # leaves repartitioned by (a, b) past the bypass-merge threshold
-    # so every caller's .distinct() reuses that partitioning (see
-    # bounded_bucket_pairs / config.derive_shuffle_partitions).
+    # The builder's ONLY exchange is the explicit past-bypass bucket
+    # repartition; the pair stream leaves un-repartitioned so each
+    # caller's .distinct() creates its own AQE-coalescible exchange
+    # (see bounded_bucket_pairs — the fixed-width pair exchange paid
+    # ~240 near-empty distinct tasks at bench sf0.1).
     executed = pairs._jdf.queryExecution().executedPlan().toString()
     final = executed.split("== Initial Plan ==")[0]  # AQE echoes both
-    assert final.count("Exchange hashpartitioning") == 2, final
+    assert final.count("Exchange hashpartitioning") == 1, final
     import re
 
     bucket_exchanges = re.findall(
         r"Exchange hashpartitioning\(band#\d+L?, bh#\d+", final
     )
     assert len(bucket_exchanges) == 1, final  # buckets shuffle once
-    assert re.search(r"Exchange hashpartitioning\(a#\d+L?, b#\d+", final), final
+    # no pair-keyed exchange inside the builder: callers' .distinct()
+    # creates it (AQE-coalescible) only where dedup semantics need it
+    assert not re.search(
+        r"Exchange hashpartitioning\(a#\d+L?, b#\d+", final
+    ), final
 
 
 def test_minhash_degenerate_corpus_completes_bounded(spark):
