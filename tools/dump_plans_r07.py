@@ -77,6 +77,19 @@ def main() -> int:
     plans["bloom_lookup_decode"] = decode_dataframe(
         kept, docs.schema, row_filter=[("doc_id", "==", 42)]
     ).filter(F.col("doc_id") == 42)
+    # r7-touched queries added for the second half of the round
+    from osm_pbf_parquet_spark.functions.similarity import cosine_topk
+    from osm_pbf_parquet_spark.sources.pbf import (
+        read_osm_pbf,
+        synthetic_osm_pbf,
+    )
+    import __spark_entry__ as entry_mod
+
+    emb = load("embeddings").cache()
+    emb.count()
+    plans["similarity_topk"] = cosine_topk(emb, entry_mod.QUERY_VEC, 10)
+    pbf_path = synthetic_osm_pbf("/tmp/plans_r07.osm.pbf", n_nodes=20_000)
+    plans["pbf_ingest"] = read_osm_pbf(spark, pbf_path).agg(F.count("*"))
 
     for name, df in plans.items():
         s = df._sc._jvm.PythonSQLUtils.explainString(
