@@ -131,9 +131,19 @@ def str_dict_decode(params: dict, payload: bytes) -> tuple[np.ndarray, bytes]:
     total = int(lens.sum())
     if total == 0:
         return lens, b""
-    # ragged gather: out[i] bytes = ddata[doffs[code]:doffs[code]+len]
-    within = np.arange(total, dtype=np.int64) - np.repeat(
-        np.cumsum(lens) - lens, lens
+    # ragged gather out[i] = ddata[doffs[code] : doffs[code]+len] via
+    # pyarrow's C++ take on the dictionary values (r7: the previous
+    # numpy arange/repeat formulation built ~5 int64 temp arrays of
+    # `total` elements — 37.5 ms vs 7 ms for a 600k-row 1-char column;
+    # str_dict decode was 40% of the lineitem decode task). Bytes are
+    # identical: same values, same order.
+    dvals = pa.Array.from_buffers(
+        pa.large_binary(), len(dlens),
+        [None, pa.py_buffer(doffs.tobytes()), pa.py_buffer(ddata.tobytes())],
     )
-    src = np.repeat(doffs[codes], lens) + within
-    return lens, ddata[src].tobytes()
+    out = dvals.take(pa.array(codes, type=pa.int64()))
+    ooffs = np.frombuffer(out.buffers()[1], dtype=np.int64)[
+        out.offset : out.offset + len(out) + 1
+    ]
+    odata = np.frombuffer(out.buffers()[2] or b"", dtype=np.uint8)
+    return lens, odata[ooffs[0]:ooffs[-1]].tobytes()
